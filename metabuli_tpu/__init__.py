@@ -1,0 +1,29 @@
+"""metabuli_tpu — a TPU-native metagenomic taxonomic classification framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Metabuli
+(steineggerlab/Metabuli): classification of DNA sequencing reads against
+reference-genome databases via 64-bit *metamers* (joint amino-acid + codon
+k-mers), with database construction, taxonomy handling, abundance estimation
+and reporting.
+
+Architecture (TPU-first, not a port):
+  - All per-base / per-k-mer compute (6-frame metamer extraction, syncmer
+    selection, sorted-table lookup, Hamming scoring, match chaining) runs as
+    vectorized XLA programs over fixed shapes on device.
+  - The reference's sequential delta-decode merge-join
+    (`/root/reference/src/commons/KmerMatcher.cpp:123-481`) is replaced by
+    binary search + capped gather over a device-resident sorted metamer table.
+  - Multi-chip scaling shards the metamer table by amino-acid range over a
+    `jax.sharding.Mesh` axis, and read batches over a data axis.
+  - Host side (C++/Python) does IO, taxonomy, reporting and orchestration.
+
+64-bit integer note: metamer values are 40-bit amino-acid part << 24 | 24-bit
+codon part (`/root/reference/src/commons/Kmer.h:52-75`), so the package
+requires jax_enable_x64, which is switched on at import.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,201 @@
+"""Vectorized 6-frame metamer extraction (device-side, XLA-friendly).
+
+Replaces the reference's sequential per-base scanners
+(`/root/reference/src/commons/KmerScanner.h:49-118`,
+`/root/reference/src/commons/SyncmerScanner.h:9-103`) with fixed-shape
+window computations over a whole batch of reads at once:
+
+  * A read of length L covers ``usedLen = 3*((L-2)//3)`` bases
+    (`/root/reference/src/commons/LocalUtil.h:51-59`), i.e. ``A = (L-2)//3``
+    codons per reading frame.
+  * Frame begins: forward frame f starts at base f; reverse frame f starts at
+    ``(L%3 - (f-3)) mod 3`` and is scanned as the reverse complement
+    (`/root/reference/src/commons/KmerExtractor.cpp:356-366`).
+  * A metamer window of 8 codons at codon index p is emitted iff all 8 codons
+    are valid (no N / out-of-range); its 64-bit value is
+    ``(aaPart << 24) | dnaPart`` with 5-bit amino acids and 3-bit codon
+    numbers, most significant first (`/root/reference/src/commons/Kmer.h:52-75`,
+    `KmerScanner.h:82-117`).
+  * Reported base positions: forward ``begin + 3p``, reverse
+    ``seqEnd - 3(p+8) + 1`` (`KmerScanner.h:110-114`).
+  * Closed-syncmer selection keeps a window iff the first occurrence of the
+    minimum s-mer (5-bit packed amino acids, length s) over offsets
+    ``0..8-s`` sits at offset 0 or ``8-s``
+    (`/root/reference/src/commons/SyncmerScanner.h:36-102`).
+
+Everything here runs under jit with static shapes; invalid windows are
+reported via a validity mask instead of being compacted, so downstream ops
+stay fixed-shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .genetic_code import codon_tables
+
+K = 8  # metamer length in codons
+
+# Reverse-complement of 3-bit base codes: A<->T (0<->2), C<->G (1<->3), else 7.
+_RC8 = np.array([2, 3, 0, 1, 7, 7, 7, 7], dtype=np.uint8)
+
+
+class Metamers(NamedTuple):
+    """Fixed-shape extraction result: [B, 6, W] arrays."""
+
+    value: jax.Array  # uint64 metamer values (garbage where ~valid)
+    pos: jax.Array    # int32 base position (reference semantics)
+    valid: jax.Array  # bool
+
+
+def max_codons(max_len: int) -> int:
+    """Codon capacity A for a padded batch of length ``max_len``."""
+    return max(0, (max_len - 2) // 3)
+
+
+def max_windows(max_len: int) -> int:
+    return max(0, max_codons(max_len) - K + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reduced", "syncmer", "smer_len", "kmer_format"),
+)
+def extract_metamers(
+    codes: jax.Array,   # [B, L] uint8 base codes (0..3, 7 = N/invalid/pad)
+    lens: jax.Array,    # [B] int32 true sequence lengths
+    *,
+    reduced: bool = False,
+    syncmer: bool = False,
+    smer_len: int = 5,
+    kmer_format: int = 2,
+) -> Metamers:
+    """Extract metamers for all 6 reading frames of every read in the batch."""
+    if kmer_format not in (1, 2):
+        raise ValueError(f"unsupported kmer_format {kmer_format}")
+    B, L = codes.shape
+    A = max_codons(L)
+    W = max(0, A - K + 1)
+    if W == 0:
+        z = jnp.zeros((B, 6, 0))
+        return Metamers(z.astype(jnp.uint64), z.astype(jnp.int32), z.astype(bool))
+
+    aa_tab, num_tab = codon_tables(reduced)
+    aa_tab = jnp.asarray(aa_tab)
+    num_tab = jnp.asarray(num_tab)
+    rc_tab = jnp.asarray(_RC8)
+
+    lens = lens.astype(jnp.int32)
+    used_len = 3 * ((lens - 2) // 3)          # LocalUtil::getMaxCoveredLength
+    used_len = jnp.maximum(used_len, 0)
+    aa_len = used_len // 3                    # codons per frame, per read
+
+    codon_idx = jnp.arange(A, dtype=jnp.int32)  # [A]
+
+    def gather_codes(base_idx: jax.Array) -> jax.Array:
+        """Gather base codes at [B, A] indices; out-of-range -> invalid (7)."""
+        safe = jnp.clip(base_idx, 0, L - 1)
+        vals = jnp.take_along_axis(codes, safe.astype(jnp.int32), axis=1)
+        return jnp.where((base_idx >= 0) & (base_idx < L), vals, jnp.uint8(7))
+
+    frame_aas = []
+    frame_nums = []
+    frame_ok = []
+    frame_pos0 = []  # position of base 0 of codon p, per frame: pos = pos0 +/- 3p
+
+    for f in range(6):
+        if f < 3:
+            begin = jnp.full((B,), f, dtype=jnp.int32)
+            b1 = begin[:, None] + 3 * codon_idx[None, :]
+            c1 = gather_codes(b1)
+            c2 = gather_codes(b1 + 1)
+            c3 = gather_codes(b1 + 2)
+        else:
+            begin = jnp.mod(lens % 3 - (f - 3), 3)
+            end = begin + used_len - 1                     # seqEnd
+            b1 = end[:, None] - 3 * codon_idx[None, :]
+            c1 = rc_tab[gather_codes(b1)]
+            c2 = rc_tab[gather_codes(b1 - 1)]
+            c3 = rc_tab[gather_codes(b1 - 2)]
+        ok = (c1 < 4) & (c2 < 4) & (c3 < 4) & (codon_idx[None, :] < aa_len[:, None])
+        ci = (c1.astype(jnp.int32) * 16 + c2.astype(jnp.int32) * 4
+              + c3.astype(jnp.int32)) & 63
+        frame_aas.append(jnp.where(ok, aa_tab[ci], -1))
+        frame_nums.append(jnp.where(ok, num_tab[ci], 0))
+        frame_ok.append(ok)
+        if f < 3:
+            frame_pos0.append(begin)
+        else:
+            # reverse position of window p: seqEnd - 3(p+8) + 1
+            frame_pos0.append(end - 3 * (K - 1) - 2)
+
+    aa = jnp.stack(frame_aas, axis=1)     # [B, 6, A] int32, -1 invalid
+    num = jnp.stack(frame_nums, axis=1)   # [B, 6, A] int32
+    ok = jnp.stack(frame_ok, axis=1)      # [B, 6, A] bool
+    pos0 = jnp.stack(frame_pos0, axis=1)  # [B, 6] int32
+
+    # Window validity and packed value via 8 static shifted slices.
+    bits_codon = 4 if reduced else 3
+    aa_shift = 32 if reduced else 24
+    aa_u = aa.astype(jnp.uint64)
+    num_u = num.astype(jnp.uint64)
+    aa_part = jnp.zeros(aa_u[..., :W].shape, jnp.uint64)
+    dna_part = jnp.zeros_like(aa_part)
+    valid = jnp.ones(aa_part.shape, bool)
+    for j in range(K):
+        aa_part = (aa_part << 5) | aa_u[..., j : j + W]
+        dna_part = (dna_part << bits_codon) | num_u[..., j : j + W]
+        valid = valid & ok[..., j : j + W]
+    if kmer_format == 2:
+        value = ((aa_part & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
+            dna_part & ((jnp.uint64(1) << aa_shift) - 1)
+        )
+    else:
+        # Old format (`KmerScanner.h:120-182`): amino acids packed base-21
+        # little-endian (aa of codon j weighted 21**j), codon numbers
+        # little-endian 3-bit.
+        aa_old = jnp.zeros(aa_part.shape, jnp.uint64)
+        dna_old = jnp.zeros(aa_part.shape, jnp.uint64)
+        for j in range(K):
+            aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(21**j)
+            dna_old = dna_old | (num_u[..., j : j + W] << (bits_codon * j))
+        value = ((aa_old & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
+            dna_old & ((jnp.uint64(1) << aa_shift) - 1)
+        )
+
+    # Positions: forward pos0 + 3p, reverse pos0 - 3p.
+    p = jnp.arange(W, dtype=jnp.int32)
+    sign = jnp.array([1, 1, 1, -1, -1, -1], dtype=jnp.int32)
+    pos = pos0[:, :, None] + sign[None, :, None] * 3 * p[None, None, :]
+
+    if syncmer:
+        valid = valid & _syncmer_keep(aa, smer_len, W)
+
+    return Metamers(value=value, pos=pos.astype(jnp.int32), valid=valid)
+
+
+def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
+    """Closed-syncmer mask over [B, 6, W] windows.
+
+    Keeps window p iff the first occurrence of the minimal s-mer among offsets
+    0..K-s is at offset 0 or K-s, matching the monotonic-deque scanner
+    (`SyncmerScanner.h:56-73`: strictly-greater pops keep the earliest
+    occurrence of the minimum at the deque front).
+    """
+    s = smer_len
+    n_smer = K - s + 1
+    A = aa.shape[-1]
+    n_smer_pos = A - s + 1
+    aa_u = jnp.where(aa >= 0, aa, 0).astype(jnp.uint64)
+    smer = jnp.zeros(aa_u[..., :n_smer_pos].shape, jnp.uint64)
+    for j in range(s):
+        smer = (smer << 5) | aa_u[..., j : j + n_smer_pos]
+    # For each window p, s-mers at p..p+K-s. argmin gives first occurrence.
+    stack = jnp.stack([smer[..., t : t + W] for t in range(n_smer)], axis=-1)
+    first_min = jnp.argmin(stack, axis=-1)
+    return (first_min == 0) | (first_min == n_smer - 1)
