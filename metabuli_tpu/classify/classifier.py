@@ -1,0 +1,252 @@
+"""Classification orchestrator: file -> batches -> device -> taxonomy -> reports.
+
+Host-side equivalent of the reference's ``Classifier::startClassify``
+(`/root/reference/src/commons/Classifier.cpp:44-164`): streams reads in
+batches, runs the fused device pipeline, assigns taxonomy per read, and
+writes classifications/report/Krona. Overflow of the candidate cap or the
+match budget retries with a larger setting (`Classifier.cpp:127-131`).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..db.formats import DbParameters
+from ..db.index import MetamerIndex
+from ..io import fasta
+from ..io.report import Reporter
+from ..ops.genetic_code import encode_seqs_padded
+from ..params import ClassifyParams
+from .pipeline import classify_batch
+from .taxonomer import ReadClassification, Taxonomer, TaxonomerParams
+
+
+def _used_len(length: int) -> int:
+    return max(0, 3 * ((length - 2) // 3))
+
+
+def _bucket_len(length: int) -> int:
+    """Pad lengths to coarse buckets to bound the number of jit compiles."""
+    if length <= 64:
+        return 64
+    if length <= 160:
+        return 160
+    if length <= 320:
+        return 320
+    step = 512
+    return ((length + step - 1) // step) * step
+
+
+@dataclass
+class QueryMeta:
+    name: str
+    read_len: int  # usedLen(mate1) + usedLen(mate2)
+
+
+class Classifier:
+    def __init__(self, db_dir: str, params: ClassifyParams):
+        self.par = params
+        self.index = MetamerIndex.load(db_dir)
+        dbp = self.index.params
+        # db.parameters override user flags (`common.cpp:88-133`)
+        params.syncmer = dbp.syncmer
+        params.smer_len = dbp.smer_len
+        params.kmer_format = dbp.kmer_format
+        params.reduced_aa = dbp.reduced_aa
+        params.skip_redundancy = dbp.skip_redundancy
+        if dbp.accession_level == 0 and params.accession_level == 1:
+            params.accession_level = 0
+
+        self.taxonomy = self.index.taxonomy
+        tp = TaxonomerParams(
+            min_score=params.min_score,
+            min_sp_score=params.min_sp_score,
+            min_cons_cnt=params.min_cons_cnt,
+            min_cons_cnt_euk=params.min_cons_cnt_euk,
+            tie_ratio=params.tie_ratio,
+            syncmer=bool(params.syncmer),
+            smer_len=params.smer_len,
+            seq_mode=params.seq_mode,
+            accession_level=params.accession_level,
+            em=bool(params.em),
+            reduced_aa=bool(params.reduced_aa),
+        )
+        self.taxonomer = Taxonomer(tp, self.taxonomy)
+        self.reporter = Reporter(self.taxonomy, bool(params.print_lineage))
+
+        # device arrays
+        self.d_values = jax.device_put(self.index.values)
+        self.d_taxids = jax.device_put(self.index.taxids.astype(np.int32))
+        self.d_species = jax.device_put(
+            self.index.species_table().astype(np.int32)
+        )
+        self.cap = int(min(max(16, self.index.max_group), params.max_cap))
+        self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
+
+    # ---------------------------------------------------------------- batches
+    def _iter_batches(self, q1: str, q2: str | None):
+        """Yield (metas, rows) where rows = list of (seq, qid_local, pos_offset)."""
+        par = self.par
+        batch_reads = par.batch_reads
+        metas: list[QueryMeta] = []
+        rows: list[tuple[bytes, int, int]] = []
+        it1 = fasta.read_records(q1)
+        it2 = fasta.read_records(q2) if q2 else None
+        while True:
+            rec1 = next(it1, None)
+            if rec1 is None:
+                break
+            qid = len(metas)
+            if it2 is not None:
+                rec2 = next(it2, None)
+                if rec2 is None:
+                    raise ValueError(
+                        "paired-end files have different read counts"
+                    )
+                ul1, ul2 = _used_len(len(rec1.seq)), _used_len(len(rec2.seq))
+                metas.append(QueryMeta(rec1.name, ul1 + ul2))
+                rows.append((rec1.seq, qid, 0))
+                rows.append((rec2.seq, qid, ul1 + 3))
+            else:
+                metas.append(QueryMeta(rec1.name, _used_len(len(rec1.seq))))
+                rows.append((rec1.seq, qid, 0))
+            if len(metas) >= batch_reads:
+                yield metas, rows
+                metas, rows = [], []
+        if metas:
+            yield metas, rows
+
+    # ----------------------------------------------------------------- device
+    def _run_device(self, rows):
+        par = self.par
+        max_len = max((len(r[0]) for r in rows), default=0)
+        L = _bucket_len(max_len)
+        codes, lens = encode_seqs_padded([r[0] for r in rows], max_len=L)
+        pos_offsets = np.array([r[2] for r in rows], np.int32)
+        qid_offsets = np.array([r[1] for r in rows], np.int32)
+
+        # match budget: kmer capacity * matchPerKmer (QueryIndexer.h:72-74)
+        n_windows = len(rows) * 6 * max(0, (L - 2) // 3 - 7)
+        budget = max(1024, n_windows * par.match_per_kmer)
+        cap = self.cap
+        while True:
+            t0 = time.time()
+            bm = classify_batch(
+                self.d_values, self.d_taxids, self.d_species,
+                codes, lens, pos_offsets, qid_offsets,
+                cap=cap, max_matches=budget,
+                reduced=bool(par.reduced_aa),
+                syncmer=bool(par.syncmer),
+                smer_len=par.smer_len,
+                kmer_format=par.kmer_format,
+            )
+            n_matches = int(bm.n_matches)
+            n_over = int(bm.n_over_cap)
+            jax.block_until_ready(bm.qid)
+            self.stats["device_s"] += time.time() - t0
+            if n_over > 0 and cap < self.index.max_group:
+                cap = min(self.index.max_group, cap * 4)
+                self.cap = cap
+                continue
+            if n_matches > budget:
+                budget = int(n_matches * 1.2) + 1024
+                continue
+            break
+        self.stats["kmers"] += int(bm.total_kmers)
+        self.stats["matches"] += n_matches
+        n = n_matches
+        return {
+            "qid": np.asarray(bm.qid[:n]),
+            "species": np.asarray(bm.species[:n]),
+            "frame": np.asarray(bm.frame[:n]),
+            "pos": np.asarray(bm.pos[:n]),
+            "hamming": np.asarray(bm.hamming[:n]),
+            "dna": np.asarray(bm.dna[:n]),
+            "taxid": np.asarray(bm.taxid[:n]),
+            "h16": np.asarray(bm.h16[:n]),
+        }
+
+    # --------------------------------------------------------------- taxonomy
+    def _assign_batch(self, metas, m) -> list[ReadClassification]:
+        t0 = time.time()
+        qid = m["qid"]
+        out: list[ReadClassification] = []
+        starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
+        ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
+        for i, meta in enumerate(metas):
+            lo, hi = int(starts[i]), int(ends[i])
+            if lo == hi:
+                out.append(ReadClassification(score=0.0))
+                continue
+            sub = {k: v[lo:hi] for k, v in m.items()}
+            out.append(self.taxonomer.choose_best_taxon(sub, meta.read_len))
+        self.stats["tax_s"] += time.time() - t0
+        return out
+
+    # ------------------------------------------------------------------- main
+    def classify_file(
+        self,
+        q1: str,
+        q2: str | None,
+        out_dir: str,
+        job_id: str,
+    ) -> dict:
+        os.makedirs(out_dir, exist_ok=True)
+        cls_path = os.path.join(out_dir, f"{job_id}_classifications.tsv")
+        report_path = os.path.join(out_dir, f"{job_id}_report.tsv")
+        krona_path = os.path.join(out_dir, f"{job_id}_krona.html")
+
+        tax_counts: dict[int, int] = {}
+        total_reads = 0
+        first = True
+        mappings = [] if self.par.em else None
+        all_results = [] if self.par.em else None
+        with open(cls_path, "w") as fh:
+            for metas, rows in self._iter_batches(q1, q2):
+                m = self._run_device(rows)
+                results = self._assign_batch(metas, m)
+                self.stats["reads"] += len(metas)
+                rows_out = [
+                    (meta.name, rc, meta.read_len)
+                    for meta, rc in zip(metas, results)
+                ]
+                self.reporter.write_classifications(fh, rows_out, first=first)
+                first = False
+                for rc in results:
+                    tax_counts[rc.taxid if rc.is_classified else 0] = (
+                        tax_counts.get(rc.taxid if rc.is_classified else 0, 0) + 1
+                    )
+                if self.par.em:
+                    base = total_reads
+                    for i, rc in enumerate(results):
+                        for sp, sc in rc.species_scores:
+                            mappings.append((base + i, sp, sc))
+                    all_results.extend(
+                        (meta.name, rc, meta.read_len)
+                        for meta, rc in zip(metas, results)
+                    )
+                total_reads += len(metas)
+
+        with open(report_path, "w") as fh:
+            self.reporter.write_report(fh, tax_counts, total_reads)
+        with open(krona_path, "w") as fh:
+            self.reporter.write_krona(fh, tax_counts, total_reads)
+
+        summary = {
+            "reads": total_reads,
+            "classified": total_reads - tax_counts.get(0, 0),
+            **self.stats,
+        }
+        if self.par.em and total_reads:
+            from .em import run_em_reassignment
+
+            run_em_reassignment(
+                self, mappings, all_results, out_dir, job_id, total_reads
+            )
+        return summary

@@ -1,0 +1,226 @@
+"""Database construction: FASTA library -> sorted metamer index.
+
+Re-designs the reference's IndexCreator pipeline
+(`/root/reference/src/commons/IndexCreator.cpp:316-376`):
+
+  1. map sequence accessions to taxids (accession2taxid),
+  2. extract target metamers on device in large batches,
+  3. sort by (value, species, taxid) (`Kmer.h:77-87`),
+  4. deduplicate per (value, species) with LCA of member taxids
+     (`IndexCreator.h:475-629`, FilterMode::DB_CREATION),
+  5. write diffIdx / info / split / taxID_list / db.parameters.
+
+Round-1 scope notes (documented gaps vs reference, tracked in PARITY.md):
+  * Gene prediction (Prodigal port) and tantan masking are not yet wired;
+    extraction covers all 6 frames of every sequence (a superset of the
+    reference's predicted-ORF frames).
+  * The build is in-memory; the reference's flush-file + k-way merge
+    out-of-core path (`IndexCreator.h:322-472`) lands with the native layer.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..io import fasta
+from ..ops import encode
+from ..ops.genetic_code import encode_seqs_padded
+from ..params import BuildParams
+from .formats import DbParameters, write_db_files, write_taxid_list
+from .taxonomy import Taxonomy
+
+
+@dataclass
+class SeqTask:
+    seq: bytes
+    taxid: int      # internal
+    species: int    # internal
+
+
+def read_acc2taxid(path: str) -> dict[str, int]:
+    """accession -> taxid map; accepts 2+-column TSV with optional header
+    (`/root/reference/src/commons/common.cpp` fillAcc2TaxIdMap analogue)."""
+    out: dict[str, int] = {}
+    with open(path) as fh:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 2:
+                continue
+            acc = cols[0]
+            # NCBI 4-column format: accession, accession.version, taxid, gi
+            if len(cols) >= 3 and cols[1] and not cols[1].isdigit():
+                acc_ver, tax = cols[1], cols[2]
+            else:
+                acc_ver, tax = cols[0], cols[1]
+            try:
+                out[acc_ver] = int(tax)
+                out.setdefault(acc, int(tax))
+            except ValueError:
+                continue  # header line
+    return out
+
+
+def accession_of(header_name: str) -> str:
+    """First token of the FASTA header (reference uses the accession up to
+    the first whitespace/dot version included)."""
+    return header_name.split()[0]
+
+
+class IndexBuilder:
+    def __init__(self, params: BuildParams, taxonomy: Taxonomy):
+        self.par = params
+        self.tax = taxonomy
+        self._values: list[np.ndarray] = []
+        self._taxids: list[np.ndarray] = []
+        self._species: list[np.ndarray] = []
+
+    # ---------------------------------------------------------------- extract
+    def add_sequences(self, tasks: list[SeqTask]):
+        """Extract metamers for a batch of sequences on device."""
+        if not tasks:
+            return
+        par = self.par
+        # group into padded sub-batches by size so the padded matrix stays small
+        tasks = sorted(tasks, key=lambda t: len(t.seq))
+        batch: list[SeqTask] = []
+        batch_bases = 0
+        for t in tasks:
+            batch.append(t)
+            batch_bases += max(64, len(t.seq))
+            if batch_bases >= par.batch_bases:
+                self._extract_batch(batch)
+                batch, batch_bases = [], 0
+        if batch:
+            self._extract_batch(batch)
+
+    def _extract_batch(self, batch: list[SeqTask]):
+        par = self.par
+        codes, lens = encode_seqs_padded([t.seq for t in batch])
+        mm = encode.extract_metamers(
+            jax.device_put(codes),
+            jax.device_put(lens),
+            reduced=bool(par.reduced_aa),
+            syncmer=bool(par.syncmer),
+            smer_len=par.smer_len,
+            kmer_format=par.kmer_format,
+        )
+        value = np.asarray(mm.value)
+        valid = np.asarray(mm.valid)
+        b, f, w = np.nonzero(valid)
+        vals = value[b, f, w]
+        taxids = np.array([t.taxid for t in batch], np.uint32)[b]
+        species = np.array([t.species for t in batch], np.uint32)[b]
+        self._values.append(vals)
+        self._taxids.append(taxids)
+        self._species.append(species)
+
+    # ------------------------------------------------------------------ write
+    def finalize(self, db_dir: str, db_name: str = "") -> dict:
+        par = self.par
+        if self._values:
+            values = np.concatenate(self._values)
+            taxids = np.concatenate(self._taxids)
+            species = np.concatenate(self._species)
+        else:
+            values = np.zeros(0, np.uint64)
+            taxids = np.zeros(0, np.uint32)
+            species = np.zeros(0, np.uint32)
+
+        # sort by (value, species, taxid) — compareTargetKmer (`Kmer.h:77-87`)
+        order = np.lexsort((taxids, species, values))
+        values, taxids, species = values[order], taxids[order], species[order]
+
+        # dedup by (value, species); taxid := LCA of group members
+        # (`IndexCreator.h:535-581`, FilterMode::DB_CREATION)
+        if len(values):
+            new_group = np.ones(len(values), bool)
+            new_group[1:] = (values[1:] != values[:-1]) | (
+                species[1:] != species[:-1]
+            )
+            group_id = np.cumsum(new_group) - 1
+            lca_per_group = self.tax.lca_segments(taxids.astype(np.int64), group_id)
+            keep = new_group
+            out_values = values[keep]
+            out_species = species[keep]
+            out_taxids = lca_per_group.astype(np.uint32)
+        else:
+            out_values = values
+            out_taxids = taxids
+            out_species = species
+
+        os.makedirs(db_dir, exist_ok=True)
+        write_db_files(db_dir, out_values, out_taxids, par.split_num)
+        dbp = DbParameters(
+            db_name=db_name or par.db_name,
+            creation_date=par.db_date or datetime.date.today().isoformat(),
+            reduced_aa=par.reduced_aa,
+            accession_level=par.accession_level,
+            mask_mode=par.mask_mode,
+            mask_prob=par.mask_prob,
+            skip_redundancy=1,
+            syncmer=par.syncmer,
+            smer_len=par.smer_len,
+            kmer_format=par.kmer_format,
+        )
+        dbp.write(os.path.join(db_dir, "db.parameters"))
+        self.tax.save(os.path.join(db_dir, "taxonomyDB"))
+        write_taxid_list(
+            os.path.join(db_dir, "taxID_list"), np.unique(out_taxids)
+        )
+        return {
+            "total_kmers": int(len(values)),
+            "unique_kmers": int(len(out_values)),
+        }
+
+
+def build_database(
+    db_dir: str,
+    fasta_list: str,
+    acc2taxid_path: str,
+    taxonomy_dir: str,
+    params: BuildParams | None = None,
+) -> dict:
+    """`metabuli build` workflow (`/root/reference/src/workflow/build.cpp:32-120`)."""
+    params = params or BuildParams()
+    tax = Taxonomy.from_dmp(
+        os.path.join(taxonomy_dir, "names.dmp"),
+        os.path.join(taxonomy_dir, "nodes.dmp"),
+        os.path.join(taxonomy_dir, "merged.dmp"),
+    )
+    acc2taxid = read_acc2taxid(acc2taxid_path)
+    builder = IndexBuilder(params, tax)
+
+    with open(fasta_list) as fh:
+        fasta_files = [line.strip() for line in fh if line.strip()]
+
+    tasks: list[SeqTask] = []
+    acc_rows = []
+    skipped = 0
+    for path in fasta_files:
+        for rec in fasta.read_records(path):
+            acc = accession_of(rec.name)
+            org_taxid = acc2taxid.get(acc) or acc2taxid.get(acc.split(".")[0])
+            if not org_taxid:
+                skipped += 1
+                continue
+            internal = tax.to_internal(org_taxid)
+            if internal < 0:
+                skipped += 1
+                continue
+            species = int(tax.species_of[internal])
+            tasks.append(SeqTask(rec.seq, internal, species))
+            acc_rows.append((acc, org_taxid))
+    builder.add_sequences(tasks)
+    stats = builder.finalize(db_dir, params.db_name)
+    stats["sequences"] = len(tasks)
+    stats["skipped_accessions"] = skipped
+    with open(os.path.join(db_dir, "acc2taxid.map"), "w") as fh:
+        fh.write("accession\ttaxID\n")
+        for acc, taxid in acc_rows:
+            fh.write(f"{acc}\t{taxid}\n")
+    return stats

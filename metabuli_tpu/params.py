@@ -1,0 +1,101 @@
+"""Typed parameter system (the reference's LocalParameters,
+`/root/reference/src/commons/LocalParameters.{h,cpp}`).
+
+Each command owns a dataclass of typed flags with the reference's names and
+defaults; ``add_to_parser``/``from_args`` bridge to argparse for the CLI.
+Database-side parameters persisted in ``db.parameters`` override user flags
+at classify time (`/root/reference/src/commons/common.cpp:88-133`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+
+
+def _flag_name(field_name: str) -> str:
+    return "--" + field_name.replace("_", "-")
+
+
+def add_to_parser(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("cli", True) is False:
+            continue
+        kwargs = {"default": f.default, "help": f.metadata.get("help", "")}
+        if f.type in ("bool", bool):
+            kwargs["type"] = int
+        elif f.type in ("int", int):
+            kwargs["type"] = int
+        elif f.type in ("float", float):
+            kwargs["type"] = float
+        else:
+            kwargs["type"] = str
+        parser.add_argument(_flag_name(f.name), **kwargs)
+
+
+def from_args(cls, args: argparse.Namespace):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+
+@dataclass
+class ClassifyParams:
+    """Defaults from setClassifyDefaults (`/root/reference/src/workflow/classify.cpp:10-37`)."""
+
+    seq_mode: int = 2
+    threads: int = 1
+    max_ram: int = 128
+    min_score: float = 0.0
+    min_sp_score: float = 0.0
+    min_cons_cnt: int = 4
+    min_cons_cnt_euk: int = 9
+    tie_ratio: float = 0.95
+    reduced_aa: int = 0
+    accession_level: int = 0
+    match_per_kmer: int = 4
+    hamming_margin: int = 0
+    mask_mode: int = 0
+    mask_prob: float = 0.9
+    syncmer: int = 0
+    smer_len: int = 5
+    kmer_format: int = 1
+    skip_redundancy: int = 0
+    em: int = 0
+    print_log: int = 0
+    print_lineage: int = 0
+    max_gap: int = 0
+    validate_input: int = 0
+    validate_db: int = 0
+    taxonomy_path: str = ""
+    # TPU-specific execution knobs
+    batch_reads: int = field(default=2048, metadata={"help": "reads per device batch"})
+    max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
+
+
+@dataclass
+class BuildParams:
+    """Defaults from setDefaults_build (`/root/reference/src/workflow/build.cpp:10-30`)."""
+
+    threads: int = 1
+    max_ram: int = 128
+    syncmer: int = 0
+    smer_len: int = 5
+    mask_mode: int = 1
+    mask_prob: float = 0.9
+    split_num: int = 4096
+    reduced_aa: int = 0
+    accession_level: int = 0
+    validate_input: int = 0
+    validate_db: int = 0
+    kmer_format: int = 2
+    skip_redundancy: int = 1
+    db_name: str = ""
+    db_date: str = ""
+    gtdb: int = 0
+    make_library: int = 0
+    cds_info: str = ""
+    # TPU-specific
+    batch_bases: int = field(
+        default=2_000_000, metadata={"help": "bases per device extraction batch"}
+    )

@@ -1,0 +1,160 @@
+"""End-to-end slice: build a tiny DB -> classify reads -> check outputs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metabuli_tpu.classify.classifier import Classifier
+from metabuli_tpu.db.build import build_database
+from metabuli_tpu.params import BuildParams, ClassifyParams
+
+
+def _random_genome(rng, length):
+    return bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), size=length))
+
+
+@pytest.fixture(scope="module")
+def tiny_world(tmp_path_factory):
+    """Two species, one genome each + taxonomy + built DB."""
+    root = tmp_path_factory.mktemp("world")
+    rng = np.random.default_rng(1234)
+    genomes = {
+        "ACC_A.1": (_random_genome(rng, 4000), 4),   # SpA1
+        "ACC_B.1": (_random_genome(rng, 4000), 8),   # SpB1
+    }
+    # taxonomy: same shape as test_taxonomy
+    nodes = [
+        (1, 1, "no rank"), (2, 1, "superkingdom"), (3, 2, "genus"),
+        (4, 3, "species"), (5, 3, "species"), (6, 4, "subspecies"),
+        (7, 2, "genus"), (8, 7, "species"), (9, 1, "superkingdom"),
+        (10, 9, "species"),
+    ]
+    names = {1: "root", 2: "Bacteria", 3: "GenusA", 4: "SpA1", 5: "SpA2",
+             6: "SpA1s", 7: "GenusB", 8: "SpB1", 9: "Eukaryota", 10: "Yeast"}
+    taxdir = root / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n" for t, n in names.items()))
+    (taxdir / "merged.dmp").write_text("")
+
+    fasta_dir = root / "fasta"
+    fasta_dir.mkdir()
+    paths = []
+    for acc, (seq, taxid) in genomes.items():
+        p = fasta_dir / f"{acc}.fna"
+        p.write_text(f">{acc} test genome\n{seq.decode()}\n")
+        paths.append(str(p))
+    (root / "library.txt").write_text("\n".join(paths) + "\n")
+    (root / "acc2taxid.map").write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        + "".join(
+            f"{acc.split('.')[0]}\t{acc}\t{taxid}\t0\n"
+            for acc, (_, taxid) in genomes.items()
+        )
+    )
+    db_dir = str(root / "db")
+    stats = build_database(
+        db_dir,
+        str(root / "library.txt"),
+        str(root / "acc2taxid.map"),
+        str(taxdir),
+        BuildParams(batch_bases=100_000),
+    )
+    assert stats["sequences"] == 2
+    assert stats["unique_kmers"] > 1000
+    return {"root": root, "db": db_dir, "genomes": genomes, "rng": rng}
+
+
+def _sample_reads(rng, genome, n, length):
+    reads = []
+    for _ in range(n):
+        start = int(rng.integers(0, len(genome) - length))
+        read = genome[start : start + length]
+        if rng.integers(0, 2):  # reverse complement half of the reads
+            comp = bytes(read).translate(bytes.maketrans(b"ACGT", b"TGCA"))
+            read = comp[::-1]
+        reads.append(read)
+    return reads
+
+
+def test_classify_single_end(tiny_world, tmp_path):
+    root = tiny_world["root"]
+    rng = tiny_world["rng"]
+    reads = []
+    truth = []
+    for acc, (genome, taxid) in tiny_world["genomes"].items():
+        rs = _sample_reads(rng, genome, 20, 150)
+        reads += rs
+        truth += [taxid] * len(rs)
+    q = tmp_path / "reads.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+
+    par = ClassifyParams(seq_mode=1, batch_reads=64)
+    clf = Classifier(tiny_world["db"], par)
+    out_dir = str(tmp_path / "out")
+    summary = clf.classify_file(str(q), None, out_dir, "job")
+    assert summary["reads"] == len(reads)
+    assert summary["classified"] >= 0.95 * len(reads)
+
+    # check per-read classifications hit the true species
+    lines = open(os.path.join(out_dir, "job_classifications.tsv")).read().splitlines()
+    assert lines[0].startswith("#is_classified")
+    correct = 0
+    for line in lines[1:]:
+        cols = line.split("\t")
+        idx = int(cols[1][1:])
+        if cols[0] == "1" and int(cols[2]) == truth[idx]:
+            correct += 1
+    assert correct >= 0.9 * len(reads)
+
+    report = open(os.path.join(out_dir, "job_report.tsv")).read()
+    assert "SpA1" in report and "SpB1" in report
+    assert os.path.exists(os.path.join(out_dir, "job_krona.html"))
+
+
+def test_classify_paired_end(tiny_world, tmp_path):
+    rng = np.random.default_rng(77)
+    genome, taxid = tiny_world["genomes"]["ACC_A.1"]
+    n = 12
+    r1, r2 = [], []
+    for _ in range(n):
+        start = int(rng.integers(0, len(genome) - 400))
+        frag = genome[start : start + 400]
+        r1.append(frag[:150])
+        mate = frag[-150:]
+        comp = bytes(mate).translate(bytes.maketrans(b"ACGT", b"TGCA"))
+        r2.append(comp[::-1])
+    (tmp_path / "r1.fq").write_text(
+        "".join(f"@p{i}\n{r.decode()}\n+\n{'I'*len(r)}\n" for i, r in enumerate(r1)))
+    (tmp_path / "r2.fq").write_text(
+        "".join(f"@p{i}\n{r.decode()}\n+\n{'I'*len(r)}\n" for i, r in enumerate(r2)))
+
+    par = ClassifyParams(seq_mode=2, batch_reads=32)
+    clf = Classifier(tiny_world["db"], par)
+    out_dir = str(tmp_path / "out2")
+    summary = clf.classify_file(
+        str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"), out_dir, "pe"
+    )
+    assert summary["reads"] == n
+    lines = open(os.path.join(out_dir, "pe_classifications.tsv")).read().splitlines()
+    good = sum(
+        1 for ln in lines[1:]
+        if ln.split("\t")[0] == "1" and int(ln.split("\t")[2]) == taxid
+    )
+    assert good >= 0.9 * n
+
+
+def test_unclassified_reads(tiny_world, tmp_path):
+    rng = np.random.default_rng(5150)
+    reads = [_random_genome(rng, 150) for _ in range(8)]
+    q = tmp_path / "noise.fna"
+    q.write_text("".join(f">n{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    par = ClassifyParams(seq_mode=1, batch_reads=16)
+    clf = Classifier(tiny_world["db"], par)
+    out_dir = str(tmp_path / "out3")
+    summary = clf.classify_file(str(q), None, out_dir, "noise")
+    # random 150-mers should almost never chain 4+ consecutive matches
+    assert summary["classified"] <= 1
