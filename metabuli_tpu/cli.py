@@ -1,0 +1,262 @@
+"""Command-line interface.
+
+Mirrors the reference's command table (`/root/reference/src/MetabuliBase.cpp:12-295`)
+with the same command names and argument shapes:
+
+  metabuli_tpu classify   <i:FASTA/Q> [<i:FASTA/Q2>] <i:DBDIR> <o:OUTDIR> <Job ID>
+  metabuli_tpu build      <o:DBDIR> <i:FASTA list> <i:accession2taxid> --taxonomy-path DIR
+  metabuli_tpu updateDB   <o:DBDIR> <i:FASTA list> <i:accession2taxid> --old-db DIR
+  metabuli_tpu extract    <i:FASTA/Q> <i:classifications.tsv> <i:DBDIR> --tax-id ID
+  metabuli_tpu filter     <i:FASTA/Q> [<i:FASTA/Q2>] <i:DBDIR> <o:OUTDIR> <Job ID> --contam-list ...
+  metabuli_tpu grade      <i:classifications> <i:answer-sheet> <i:DBDIR>
+  metabuli_tpu validatedb <i:DBDIR>
+  metabuli_tpu taxdump    <i:DBDIR> <o:OUTDIR>
+  metabuli_tpu database-report <i:DBDIR> [<o:OUT>]
+  metabuli_tpu expand_diffidx <i:diffIdx> [<o:OUT>]
+  metabuli_tpu printInfo  <i:info> [n]
+  metabuli_tpu accession2taxid <i:library dir/list> <i:taxid map>
+  metabuli_tpu mapping2taxon <i:mapping> <i:acc2taxid> <o:OUT>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from . import __version__
+from .params import BuildParams, ClassifyParams, add_to_parser, from_args
+
+
+def _classify(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu classify")
+    ap.add_argument("files", nargs="+", help="query [query2] dbdir outdir jobid")
+    add_to_parser(ap, ClassifyParams)
+    args = ap.parse_args(argv)
+    par = from_args(ClassifyParams, args)
+    files = args.files
+    if par.seq_mode == 2:
+        if len(files) != 5:
+            ap.error("--seq-mode 2 needs: <q1> <q2> <dbdir> <outdir> <jobid>")
+        q1, q2, db_dir, out_dir, job_id = files
+    else:
+        if len(files) != 4:
+            ap.error("needs: <query> <dbdir> <outdir> <jobid>")
+        q1, db_dir, out_dir, job_id = files
+        q2 = None
+    from .classify.classifier import Classifier
+
+    clf = Classifier(db_dir, par)
+    summary = clf.classify_file(q1, q2, out_dir, job_id)
+    print(json.dumps(summary))
+    return 0
+
+
+def _build(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu build")
+    ap.add_argument("dbdir")
+    ap.add_argument("fasta_list")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("--taxonomy-path", default="", help="dir with names/nodes/merged.dmp")
+    add_to_parser(ap, BuildParams)
+    args = ap.parse_args(argv)
+    par = from_args(BuildParams, args)
+    taxdir = args.taxonomy_path or os.path.join(args.dbdir, "taxonomy")
+    from .db.build import build_database
+
+    stats = build_database(args.dbdir, args.fasta_list, args.acc2taxid, taxdir, par)
+    print(json.dumps(stats))
+    return 0
+
+
+def _updatedb(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu updateDB")
+    ap.add_argument("dbdir")
+    ap.add_argument("fasta_list")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("--old-db", required=True)
+    ap.add_argument("--new-taxa", default="")
+    add_to_parser(ap, BuildParams)
+    args = ap.parse_args(argv)
+    par = from_args(BuildParams, args)
+    from .db.update import update_database
+
+    stats = update_database(
+        args.dbdir, args.old_db, args.fasta_list, args.acc2taxid, par,
+        new_taxa=args.new_taxa,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _extract(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu extract")
+    ap.add_argument("query")
+    ap.add_argument("classifications")
+    ap.add_argument("dbdir")
+    ap.add_argument("--tax-id", type=int, required=True)
+    ap.add_argument("--extract-mode", type=int, default=1)
+    args = ap.parse_args(argv)
+    from .tools.extract import extract_reads
+
+    out = extract_reads(
+        args.query, args.classifications, args.dbdir, args.tax_id,
+        extract_mode=args.extract_mode,
+    )
+    print(out)
+    return 0
+
+
+def _filter(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu filter")
+    ap.add_argument("files", nargs="+")
+    ap.add_argument("--contam-list", required=True)
+    add_to_parser(ap, ClassifyParams)
+    args = ap.parse_args(argv)
+    par = from_args(ClassifyParams, args)
+    files = args.files
+    if par.seq_mode == 2:
+        q1, q2, db_dir, out_dir, job_id = files
+    else:
+        q1, db_dir, out_dir, job_id = files
+        q2 = None
+    from .tools.filter import filter_reads
+
+    summary = filter_reads(q1, q2, db_dir, out_dir, job_id, args.contam_list, par)
+    print(json.dumps(summary))
+    return 0
+
+
+def _validatedb(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu validatedb")
+    ap.add_argument("dbdir")
+    args = ap.parse_args(argv)
+    from .tools.validate import validate_database
+
+    problems = validate_database(args.dbdir)
+    for p in problems:
+        print(p)
+    print("Database is valid." if not problems else "Database is INVALID.")
+    return 1 if problems else 0
+
+
+def _taxdump(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu taxdump")
+    ap.add_argument("dbdir")
+    ap.add_argument("outdir")
+    args = ap.parse_args(argv)
+    from .db.index import load_db_taxonomy
+
+    tax = load_db_taxonomy(args.dbdir)
+    tax.write_dmp(args.outdir)
+    print(f"Wrote dmp files to {args.outdir}")
+    return 0
+
+
+def _database_report(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu database-report")
+    ap.add_argument("dbdir")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .tools.dbreport import database_report
+
+    out = args.out or os.path.join(args.dbdir, "database_report.tsv")
+    database_report(args.dbdir, out)
+    print(f"Wrote {out}")
+    return 0
+
+
+def _expand_diffidx(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu expand_diffidx")
+    ap.add_argument("diffidx")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .db.formats import delta_decode
+
+    stream = np.fromfile(args.diffidx, dtype=np.uint16)
+    values = delta_decode(stream)
+    if args.out:
+        values.tofile(args.out)
+        print(f"Wrote {len(values)} uint64 k-mers to {args.out}")
+    else:
+        for v in values:
+            print(int(v))
+    return 0
+
+
+def _print_info(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu printInfo")
+    ap.add_argument("info")
+    ap.add_argument("n", nargs="?", type=int, default=20)
+    args = ap.parse_args(argv)
+    data = np.fromfile(args.info, dtype=np.uint32, count=args.n)
+    for t in data:
+        print(int(t))
+    return 0
+
+
+def _grade(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu grade")
+    ap.add_argument("classifications")
+    ap.add_argument("answer_sheet")
+    ap.add_argument("dbdir")
+    ap.add_argument("--rank", default="species")
+    args = ap.parse_args(argv)
+    from .tools.grade import grade
+
+    result = grade(args.classifications, args.answer_sheet, args.dbdir, args.rank)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+def _accession2taxid(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu accession2taxid")
+    ap.add_argument("library", help="FASTA list file")
+    ap.add_argument("taxid_map", help="file name -> taxid TSV")
+    args = ap.parse_args(argv)
+    from .tools.accession import accession2taxid_from_library
+
+    out = accession2taxid_from_library(args.library, args.taxid_map)
+    print(f"Wrote {out}")
+    return 0
+
+
+COMMANDS = {
+    "classify": (_classify, "Assign taxonomy to reads"),
+    "build": (_build, "Build a reference metamer database"),
+    "updateDB": (_updatedb, "Add new sequences to an existing database"),
+    "extract": (_extract, "Extract reads classified under a clade"),
+    "filter": (_filter, "Filter reads matching contaminant databases"),
+    "grade": (_grade, "Benchmark accuracy vs an answer sheet"),
+    "validatedb": (_validatedb, "Validate database files"),
+    "taxdump": (_taxdump, "Dump taxonomy dmp files from a database"),
+    "database-report": (_database_report, "Per-species content report of a DB"),
+    "expand_diffidx": (_expand_diffidx, "Decompress a diffIdx delta stream"),
+    "printInfo": (_print_info, "Print entries of an info file"),
+    "accession2taxid": (_accession2taxid, "Derive accession2taxid for GTDB-style libraries"),
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(f"metabuli_tpu {__version__} — TPU-native metagenomic classifier")
+        print("\nCommands:")
+        for name, (_, help_text) in COMMANDS.items():
+            print(f"  {name:18s} {help_text}")
+        return 0
+    if argv[0] == "--version":
+        print(__version__)
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"Unknown command: {cmd}", file=sys.stderr)
+        return 1
+    return COMMANDS[cmd][0](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""`updateDB`: add new sequences to an existing database.
+
+Mirrors `/root/reference/src/workflow/updateDB.cpp:36-158`: extract metamers
+from the new FASTAs, optionally extend the taxonomy with --new-taxa entries
+(`TaxonomyWrapper::addNewTaxa`), then merge with the old DB's k-mer stream,
+re-deduplicating (value, species) groups with LCA on collision.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..params import BuildParams
+from .build import IndexBuilder, SeqTask, accession_of, read_acc2taxid
+from .formats import read_db_values
+from .index import MetamerIndex, load_db_taxonomy
+from .taxonomy import Taxonomy
+from ..io import fasta
+
+
+def parse_new_taxa(path: str) -> list[tuple[int, int, str, str]]:
+    """--new-taxa file: taxid<TAB>parent<TAB>rank<TAB>name
+    (`TaxonomyWrapper::getListOfTaxa`)."""
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) >= 4:
+                out.append((int(cols[0]), int(cols[1]), cols[2], cols[3]))
+    return out
+
+
+def extend_taxonomy(tax: Taxonomy, new_taxa: list[tuple[int, int, str, str]]) -> Taxonomy:
+    """Append new nodes (dense internal IDs continue after existing ones)."""
+    parent = list(tax.parent)
+    rank_id = list(tax.rank_id)
+    name_id = list(tax.name_id)
+    ranks = list(tax.ranks)
+    names = list(tax.names)
+    internal2org = list(tax.internal2org)
+    org2int = dict(tax.org2internal)
+
+    def intern(s, pool):
+        try:
+            return pool.index(s)
+        except ValueError:
+            pool.append(s)
+            return len(pool) - 1
+
+    # two passes: allocate ids first so forward-referencing parents work
+    for taxid, _, _, _ in new_taxa:
+        if taxid in org2int:
+            raise ValueError(f"new taxon {taxid} already exists")
+        org2int[taxid] = len(parent)
+        parent.append(0)
+        rank_id.append(0)
+        name_id.append(0)
+        internal2org.append(taxid)
+    for taxid, p_org, rank, name in new_taxa:
+        iid = org2int[taxid]
+        if p_org not in org2int:
+            raise ValueError(f"parent {p_org} of new taxon {taxid} unknown")
+        parent[iid] = org2int[p_org]
+        rank_id[iid] = intern(rank, ranks)
+        name_id[iid] = intern(name, names)
+    return Taxonomy(
+        parent=np.array(parent, np.int32),
+        rank_id=np.array(rank_id, np.int32),
+        name_id=np.array(name_id, np.int32),
+        ranks=ranks,
+        names=names,
+        internal2org=np.array(internal2org, np.int64),
+        use_internal=tax.use_internal,
+    )
+
+
+def update_database(
+    db_dir: str,
+    old_db_dir: str,
+    fasta_list: str,
+    acc2taxid_path: str,
+    params: BuildParams | None = None,
+    new_taxa: str = "",
+) -> dict:
+    params = params or BuildParams()
+    old = MetamerIndex.load(old_db_dir)
+    tax = old.taxonomy
+    if new_taxa:
+        tax = extend_taxonomy(tax, parse_new_taxa(new_taxa))
+
+    # carry DB-defining parameters over from the old DB
+    params.syncmer = old.params.syncmer
+    params.smer_len = old.params.smer_len
+    params.kmer_format = old.params.kmer_format
+    params.reduced_aa = old.params.reduced_aa
+
+    acc2taxid = read_acc2taxid(acc2taxid_path)
+    builder = IndexBuilder(params, tax)
+    with open(fasta_list) as fh:
+        files = [line.strip() for line in fh if line.strip()]
+    tasks = []
+    acc_rows = []
+    skipped = 0
+    for path in files:
+        for rec in fasta.read_records(path):
+            acc = accession_of(rec.name)
+            org = acc2taxid.get(acc) or acc2taxid.get(acc.split(".")[0])
+            internal = tax.to_internal(org) if org else -1
+            if internal is None or internal < 0:
+                skipped += 1
+                continue
+            tasks.append(SeqTask(rec.seq, internal, int(tax.species_of[internal])))
+            acc_rows.append((acc, org))
+    builder.add_sequences(tasks)
+
+    # merge: feed the old DB's entries through the same dedup machinery
+    old_species = tax.species_of[old.taxids.astype(np.int64)].astype(np.uint32)
+    builder._values.append(old.values)
+    builder._taxids.append(old.taxids)
+    builder._species.append(old_species)
+
+    stats = builder.finalize(db_dir, params.db_name or old.params.db_name)
+    stats["sequences"] = len(tasks)
+    stats["skipped_accessions"] = skipped
+    # merge acc2taxid maps
+    out_map = os.path.join(db_dir, "acc2taxid.map")
+    with open(out_map, "w") as fh:
+        fh.write("accession\ttaxID\n")
+        old_map = os.path.join(old_db_dir, "acc2taxid.map")
+        if os.path.exists(old_map):
+            with open(old_map) as oldfh:
+                for line in oldfh:
+                    if not line.startswith("accession"):
+                        fh.write(line)
+        for acc, org in acc_rows:
+            fh.write(f"{acc}\t{org}\n")
+    return stats

@@ -1,0 +1,154 @@
+"""CLI commands and post-processing tools over a tiny built DB."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from metabuli_tpu import cli
+from metabuli_tpu.db.build import build_database
+from metabuli_tpu.params import BuildParams
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliworld")
+    rng = np.random.default_rng(99)
+    genomes = {
+        "ACC_A.1": (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 3000)), 4),
+        "ACC_B.1": (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 3000)), 8),
+    }
+    nodes = [
+        (1, 1, "no rank"), (2, 1, "superkingdom"), (3, 2, "genus"),
+        (4, 3, "species"), (7, 2, "genus"), (8, 7, "species"),
+    ]
+    names = {1: "root", 2: "Bacteria", 3: "GenusA", 4: "SpA1", 7: "GenusB", 8: "SpB1"}
+    taxdir = root / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n" for t, n in names.items()))
+    (taxdir / "merged.dmp").write_text("")
+    fdir = root / "fasta"
+    fdir.mkdir()
+    paths = []
+    for acc, (seq, _) in genomes.items():
+        p = fdir / f"{acc}.fna"
+        p.write_text(f">{acc}\n{seq.decode()}\n")
+        paths.append(str(p))
+    (root / "library.txt").write_text("\n".join(paths) + "\n")
+    (root / "acc2taxid.map").write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        + "".join(f"{a.split('.')[0]}\t{a}\t{t}\t0\n" for a, (_, t) in genomes.items())
+    )
+    db = str(root / "db")
+    build_database(db, str(root / "library.txt"), str(root / "acc2taxid.map"),
+                   str(taxdir), BuildParams())
+    # query reads from genome A
+    reads = []
+    g = genomes["ACC_A.1"][0]
+    for i in range(10):
+        reads.append(g[i * 150 : i * 150 + 150])
+    q = root / "reads.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    return {"root": root, "db": db, "query": str(q), "genomes": genomes}
+
+
+def test_cli_classify_and_validatedb(world, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    rc = cli.main([
+        "classify", world["query"], world["db"], out_dir, "cj",
+        "--seq-mode", "1", "--batch-reads", "16",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["reads"] == 10
+    assert summary["classified"] >= 9
+
+    assert cli.main(["validatedb", world["db"]]) == 0
+
+
+def test_cli_extract(world, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+    rc = cli.main([
+        "extract", world["query"], cls_file, world["db"], "--tax-id", "4",
+    ])
+    assert rc == 0
+    out_path = capsys.readouterr().out.strip().splitlines()[-1]
+    assert os.path.exists(out_path)
+    content = open(out_path).read()
+    assert content.count(">") >= 9
+
+
+def test_cli_taxdump_and_dbreport(world, tmp_path):
+    assert cli.main(["taxdump", world["db"], str(tmp_path / "dump")]) == 0
+    assert os.path.exists(tmp_path / "dump" / "nodes.dmp")
+    assert cli.main(["database-report", world["db"]]) == 0
+    report = open(os.path.join(world["db"], "database_report.tsv")).read()
+    assert "SpA1" in report
+
+
+def test_cli_expand_and_printinfo(world, tmp_path, capsys):
+    out = str(tmp_path / "expanded.bin")
+    assert cli.main(["expand_diffidx", os.path.join(world["db"], "diffIdx"), out]) == 0
+    capsys.readouterr()
+    vals = np.fromfile(out, dtype=np.uint64)
+    assert len(vals) > 1000 and bool(np.all(vals[1:] >= vals[:-1]))
+    assert cli.main(["printInfo", os.path.join(world["db"], "info"), "5"]) == 0
+
+
+def test_grade(world, tmp_path, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+    answers = tmp_path / "answers.tsv"
+    answers.write_text("".join(f"r{i}\t4\n" for i in range(10)))
+    rc = cli.main(["grade", cls_file, str(answers), world["db"], "--rank", "species,genus"])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out)
+    assert result["species"]["TP"] >= 9
+    assert result["genus"]["precision"] == 1.0
+
+
+def test_update_db(world, tmp_path):
+    rng = np.random.default_rng(123)
+    new_genome = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 2000))
+    p = tmp_path / "ACC_C.1.fna"
+    p.write_text(f">ACC_C.1\n{new_genome.decode()}\n")
+    (tmp_path / "newlist.txt").write_text(str(p) + "\n")
+    (tmp_path / "acc2taxid.new").write_text(
+        "accession\taccession.version\ttaxid\tgi\nACC_C\tACC_C.1\t20\t0\n"
+    )
+    new_taxa = tmp_path / "newtaxa.tsv"
+    new_taxa.write_text("19\t2\tgenus\tGenusC\n20\t19\tspecies\tSpC1\n")
+    new_db = str(tmp_path / "db2")
+    rc = cli.main([
+        "updateDB", new_db, str(tmp_path / "newlist.txt"),
+        str(tmp_path / "acc2taxid.new"), "--old-db", world["db"],
+        "--new-taxa", str(new_taxa),
+    ])
+    assert rc == 0
+    # new DB classifies reads from the new genome
+    q = tmp_path / "newreads.fna"
+    q.write_text("".join(
+        f">n{i}\n{new_genome[i*150:i*150+150].decode()}\n" for i in range(5)
+    ))
+    out_dir = str(tmp_path / "out")
+    rc = cli.main([
+        "classify", str(q), new_db, out_dir, "uj", "--seq-mode", "1",
+    ])
+    assert rc == 0
+    lines = open(os.path.join(out_dir, "uj_classifications.tsv")).read().splitlines()
+    hits = [ln for ln in lines[1:] if ln.split("\t")[2] == "20"]
+    assert len(hits) >= 4
+    # old genomes still classified
+    qa = tmp_path / "oldreads.fna"
+    g = world["genomes"]["ACC_A.1"][0]
+    qa.write_text("".join(f">o{i}\n{g[i*150:i*150+150].decode()}\n" for i in range(5)))
+    rc = cli.main(["classify", str(qa), new_db, str(tmp_path / "out2"), "oj", "--seq-mode", "1"])
+    assert rc == 0
+    lines = open(os.path.join(tmp_path / "out2", "oj_classifications.tsv")).read().splitlines()
+    hits = [ln for ln in lines[1:] if ln.split("\t")[2] == "4"]
+    assert len(hits) >= 4
