@@ -101,7 +101,9 @@ def classify_batch(
     hsum_m = jnp.where(cand_ok, hsum, jnp.int32(255))
     min_h = jnp.min(hsum_m, axis=1)
     cutoff = jnp.minimum(min_h * 2, 7)
-    keep = cand_ok & (hsum_m <= cutoff[:, None])
+    # q_valid mask guards against sentinel collisions: sharded DBs pad with
+    # all-ones values whose AA equals the invalid-query sentinel
+    keep = cand_ok & (hsum_m <= cutoff[:, None]) & q_valid[:, None]
 
     if kmer_format == 2:
         fwd_sel = (q_frame < 3)[:, None]
