@@ -152,3 +152,21 @@ def test_update_db(world, tmp_path):
     lines = open(os.path.join(tmp_path / "out2", "oj_classifications.tsv")).read().splitlines()
     hits = [ln for ln in lines[1:] if ln.split("\t")[2] == "4"]
     assert len(hits) >= 4
+
+
+def test_classify_with_em(world, tmp_path):
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.params import ClassifyParams
+
+    par = ClassifyParams(seq_mode=1, em=1, batch_reads=32)
+    clf = Classifier(world["db"], par)
+    out_dir = str(tmp_path / "em_out")
+    summary = clf.classify_file(world["query"], None, out_dir, "emj")
+    assert summary["reads"] == 10
+    assert os.path.exists(os.path.join(out_dir, "emj_EM_report.tsv"))
+    results = open(os.path.join(out_dir, "emj_EM+reclassify_results.tsv")).read().splitlines()
+    # reads from genome A should reclassify to species 4
+    hits = [ln for ln in results[1:] if ln.split("\t")[2] == "4"]
+    assert len(hits) >= 9
+    em_report = open(os.path.join(out_dir, "emj_EM_report.tsv")).read()
+    assert "SpA1" in em_report
