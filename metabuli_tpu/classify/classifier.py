@@ -78,6 +78,15 @@ class Classifier:
             reduced_aa=bool(params.reduced_aa),
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
+        self.native_taxonomer = None
+        try:
+            from .native_taxonomer import NativeTaxonomer
+
+            self.native_taxonomer = NativeTaxonomer(
+                tp, self.taxonomy, threads=params.threads
+            )
+        except (RuntimeError, OSError):
+            pass
         self.reporter = Reporter(self.taxonomy, bool(params.print_lineage))
 
         # device arrays
@@ -176,9 +185,14 @@ class Classifier:
     def _assign_batch(self, metas, m) -> list[ReadClassification]:
         t0 = time.time()
         qid = m["qid"]
-        out: list[ReadClassification] = []
         starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
         ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
+        read_lens = np.array([meta.read_len for meta in metas], np.int32)
+        if self.native_taxonomer is not None:
+            out, _ = self.native_taxonomer.assign_batch(m, starts, ends, read_lens)
+            self.stats["tax_s"] += time.time() - t0
+            return out
+        out: list[ReadClassification] = []
         for i, meta in enumerate(metas):
             lo, hi = int(starts[i]), int(ends[i])
             if lo == hi:

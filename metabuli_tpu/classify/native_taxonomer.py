@@ -1,0 +1,124 @@
+"""ctypes bridge to the native (C++) batch taxonomer.
+
+Same semantics as classify.taxonomer (the annotated Python implementation);
+processes a whole batch of reads in one OpenMP-parallel call.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..db.taxonomy import Taxonomy
+from ..native import get_lib
+from .taxonomer import ReadClassification, TaxonomerParams
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+
+
+class NativeTaxonomer:
+    def __init__(self, params: TaxonomerParams, taxonomy: Taxonomy, threads: int = 0):
+        self.p = params
+        self.tax = taxonomy
+        self.threads = threads
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        t = taxonomy
+        self._parent = np.ascontiguousarray(t.parent, np.int32)
+        self._euler_first = np.ascontiguousarray(t.euler_first, np.int64)
+        self._euler_node = np.ascontiguousarray(t.euler_node, np.int32)
+        self._sparse = np.ascontiguousarray(t.sparse, np.int64)
+        self._euler_depth = np.ascontiguousarray(t._euler_depth, np.int64)
+        self._tin = np.ascontiguousarray(t.tin, np.int64)
+        self._tout = np.ascontiguousarray(t.tout, np.int64)
+        self._species_of = np.ascontiguousarray(t.species_of, np.int32)
+        leafish = np.zeros(t.n_nodes() + 1, np.uint8)
+        for i in range(1, t.n_nodes() + 1):
+            r = t.rank_of(i)
+            if r in ("", "accession"):
+                leafish[i] = 1
+        self._leafish = leafish
+
+    def assign_batch(
+        self,
+        m: dict,
+        read_start: np.ndarray,
+        read_end: np.ndarray,
+        read_lens: np.ndarray,
+    ) -> tuple[list[ReadClassification], list[tuple[int, int, float]]]:
+        n_reads = len(read_start)
+        n_matches = len(m["qid"])
+        p = self.p
+        arrays = {
+            k: np.ascontiguousarray(m[k], np.int32)
+            for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
+        }
+        out_taxid = np.zeros(n_reads, np.int32)
+        out_score = np.zeros(n_reads, np.float32)
+        out_cls = np.zeros(n_reads, np.uint8)
+        taxcnt_cap = max(1024, n_matches + n_reads)
+        tc_read = np.zeros(taxcnt_cap, np.int64)
+        tc_tax = np.zeros(taxcnt_cap, np.int32)
+        tc_cnt = np.zeros(taxcnt_cap, np.int32)
+        tc_used = ctypes.c_int64(0)
+        map_cap = (10 * n_reads) if p.em else 1
+        mp_read = np.zeros(map_cap, np.int64)
+        mp_sp = np.zeros(map_cap, np.int32)
+        mp_score = np.zeros(map_cap, np.float32)
+        mp_used = ctypes.c_int64(0)
+
+        rc = self.lib.taxonomer_assign(
+            ctypes.c_int64(n_matches),
+            arrays["qid"].ctypes, arrays["species"].ctypes, arrays["frame"].ctypes,
+            arrays["pos"].ctypes, arrays["hamming"].ctypes, arrays["dna"].ctypes,
+            arrays["taxid"].ctypes, arrays["h16"].ctypes,
+            ctypes.c_int64(n_reads),
+            np.ascontiguousarray(read_start, np.int64).ctypes,
+            np.ascontiguousarray(read_end, np.int64).ctypes,
+            np.ascontiguousarray(read_lens, np.int32).ctypes,
+            ctypes.c_int32(self.tax.n_nodes()),
+            self._parent.ctypes, self._euler_first.ctypes,
+            self._euler_node.ctypes, self._sparse.ctypes,
+            self._euler_depth.ctypes,
+            ctypes.c_int32(self._sparse.shape[0]),
+            ctypes.c_int64(self._sparse.shape[1]),
+            self._tin.ctypes, self._tout.ctypes, self._species_of.ctypes,
+            self._leafish.ctypes, ctypes.c_int32(self.tax.eukaryota_id),
+            ctypes.c_float(p.min_score), ctypes.c_float(p.min_sp_score),
+            ctypes.c_int32(p.min_cons_cnt), ctypes.c_int32(p.min_cons_cnt_euk),
+            ctypes.c_float(p.tie_ratio), ctypes.c_int32(p.dna_shift),
+            ctypes.c_int32(p.max_codon_shift), ctypes.c_int32(p.denominator),
+            ctypes.c_int32(p.accession_level), ctypes.c_int32(1 if p.em else 0),
+            ctypes.c_int32(self.threads),
+            out_taxid.ctypes, out_score.ctypes, out_cls.ctypes,
+            ctypes.c_int64(taxcnt_cap), tc_read.ctypes, tc_tax.ctypes,
+            tc_cnt.ctypes, ctypes.byref(tc_used),
+            ctypes.c_int64(map_cap), mp_read.ctypes, mp_sp.ctypes,
+            mp_score.ctypes, ctypes.byref(mp_used),
+        )
+        if rc != 0:
+            raise RuntimeError("native taxonomer output buffer overflow")
+
+        results = [
+            ReadClassification(
+                is_classified=bool(out_cls[i]),
+                taxid=int(out_taxid[i]),
+                score=float(out_score[i]),
+            )
+            for i in range(n_reads)
+        ]
+        for k in range(int(tc_used.value)):
+            res = results[int(tc_read[k])]
+            res.tax_counts[int(tc_tax[k])] = int(tc_cnt[k])
+        mappings = []
+        for k in range(int(mp_used.value)):
+            mappings.append((int(mp_read[k]), int(mp_sp[k]), float(mp_score[k])))
+            results[int(mp_read[k])].species_scores.append(
+                (int(mp_sp[k]), float(mp_score[k]))
+            )
+        return results, mappings

@@ -1,0 +1,55 @@
+"""Native (C++) host components, built on demand with g++.
+
+The shared library is compiled once into this directory; set
+METABULI_TPU_NO_NATIVE=1 to force the pure-Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "taxonomer.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired) as e:
+        stderr = getattr(e, "stderr", b"")
+        print(f"[metabuli_tpu] native build failed, using Python fallback: "
+              f"{stderr[:500] if stderr else e}")
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if os.environ.get("METABULI_TPU_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.taxonomer_assign.restype = ctypes.c_int64
+        _LIB = lib
+        return _LIB
