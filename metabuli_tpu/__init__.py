@@ -22,8 +22,22 @@ codon part (`/root/reference/src/commons/Kmer.h:52-75`), so the package
 requires jax_enable_x64, which is switched on at import.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles of the fused classify program are
+# expensive (especially via remote-compile TPU tunnels); cache them on disk.
+_cache_dir = _os.environ.get(
+    "METABULI_TPU_CACHE", _os.path.expanduser("~/.cache/metabuli_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"
