@@ -116,7 +116,11 @@ def main():
     import jax
 
     from metabuli_tpu.classify.native_taxonomer import NativeTaxonomer
-    from metabuli_tpu.classify.pipeline import classify_batch
+    from metabuli_tpu.classify.pipeline import (
+        build_dev_index,
+        classify_batch_indexed,
+        matches_to_host,
+    )
     from metabuli_tpu.classify.taxonomer import TaxonomerParams
     from metabuli_tpu.ops.genetic_code import encode_seqs_padded
 
@@ -129,8 +133,7 @@ def main():
         )
         reads = sample_reads(genomes, rng)
         t2s = tax.species_of.astype(np.int32)
-        d_values = jax.device_put(values)
-        d_taxids = jax.device_put(taxids)
+        index = build_dev_index(values, taxids)
         d_t2s = jax.device_put(t2s)
 
         taxonomer = NativeTaxonomer(TaxonomerParams(), tax)
@@ -156,12 +159,10 @@ def main():
         kw = dict(cap=max(8, cap), max_matches=max_matches)
 
         def run_batch(codes, lens, offs, qids, n_chunk):
-            bm = classify_batch(d_values, d_taxids, d_t2s, codes, lens, offs, qids, **kw)
-            n = int(bm.n_matches)
-            m = {
-                k: np.asarray(getattr(bm, k)[:n])
-                for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
-            }
+            bm = classify_batch_indexed(
+                index, d_t2s, codes, lens, offs, qids, **kw
+            )
+            m = matches_to_host(bm)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
             res, _ = taxonomer.assign_batch(

@@ -31,7 +31,9 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: compiles of the fused classify program are
 # expensive (especially via remote-compile TPU tunnels); cache them on disk.
 _cache_dir = _os.environ.get(
-    "METABULI_TPU_CACHE", _os.path.expanduser("~/.cache/metabuli_tpu_xla")
+    "METABULI_TPU_CACHE",
+    _os.path.expanduser("~/.cache/metabuli_tpu_xla_")
+    + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_"),
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)

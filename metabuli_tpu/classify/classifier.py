@@ -23,7 +23,7 @@ from ..io import fasta
 from ..io.report import Reporter
 from ..ops.genetic_code import encode_seqs_padded
 from ..params import ClassifyParams
-from .pipeline import classify_batch
+from .pipeline import classify_batch_indexed, matches_to_host
 from .taxonomer import ReadClassification, Taxonomer, TaxonomerParams
 
 
@@ -89,9 +89,12 @@ class Classifier:
             pass
         self.reporter = Reporter(self.taxonomy, bool(params.print_lineage))
 
-        # device arrays
-        self.d_values = jax.device_put(self.index.values)
-        self.d_taxids = jax.device_put(self.index.taxids.astype(np.int32))
+        # device arrays (32-bit split representation + prefix buckets)
+        from .pipeline import build_dev_index
+
+        self.dev_index = build_dev_index(
+            self.index.values, self.index.taxids.astype(np.int32)
+        )
         self.d_species = jax.device_put(
             self.index.species_table().astype(np.int32)
         )
@@ -146,8 +149,8 @@ class Classifier:
         cap = self.cap
         while True:
             t0 = time.time()
-            bm = classify_batch(
-                self.d_values, self.d_taxids, self.d_species,
+            bm = classify_batch_indexed(
+                self.dev_index, self.d_species,
                 codes, lens, pos_offsets, qid_offsets,
                 cap=cap, max_matches=budget,
                 reduced=bool(par.reduced_aa),
@@ -155,31 +158,19 @@ class Classifier:
                 smer_len=par.smer_len,
                 kmer_format=par.kmer_format,
             )
-            n_matches = int(bm.n_matches)
-            n_over = int(bm.n_over_cap)
-            jax.block_until_ready(bm.qid)
+            m = matches_to_host(bm)
             self.stats["device_s"] += time.time() - t0
-            if n_over > 0 and cap < self.index.max_group:
+            if m["n_over_cap"] > 0 and cap < self.index.max_group:
                 cap = min(self.index.max_group, cap * 4)
                 self.cap = cap
                 continue
-            if n_matches > budget:
-                budget = int(n_matches * 1.2) + 1024
+            if m["n_matches"] > budget:
+                budget = int(m["n_matches"] * 1.2) + 1024
                 continue
             break
-        self.stats["kmers"] += int(bm.total_kmers)
-        self.stats["matches"] += n_matches
-        n = n_matches
-        return {
-            "qid": np.asarray(bm.qid[:n]),
-            "species": np.asarray(bm.species[:n]),
-            "frame": np.asarray(bm.frame[:n]),
-            "pos": np.asarray(bm.pos[:n]),
-            "hamming": np.asarray(bm.hamming[:n]),
-            "dna": np.asarray(bm.dna[:n]),
-            "taxid": np.asarray(bm.taxid[:n]),
-            "h16": np.asarray(bm.h16[:n]),
-        }
+        self.stats["kmers"] += m["total_kmers"]
+        self.stats["matches"] += m["n_matches"]
+        return m
 
     # --------------------------------------------------------------- taxonomy
     def _assign_batch(self, metas, m) -> list[ReadClassification]:
@@ -192,13 +183,15 @@ class Classifier:
             out, _ = self.native_taxonomer.assign_batch(m, starts, ends, read_lens)
             self.stats["tax_s"] += time.time() - t0
             return out
+        from .pipeline import FIELDS
+
         out: list[ReadClassification] = []
         for i, meta in enumerate(metas):
             lo, hi = int(starts[i]), int(ends[i])
             if lo == hi:
                 out.append(ReadClassification(score=0.0))
                 continue
-            sub = {k: v[lo:hi] for k, v in m.items()}
+            sub = {k: m[k][lo:hi] for k in FIELDS}
             out.append(self.taxonomer.choose_best_taxon(sub, meta.read_len))
         self.stats["tax_s"] += time.time() - t0
         return out

@@ -3,15 +3,28 @@
 One jitted XLA program per (batch shape, cap, match budget):
 
   encoded reads [B, L] --extract--> metamers [B, 6, W]
-                       --search+gather+hamming--> candidate matches
+                       --bucketed search + gather + hamming--> candidates
                        --compact (fixed budget)--> flat match rows
                        --multi-key sort--> reference match order
 
 This fuses the reference's KmerExtractor + KmerMatcher + sortMatches stages
 (`/root/reference/src/commons/Classifier.cpp:81-133`) into a single device
-program; the host only sees the compacted, sorted match tensors. Overflow
-of the match budget is reported (count), mirroring the reference's
-match-buffer retry (`Classifier.cpp:127-131`).
+program; the host only sees the compacted, sorted match tensors.
+
+TPU-tuned representation (everything on the hot path is 32-bit):
+
+  * the sorted u64 metamer table is split into ``hi32`` (bits 63..32) and
+    ``lo32`` (bits 31..0) columns; amino-acid identity is (hi32, lo32>>24);
+  * a 2^20-entry prefix table over the top 20 value bits narrows each
+    query's binary search to a handful of steps (the HBM-resident, massively
+    wider analogue of the reference's 4096-entry ``split`` file);
+  * per-codon Hamming scoring gathers one packed 4096-entry LUT per codon
+    *pair* (6 gathers/candidate instead of 24);
+  * the sort runs on 5 packed int32 keys + a row-index payload, and all
+    match columns leave the device as one stacked array (single transfer).
+
+Overflow of the candidate cap or match budget is reported via counters,
+mirroring the reference's match-buffer retry (`Classifier.cpp:127-131`).
 """
 
 from __future__ import annotations
@@ -21,42 +34,268 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import encode
-from ..ops.match import DNA_MASK24
-from ..ops.hamming import hamming_all
+from ..ops.hamming import HAMMING_SUM_LUT, PACKED_LUT_HI, PACKED_LUT_LO
+
+PREFIX_BITS = 20
+INT32_MAX = np.int32(2147483647)
+
+
+def _build_pair_luts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """4096-entry tables over ((q1,t1),(q0,t0)) codon pairs.
+
+    pair index = (q1<<9)|(t1<<6)|(q0<<3)|t0. Entry packs:
+      bits 0..3   hamming sum of both codons (true distances, 0..8)
+      bits 4..5   fwd 2-bit of codon0 (LUT0..6 pattern)
+      bits 6..7   fwd 2-bit of codon1
+      bits 8..9   hi-variant 2-bit of codon0 (LUT7 pattern)
+      bits 10..11 hi-variant 2-bit of codon1
+    Three tables: inner pairs use (lo,lo); the pair containing codon 7 (fwd)
+    or codon 0 (rev) needs the hi variant — we store lo and hi variants for
+    both slots and select by shift at use time.
+    """
+    idx = np.arange(4096)
+    t0 = idx & 7
+    q0 = (idx >> 3) & 7
+    t1 = (idx >> 6) & 7
+    q1 = (idx >> 9) & 7
+    s = HAMMING_SUM_LUT[q0, t0] + HAMMING_SUM_LUT[q1, t1]
+    lo0 = PACKED_LUT_LO[q0, t0]
+    lo1 = PACKED_LUT_LO[q1, t1]
+    hi0 = PACKED_LUT_HI[q0, t0]
+    hi1 = PACKED_LUT_HI[q1, t1]
+    packed = (s | (lo0 << 4) | (lo1 << 6) | (hi0 << 8) | (hi1 << 10)).astype(
+        np.int32
+    )
+    return packed
+
+
+_PAIR_LUT = _build_pair_luts()
+
+
+def hamming_pairs(q_dna: jax.Array, t_dna: jax.Array):
+    """(sum, packed_fwd16, packed_rev16) via 4 pair-LUT gathers.
+
+    Equivalent to ops.hamming.hamming_all (same tables), optimized for the
+    gather-bound TPU path.
+    """
+    lut = jnp.asarray(_PAIR_LUT)
+    total = jnp.zeros(jnp.broadcast_shapes(q_dna.shape, t_dna.shape), jnp.int32)
+    fwd = jnp.zeros_like(total)
+    rev = jnp.zeros_like(total)
+    for p in range(4):  # codon pair p covers codons 2p (slot0) and 2p+1 (slot1)
+        q2 = (q_dna >> (6 * p)) & 63
+        t2 = (t_dna >> (6 * p)) & 63
+        q0 = q2 & 7
+        q1 = q2 >> 3
+        t0 = t2 & 7
+        t1 = t2 >> 3
+        pair = (q1 << 9) | (t1 << 6) | (q0 << 3) | t0
+        e = lut[pair]
+        total = total + (e & 15)
+        c0 = 2 * p
+        c1 = 2 * p + 1
+        # forward packing: codon i at bit 2i; codon 7 uses the hi variant
+        f0 = (e >> (8 if c0 == 7 else 4)) & 3
+        f1 = (e >> (10 if c1 == 7 else 6)) & 3
+        fwd = fwd | (f0 << (2 * c0)) | (f1 << (2 * c1))
+        # reverse packing: codon i at bit 2*(7-i); codon 0 uses the hi variant
+        r0 = (e >> (8 if c0 == 0 else 4)) & 3
+        r1 = (e >> 6) & 3
+        rev = rev | (r0 << (2 * (7 - c0))) | (r1 << (2 * (7 - c1)))
+    return total, fwd, rev
+
+
+class DevIndex(NamedTuple):
+    """Device-side representation of the sorted metamer table."""
+
+    hi32: jax.Array     # [N] int32 (bits 63..32, bit-cast)
+    lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast)
+    taxids: jax.Array   # [N] int32
+    prefix: jax.Array   # [2^PREFIX_BITS + 1] int32 bucket start offsets
+    n: int
+    search_iters: int   # static binary-search depth within a bucket
+
+
+def build_dev_index(values: np.ndarray, taxids: np.ndarray) -> DevIndex:
+    """Split + bucket the sorted u64 table for the 32-bit search path."""
+    n = len(values)
+    hi32 = (values >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    prefixes = (values >> np.uint64(64 - PREFIX_BITS)).astype(np.int64)
+    counts = np.bincount(prefixes, minlength=1 << PREFIX_BITS)
+    prefix = np.zeros((1 << PREFIX_BITS) + 1, np.int64)
+    np.cumsum(counts, out=prefix[1:])
+    max_bucket = int(counts.max()) if n else 1
+    iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
+    return DevIndex(
+        hi32=jax.device_put(hi32),
+        lo32=jax.device_put(lo32),
+        taxids=jax.device_put(np.ascontiguousarray(taxids, np.int32)),
+        prefix=jax.device_put(prefix.astype(np.int32)),
+        n=n,
+        search_iters=iters,
+    )
 
 
 class BatchMatches(NamedTuple):
-    # flat [M] arrays sorted by (qid, species, frame, pos, hamming, dna);
-    # rows >= n_matches are padding
-    qid: jax.Array        # int32 read index within batch
-    species: jax.Array    # int32
-    frame: jax.Array      # int32
-    pos: jax.Array        # int32
-    hamming: jax.Array    # int32
-    dna: jax.Array        # int32
-    taxid: jax.Array      # int32
-    h16: jax.Array        # int32
-    n_matches: jax.Array  # int32 scalar: valid rows (<= M if no overflow)
-    n_over_cap: jax.Array # int32 scalar: queries whose AA group exceeded cap
-    total_kmers: jax.Array  # int32 scalar: valid query metamers
+    data: jax.Array     # [8, M] int32: qid, species, frame, pos, hamming,
+                        #               dna, taxid, h16 (padding rows at end)
+    counts: jax.Array   # [3] int32: n_matches, n_over_cap, total_kmers
+
+
+FIELDS = ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
+
+
+def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Unsigned < on bit-cast int32 (flip the sign bit)."""
+    flip = jnp.int32(-2147483648)
+    return (a ^ flip) < (b ^ flip)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cap", "max_matches", "reduced", "syncmer", "smer_len", "kmer_format",
+        "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
+        "smer_len", "kmer_format",
     ),
 )
-def classify_batch(
-    db_values: jax.Array,    # [N] uint64
-    db_taxids: jax.Array,    # [N] int32 (internal)
-    tax2species: jax.Array,  # [T+1] int32
-    codes: jax.Array,        # [B, L] uint8
-    lens: jax.Array,         # [B] int32
-    pos_offsets: jax.Array,  # [B] int32 (0, or mate-1 usedLen+3 for mate 2)
-    qid_offsets: jax.Array,  # [B] int32 read index of each row
+def _classify_batch_impl(
+    db_hi, db_lo, db_tax, db_prefix,
+    tax2species,
+    codes, lens, pos_offsets, qid_offsets,
+    *,
+    n_db: int,
+    search_iters: int,
+    cap: int,
+    max_matches: int,
+    reduced: bool,
+    syncmer: bool,
+    smer_len: int,
+    kmer_format: int,
+) -> BatchMatches:
+    B, L = codes.shape
+    mm = encode.extract_metamers(
+        codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
+        kmer_format=kmer_format,
+    )
+    W = mm.value.shape[2]
+    q_values = mm.value.reshape(-1)
+    q_valid = mm.valid.reshape(-1)
+    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)
+    q_frame = jnp.broadcast_to(
+        jnp.arange(6, dtype=jnp.int32)[None, :, None], (B, 6, W)
+    ).reshape(-1)
+    q_read = jnp.broadcast_to(qid_offsets[:, None, None], (B, 6, W)).reshape(-1)
+    Q = q_values.shape[0]
+
+    bc32 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint32), jnp.int32
+    )
+    q_hi = bc32(q_values >> jnp.uint64(32))
+    q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
+    q_dna = q_lo & jnp.int32(0xFFFFFF)
+    q_aa8 = q_lo & jnp.int32(-16777216)  # top 8 bits of lo32 = low AA bits
+
+    # ---- bucketed lower-bound search for (q_hi, q_aa8, dna=0)
+    bucket = (
+        jax.lax.bitcast_convert_type(q_hi, jnp.uint32)
+        >> jnp.uint32(32 - PREFIX_BITS)
+    ).astype(jnp.int32)
+    lo = db_prefix[bucket]
+    hi = db_prefix[bucket + 1]
+    for _ in range(search_iters):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        mid_c = jnp.minimum(mid, jnp.int32(max(n_db - 1, 0)))
+        mh = db_hi[mid_c]
+        ml = db_lo[mid_c]
+        less = _unsigned_less(mh, q_hi) | (
+            (mh == q_hi) & _unsigned_less(ml, q_aa8)
+        )
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    start = lo
+
+    # ---- candidate gather with AA-equality mask
+    idx = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx_c = jnp.minimum(idx, jnp.int32(max(n_db - 1, 0)))
+    c_hi = db_hi[idx_c]
+    c_lo = db_lo[idx_c]
+    in_range = idx < jnp.int32(n_db)
+    same_aa = (
+        in_range
+        & (c_hi == q_hi[:, None])
+        & ((c_lo & jnp.int32(-16777216)) == q_aa8[:, None])
+        & q_valid[:, None]
+    )
+    # overflow: the entry just past the cap window still shares the AA
+    over_idx = jnp.minimum(start + cap, jnp.int32(max(n_db - 1, 0)))
+    over = (
+        q_valid
+        & (start + cap < jnp.int32(n_db))
+        & (db_hi[over_idx] == q_hi)
+        & ((db_lo[over_idx] & jnp.int32(-16777216)) == q_aa8)
+    )
+    n_over_cap = jnp.sum(over.astype(jnp.int32))
+
+    t_dna = c_lo & jnp.int32(0xFFFFFF)
+    hsum, h_fwd, h_rev = hamming_pairs(q_dna[:, None], t_dna)
+    hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
+    min_h = jnp.min(hsum_m, axis=1)
+    cutoff = jnp.minimum(min_h * 2, 7)
+    keep = same_aa & (hsum_m <= cutoff[:, None])
+
+    if kmer_format == 2:
+        fwd_sel = (q_frame < 3)[:, None]
+    else:
+        fwd_sel = (q_frame >= 3)[:, None]
+    h16 = jnp.where(fwd_sel, h_fwd, h_rev)
+
+    # ---- compaction to a fixed budget of flat rows
+    flat_keep = keep.reshape(-1)
+    n_matches = jnp.sum(flat_keep.astype(jnp.int32))
+    (rows,) = jnp.nonzero(flat_keep, size=max_matches, fill_value=Q * cap)
+    is_pad = rows >= Q * cap
+    safe = jnp.minimum(rows, Q * cap - 1)
+    qi = (safe // cap).astype(jnp.int32)
+    ci = (safe % cap).astype(jnp.int32)
+
+    m_qid = jnp.where(is_pad, INT32_MAX, q_read[qi])
+    m_frame = jnp.where(is_pad, INT32_MAX, q_frame[qi])
+    m_pos = jnp.where(is_pad, INT32_MAX, q_pos[qi])
+    m_taxid = db_tax[idx_c[qi, ci]]
+    m_species = jnp.where(is_pad, INT32_MAX, tax2species[m_taxid])
+    m_taxid = jnp.where(is_pad, INT32_MAX, m_taxid)
+    m_dna = jnp.where(is_pad, INT32_MAX, t_dna[qi, ci])
+    m_ham = jnp.where(is_pad, INT32_MAX, hsum[qi, ci])
+    m_h16 = jnp.where(is_pad, 0, h16[qi, ci])
+
+    # reference match order (`KmerMatcher.cpp:1149-1166`); padding sorts
+    # last via INT32_MAX keys. hamming<=56 and dna<2^24 pack into one key.
+    k_hamdna = jnp.where(is_pad, INT32_MAX, (m_ham << 24) | m_dna)
+    sorted_ops = jax.lax.sort(
+        (m_qid, m_species, m_frame, m_pos, k_hamdna,
+         m_ham, m_dna, m_taxid, m_h16),
+        num_keys=5,
+    )
+    data = jnp.stack(
+        (sorted_ops[0], sorted_ops[1], sorted_ops[2], sorted_ops[3],
+         sorted_ops[5], sorted_ops[6], sorted_ops[7], sorted_ops[8]),
+        axis=0,
+    )
+    counts = jnp.stack(
+        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
+    ).astype(jnp.int32)
+    return BatchMatches(data=data, counts=counts)
+
+
+def classify_batch_indexed(
+    index: DevIndex,
+    tax2species,
+    codes, lens, pos_offsets, qid_offsets,
     *,
     cap: int,
     max_matches: int,
@@ -65,81 +304,57 @@ def classify_batch(
     smer_len: int = 5,
     kmer_format: int = 2,
 ) -> BatchMatches:
-    B, L = codes.shape
-    mm = encode.extract_metamers(
-        codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
-        kmer_format=kmer_format,
+    return _classify_batch_impl(
+        index.hi32, index.lo32, index.taxids, index.prefix, tax2species,
+        codes, lens, pos_offsets, qid_offsets,
+        n_db=index.n, search_iters=index.search_iters, cap=cap,
+        max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+        smer_len=smer_len, kmer_format=kmer_format,
     )
-    W = mm.value.shape[2]
-    q_values = mm.value.reshape(-1)                       # [B*6*W]
-    q_valid = mm.valid.reshape(-1)
-    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)
-    q_frame = jnp.broadcast_to(
-        jnp.arange(6, dtype=jnp.int32)[None, :, None], (B, 6, W)
-    ).reshape(-1)
-    q_read = jnp.broadcast_to(
-        qid_offsets[:, None, None], (B, 6, W)
-    ).reshape(-1)
-    Q = q_values.shape[0]
 
-    n = db_values.shape[0]
-    aa_mask = jnp.uint64(0xFFFFFFFFFF000000)
-    q_aa = jnp.where(q_valid, q_values & aa_mask, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    lo = jnp.searchsorted(db_values, q_aa, side="left")
-    hi = jnp.searchsorted(db_values, q_aa | jnp.uint64(DNA_MASK24), side="right")
-    n_cand = (hi - lo).astype(jnp.int32)
-    n_over_cap = jnp.sum((n_cand > cap).astype(jnp.int32))
 
-    idx = lo[:, None] + jnp.arange(cap, dtype=lo.dtype)[None, :]
-    cand_ok = idx < hi[:, None]
-    idx = jnp.minimum(idx, jnp.maximum(n - 1, 0))
-    t_val = db_values[idx]
-    t_dna = (t_val & jnp.uint64(DNA_MASK24)).astype(jnp.int32)
-    q_dna = (q_values & jnp.uint64(DNA_MASK24)).astype(jnp.int32)
+def classify_batch(
+    db_values, db_taxids, tax2species,
+    codes, lens, pos_offsets, qid_offsets,
+    *,
+    cap: int,
+    max_matches: int,
+    reduced: bool = False,
+    syncmer: bool = False,
+    smer_len: int = 5,
+    kmer_format: int = 2,
+):
+    """Convenience wrapper taking a raw u64 table (tests, graft entry,
+    sharded path). Builds the split/bucketed DevIndex on the host."""
+    index = build_dev_index(np.asarray(db_values), np.asarray(db_taxids))
+    return classify_batch_indexed(
+        index, jnp.asarray(np.asarray(tax2species, np.int32)),
+        codes, lens, pos_offsets, qid_offsets,
+        cap=cap, max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+        smer_len=smer_len, kmer_format=kmer_format,
+    )
 
-    hsum, h_fwd, h_rev = hamming_all(q_dna[:, None], t_dna)
-    hsum_m = jnp.where(cand_ok, hsum, jnp.int32(255))
-    min_h = jnp.min(hsum_m, axis=1)
-    cutoff = jnp.minimum(min_h * 2, 7)
-    # q_valid mask guards against sentinel collisions: sharded DBs pad with
-    # all-ones values whose AA equals the invalid-query sentinel
-    keep = cand_ok & (hsum_m <= cutoff[:, None]) & q_valid[:, None]
 
-    if kmer_format == 2:
-        fwd_sel = (q_frame < 3)[:, None]
+def matches_to_host(bm: BatchMatches) -> dict:
+    """One stacked transfer -> host match dict (trimmed to real rows).
+
+    The device-side slice length is rounded up to a power of two so only
+    O(log M) distinct slice programs ever compile (remote compiles are
+    expensive on tunneled TPU platforms).
+    """
+    counts = np.asarray(bm.counts)
+    n = int(counts[0])
+    M = bm.data.shape[1]
+    if n == 0:
+        data = np.zeros((8, 0), np.int32)
     else:
-        fwd_sel = (q_frame >= 3)[:, None]
-    h16 = jnp.where(fwd_sel, h_fwd, h_rev)
-
-    # --- compaction: keep-mask -> fixed budget of flat rows
-    flat_keep = keep.reshape(-1)                       # [Q*cap]
-    n_matches = jnp.sum(flat_keep.astype(jnp.int32))
-    (rows,) = jnp.nonzero(flat_keep, size=max_matches, fill_value=Q * cap)
-    is_pad = rows >= Q * cap
-    safe = jnp.minimum(rows, Q * cap - 1)
-    qi = (safe // cap).astype(jnp.int32)
-    ci = (safe % cap).astype(jnp.int32)
-
-    big = jnp.int32(2147483647)
-    m_qid = jnp.where(is_pad, big, q_read[qi])
-    m_frame = jnp.where(is_pad, big, q_frame[qi])
-    m_pos = jnp.where(is_pad, big, q_pos[qi])
-    m_taxid = db_taxids[idx[qi, ci]].astype(jnp.int32)
-    m_species = jnp.where(is_pad, big, tax2species[m_taxid])
-    m_taxid = jnp.where(is_pad, big, m_taxid)
-    m_dna = jnp.where(is_pad, big, t_dna[qi, ci])
-    m_ham = jnp.where(is_pad, big, hsum[qi, ci])
-    m_h16 = jnp.where(is_pad, 0, h16[qi, ci])
-
-    # reference match order (`KmerMatcher.cpp:1149-1166`); padding sorts last
-    s = jax.lax.sort(
-        (m_qid, m_species, m_frame, m_pos, m_ham, m_dna, m_taxid, m_h16),
-        num_keys=6,
-    )
-    return BatchMatches(
-        qid=s[0], species=s[1], frame=s[2], pos=s[3], hamming=s[4],
-        dna=s[5], taxid=s[6], h16=s[7],
-        n_matches=n_matches,
-        n_over_cap=n_over_cap,
-        total_kmers=jnp.sum(q_valid.astype(jnp.int32)),
-    )
+        n_pad = 1024
+        while n_pad < n:
+            n_pad *= 2
+        n_pad = min(n_pad, M)
+        data = np.asarray(bm.data[:, :n_pad])[:, :n]
+    out = {name: data[i] for i, name in enumerate(FIELDS)}
+    out["n_matches"] = n
+    out["n_over_cap"] = int(counts[1])
+    out["total_kmers"] = int(counts[2])
+    return out

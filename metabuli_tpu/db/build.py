@@ -100,7 +100,20 @@ class IndexBuilder:
 
     def _extract_batch(self, batch: list[SeqTask]):
         par = self.par
-        codes, lens = encode_seqs_padded([t.seq for t in batch])
+        # bucket the padded length and batch size so only a few device
+        # program shapes ever compile
+        max_len = max(len(t.seq) for t in batch)
+        bucket = 3072
+        while bucket < max_len:
+            bucket *= 2
+        codes, lens = encode_seqs_padded([t.seq for t in batch], max_len=bucket)
+        b_pad = 1
+        while b_pad < len(batch):
+            b_pad *= 2
+        if b_pad != len(batch):
+            pad = np.full((b_pad - len(batch), bucket), 7, np.uint8)
+            codes = np.concatenate([codes, pad])
+            lens = np.concatenate([lens, np.zeros(b_pad - len(batch), np.int32)])
         mm = encode.extract_metamers(
             jax.device_put(codes),
             jax.device_put(lens),

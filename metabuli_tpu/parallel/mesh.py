@@ -18,14 +18,17 @@ final per-read sort.
 
 from __future__ import annotations
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..classify.pipeline import classify_batch
+from ..classify.pipeline import (
+    FIELDS,
+    PREFIX_BITS,
+    _classify_batch_impl,
+)
 
 
 def make_mesh(devices=None, n_db: int | None = None) -> Mesh:
@@ -43,35 +46,51 @@ def make_mesh(devices=None, n_db: int | None = None) -> Mesh:
 
 def shard_index_aa_aligned(
     values: np.ndarray, taxids: np.ndarray, n_shards: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Split the sorted table into ``n_shards`` AA-aligned, equal-padded
-    chunks: returns ([S, Npad] values, [S, Npad] taxids). Padding uses
-    all-ones values whose AA part no real metamer can produce (every 5-bit
-    amino-acid field <= 20)."""
+):
+    """Split the sorted table into AA-aligned, equal-padded shards in the
+    32-bit split representation used by the device pipeline.
+
+    Returns (hi32 [S, Npad], lo32 [S, Npad], tax [S, Npad],
+    prefix [S, 2^PREFIX_BITS+1], n_pad, search_iters). Padding uses
+    all-ones values whose AA part no real metamer can produce.
+    """
     n = len(values)
     aa = values >> np.uint64(24)
     bounds = [0]
     for s in range(1, n_shards):
         target = s * n // n_shards
-        # advance to the next AA-group boundary
-        while target < n and target > 0 and aa[target] == aa[target - 1]:
+        while 0 < target < n and aa[target] == aa[target - 1]:
             target += 1
         bounds.append(min(target, n))
     bounds.append(n)
     chunks = [(values[a:b], taxids[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
-    pad = max((len(c[0]) for c in chunks), default=1)
-    pad = max(pad, 1)
-    out_v = np.full((n_shards, pad), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    pad = max(max((len(c[0]) for c in chunks), default=1), 1)
+    out_hi = np.full((n_shards, pad), -1, np.int32)
+    out_lo = np.full((n_shards, pad), -1, np.int32)
     out_t = np.zeros((n_shards, pad), np.int32)
+    prefix = np.zeros((n_shards, (1 << PREFIX_BITS) + 1), np.int32)
+    iters = 1
     for i, (v, t) in enumerate(chunks):
-        out_v[i, : len(v)] = v
+        out_hi[i, : len(v)] = (v >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         out_t[i, : len(t)] = t.astype(np.int32)
-    return out_v, out_t
+        # prefix table over REAL entries only: searches never reach the
+        # padding (pad values have an impossible AA; equality masks them)
+        counts = np.bincount(
+            (v >> np.uint64(64 - PREFIX_BITS)).astype(np.int64),
+            minlength=1 << PREFIX_BITS,
+        )
+        np.cumsum(counts, out=prefix[i, 1:])
+        if len(v):
+            iters = max(iters, int(np.ceil(np.log2(max(2, counts.max() + 1)))))
+    return out_hi, out_lo, out_t, prefix, pad, iters
 
 
 def build_sharded_classify(
     mesh: Mesh,
     *,
+    n_pad: int,
+    search_iters: int,
     cap: int,
     max_matches: int,
     reduced: bool = False,
@@ -79,33 +98,24 @@ def build_sharded_classify(
     smer_len: int = 5,
     kmer_format: int = 2,
 ):
-    """shard_map'd classify step.
+    """shard_map'd classify step over (data, db)."""
 
-    Inputs (global shapes):
-      db_values  [S, Npad]  sharded over 'db'
-      db_taxids  [S, Npad]  sharded over 'db'
-      tax2species [T]       replicated
-      codes      [B, L]     sharded over 'data'
-      lens/pos_offsets/qid_offsets [B] sharded over 'data'
-    Output: per-(data, db) BatchMatches arrays stacked as
-      [n_data, n_db, M] (+ scalars [n_data, n_db]).
-    """
-
-    def local_step(db_v, db_t, t2s, codes, lens, pos_off, qid_off):
-        bm = classify_batch(
-            db_v[0], db_t[0], t2s, codes, lens, pos_off, qid_off,
-            cap=cap, max_matches=max_matches, reduced=reduced,
-            syncmer=syncmer, smer_len=smer_len, kmer_format=kmer_format,
+    def local_step(db_hi, db_lo, db_tax, db_prefix, t2s,
+                   codes, lens, pos_off, qid_off):
+        bm = _classify_batch_impl(
+            db_hi[0], db_lo[0], db_tax[0], db_prefix[0], t2s,
+            codes, lens, pos_off, qid_off,
+            n_db=n_pad, search_iters=search_iters, cap=cap,
+            max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+            smer_len=smer_len, kmer_format=kmer_format,
         )
-        expand = lambda x: x[None, None]
-        return jax.tree.map(expand, tuple(bm))
+        return bm.data[None, None], bm.counts[None, None]
 
     in_specs = (
-        P("db", None), P("db", None), P(),
+        P("db", None), P("db", None), P("db", None), P("db", None), P(),
         P("data", None), P("data"), P("data"), P("data"),
     )
-    out_elem = P("data", "db")
-    out_specs = tuple(out_elem for _ in range(11))
+    out_specs = (P("data", "db"), P("data", "db"))
     fn = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
@@ -114,22 +124,21 @@ def build_sharded_classify(
 
 
 def merge_shard_matches(stacked, n_reads: int):
-    """Merge per-(data, db) match arrays into per-read host arrays.
+    """Merge per-(data, db) match tensors into host match arrays.
 
-    ``stacked``: tuple of [n_data, n_db, M] arrays in BatchMatches field
-    order. Rows are re-sorted by the reference match order; padding rows
-    (qid == INT32_MAX) are dropped.
+    ``stacked`` = (data [n_data, n_db, 8, M], counts [n_data, n_db, 3]).
+    Padding rows (qid == INT32_MAX) are dropped; rows re-sorted in the
+    reference match order.
     """
-    (qid, species, frame, pos, hamming, dna, taxid, h16,
-     n_matches, n_over, total_kmers) = [np.asarray(x) for x in stacked]
-    flat = [x.reshape(-1) for x in (qid, species, frame, pos, hamming, dna, taxid, h16)]
+    data, counts = (np.asarray(x) for x in stacked)
+    flat = data.transpose(2, 0, 1, 3).reshape(8, -1)
     valid = flat[0] != np.int32(2147483647)
-    flat = [x[valid] for x in flat]
-    order = np.lexsort(tuple(reversed(flat[:6])))
-    flat = [x[order] for x in flat]
-    return {
-        "qid": flat[0], "species": flat[1], "frame": flat[2], "pos": flat[3],
-        "hamming": flat[4], "dna": flat[5], "taxid": flat[6], "h16": flat[7],
-        "n_matches": int(n_matches.sum()),
-        "n_over_cap": int(n_over.sum()),
-    }
+    flat = flat[:, valid]
+    order = np.lexsort(
+        (flat[5], flat[4], flat[3], flat[2], flat[1], flat[0])
+    )
+    flat = flat[:, order]
+    out = {name: flat[i] for i, name in enumerate(FIELDS)}
+    out["n_matches"] = int(counts[:, :, 0].sum())
+    out["n_over_cap"] = int(counts[:, :, 1].sum())
+    return out

@@ -87,9 +87,8 @@ def test_native_matches_python(tmp_path, em):
         values, taxids, tax.species_of.astype(np.int32), codes, lens,
         np.zeros(n_reads, np.int32), qids, cap=32, max_matches=200_000,
     )
-    n = int(bm.n_matches)
-    m = {k: np.asarray(getattr(bm, k)[:n])
-         for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")}
+    from metabuli_tpu.classify.pipeline import matches_to_host
+    m = matches_to_host(bm)
 
     tp = TaxonomerParams(em=em)
     py = Taxonomer(tp, tax)
@@ -104,7 +103,8 @@ def test_native_matches_python(tmp_path, em):
     n_classified = 0
     for i in range(n_reads):
         lo, hi = int(starts[i]), int(ends[i])
-        sub = {k: v[lo:hi] for k, v in m.items()}
+        from metabuli_tpu.classify.pipeline import FIELDS
+        sub = {k: m[k][lo:hi] for k in FIELDS}
         want = py.choose_best_taxon(sub, int(read_lens[i])) if lo < hi else None
         got = nat_results[i]
         if want is None:
