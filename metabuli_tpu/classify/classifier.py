@@ -76,6 +76,7 @@ class Classifier:
             accession_level=params.accession_level,
             em=bool(params.em),
             reduced_aa=bool(params.reduced_aa),
+            kmer_format=params.kmer_format,
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
         self.native_taxonomer = None

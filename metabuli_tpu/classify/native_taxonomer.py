@@ -89,6 +89,7 @@ class NativeTaxonomer:
             ctypes.c_int64(self._sparse.shape[1]),
             self._tin.ctypes, self._tout.ctypes, self._species_of.ctypes,
             self._leafish.ctypes, ctypes.c_int32(self.tax.eukaryota_id),
+            ctypes.c_int32(p.kmer_format),
             ctypes.c_float(p.min_score), ctypes.c_float(p.min_sp_score),
             ctypes.c_int32(p.min_cons_cnt), ctypes.c_int32(p.min_cons_cnt_euk),
             ctypes.c_float(p.tie_ratio), ctypes.c_int32(p.dna_shift),

@@ -47,6 +47,7 @@ class TaxonomerParams:
     accession_level: int = 0
     em: bool = False
     reduced_aa: bool = False
+    kmer_format: int = 2
 
     @property
     def dna_shift(self) -> int:
@@ -308,13 +309,16 @@ class Taxonomer:
                     best = None
                     best_score = F32(0)
                     mask = (1 << (24 - 3 * shift)) - 1
+                    fmt2 = p.kmer_format == 2
                     for cj in range(cur_s, cur_e):
-                        # isConsecutive2 (`Taxonomer.cpp:692-699`); operands
-                        # swapped for reverse frames (`:536` vs `:605`)
-                        if forward:
-                            ok = (int(dna[cj]) & mask) == (int(dna[nj]) >> (3 * shift))
+                        # isConsecutive2 for the new format, isConsecutive for
+                        # the old (`Taxonomer.cpp:671-699`); operands swapped
+                        # for reverse frames (`:536` vs `:605`)
+                        a, b = (cj, nj) if forward else (nj, cj)
+                        if fmt2:
+                            ok = (int(dna[a]) & mask) == (int(dna[b]) >> (3 * shift))
                         else:
-                            ok = (int(dna[nj]) & mask) == (int(dna[cj]) >> (3 * shift))
+                            ok = (int(dna[a]) >> (3 * shift)) == (int(dna[b]) & mask)
                         if ok:
                             connected[cj - start] = True
                             lp = local[cj - start]

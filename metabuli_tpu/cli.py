@@ -224,6 +224,69 @@ def _accession2taxid(argv):
     return 0
 
 
+def _refiner(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu classifiedRefiner")
+    ap.add_argument("classifications")
+    ap.add_argument("dbdir")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--min-score", type=float, default=0.0)
+    ap.add_argument("--remove-unclassified", type=int, default=0)
+    ap.add_argument("--select-taxid", default="")
+    ap.add_argument("--exclude-taxid", default="")
+    ap.add_argument("--select-columns", default="")
+    ap.add_argument("--rank", default="")
+    ap.add_argument("--report", type=int, default=0)
+    args = ap.parse_args(argv)
+    from .tools.refiner import refine
+
+    out = refine(
+        args.classifications, args.dbdir, args.out,
+        min_score=args.min_score,
+        remove_unclassified=bool(args.remove_unclassified),
+        select_taxids=args.select_taxid,
+        exclude_taxids=args.exclude_taxid,
+        select_columns=args.select_columns,
+        rank=args.rank,
+        report=bool(args.report),
+    )
+    print(out)
+    return 0
+
+
+def _databases(argv):
+    print(
+        "Prebuilt database download is not available in this environment "
+        "(no network egress).\n"
+        "Reference catalogs (RefSeq, GTDB, RefSeq virus) are listed at\n"
+        "https://metabuli.steineggerlab.workers.dev/ — download externally\n"
+        "and point classify at the unpacked directory."
+    )
+    return 1
+
+
+def _mapping2taxon(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu mapping2taxon")
+    ap.add_argument("mapping", help="read\taccession TSV")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("out")
+    args = ap.parse_args(argv)
+    from .db.build import read_acc2taxid
+
+    acc2taxid = read_acc2taxid(args.acc2taxid)
+    n = miss = 0
+    with open(args.mapping) as fh, open(args.out, "w") as out:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 2:
+                continue
+            taxid = acc2taxid.get(cols[1]) or acc2taxid.get(cols[1].split(".")[0], 0)
+            out.write(f"{cols[0]}\t{taxid}\n")
+            n += 1
+            miss += taxid == 0
+    print(f"{n} mappings written, {miss} accessions unknown")
+    return 0
+
+
 COMMANDS = {
     "classify": (_classify, "Assign taxonomy to reads"),
     "build": (_build, "Build a reference metamer database"),
@@ -237,6 +300,9 @@ COMMANDS = {
     "expand_diffidx": (_expand_diffidx, "Decompress a diffIdx delta stream"),
     "printInfo": (_print_info, "Print entries of an info file"),
     "accession2taxid": (_accession2taxid, "Derive accession2taxid for GTDB-style libraries"),
+    "classifiedRefiner": (_refiner, "Filter/reshape a classifications TSV"),
+    "databases": (_databases, "Prebuilt database catalog (no egress here)"),
+    "mapping2taxon": (_mapping2taxon, "Map read->accession files to taxids"),
 }
 
 

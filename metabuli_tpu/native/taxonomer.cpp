@@ -57,6 +57,7 @@ struct TaxView {
 };
 
 struct Params {
+  int32_t kmer_format;
   float min_score;
   float min_sp_score;
   int32_t min_cons_cnt;
@@ -179,13 +180,17 @@ static void get_match_paths(const MatchView& m, int64_t start, int64_t end,
         const Path* best = nullptr;
         float best_score = 0.f;
         for (int64_t cj = cur_s; cj < cur_e; ++cj) {
+          // isConsecutive2 (new format) / isConsecutive (old format);
+          // operand order swaps for reverse frames
+          int64_t a = forward ? cj : nj;
+          int64_t b = forward ? nj : cj;
           bool ok;
-          if (forward)
-            ok = ((uint32_t)m.dna[cj] & mask) ==
-                 ((uint32_t)m.dna[nj] >> (3 * shift));
+          if (par.kmer_format == 2)
+            ok = ((uint32_t)m.dna[a] & mask) ==
+                 ((uint32_t)m.dna[b] >> (3 * shift));
           else
-            ok = ((uint32_t)m.dna[nj] & mask) ==
-                 ((uint32_t)m.dna[cj] >> (3 * shift));
+            ok = ((uint32_t)m.dna[a] >> (3 * shift)) ==
+                 ((uint32_t)m.dna[b] & mask);
           if (ok) {
             connected[cj - start] = 1;
             const Path& lp = local[cj - start];
@@ -479,6 +484,7 @@ int64_t taxonomer_assign(
     const int64_t* tin, const int64_t* tout, const int32_t* species_of,
     const uint8_t* rank_leafish, int32_t eukaryota_id,
     // params
+    int32_t kmer_format,
     float min_score, float min_sp_score, int32_t min_cons_cnt,
     int32_t min_cons_cnt_euk, float tie_ratio, int32_t dna_shift,
     int32_t max_codon_shift, int32_t denominator, int32_t accession_level,
@@ -492,7 +498,8 @@ int64_t taxonomer_assign(
   TaxView tax{n_nodes,    parent,       euler_first, euler_node,
               sparse,     euler_depth,  sparse_levels, euler_len,
               tin,        tout,         rank_leafish, eukaryota_id};
-  Params par{min_score,      min_sp_score, min_cons_cnt, min_cons_cnt_euk,
+  Params par{kmer_format,
+             min_score,      min_sp_score, min_cons_cnt, min_cons_cnt_euk,
              tie_ratio,      dna_shift,    max_codon_shift, denominator,
              accession_level, em_mode};
   MatchView m{qid, species, frame, pos, hamming, dna, taxid, h16};

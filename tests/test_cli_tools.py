@@ -170,3 +170,69 @@ def test_classify_with_em(world, tmp_path):
     assert len(hits) >= 9
     em_report = open(os.path.join(out_dir, "emj_EM_report.tsv")).read()
     assert "SpA1" in em_report
+
+
+def test_classified_refiner(world, tmp_path, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+    rc = cli.main([
+        "classifiedRefiner", cls_file, world["db"],
+        "--rank", "genus", "--report", "1",
+        "--out", str(tmp_path / "refined.tsv"),
+    ])
+    assert rc == 0
+    lines = open(tmp_path / "refined.tsv").read().splitlines()
+    body = [ln for ln in lines if not ln.startswith("#")]
+    # reads were classified to species 4 -> re-ranked to genus 3
+    assert all(ln.split("\t")[2] == "3" for ln in body if ln.split("\t")[0] == "1")
+    assert os.path.exists(tmp_path / "refined_report.tsv")
+
+    # subtree selection keeps genus-A reads, excluding B removes nothing here
+    rc = cli.main([
+        "classifiedRefiner", cls_file, world["db"],
+        "--select-taxid", "3", "--out", str(tmp_path / "sel.tsv"),
+    ])
+    assert rc == 0
+    sel = [ln for ln in open(tmp_path / "sel.tsv").read().splitlines()
+           if not ln.startswith("#")]
+    assert len(sel) >= 9
+
+
+def test_old_format_db_roundtrip(world, tmp_path):
+    """kmerFormat=1 (old metamer packing) build + classify."""
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.params import BuildParams, ClassifyParams
+
+    root = world["root"]
+    db1 = str(tmp_path / "db_fmt1")
+    build_database(
+        db1, str(root / "library.txt"), str(root / "acc2taxid.map"),
+        str(root / "taxonomy"), BuildParams(kmer_format=1),
+    )
+    par = ClassifyParams(seq_mode=1, batch_reads=16)
+    clf = Classifier(db1, par)
+    assert clf.par.kmer_format == 1  # picked up from db.parameters
+    out_dir = str(tmp_path / "fmt1_out")
+    summary = clf.classify_file(world["query"], None, out_dir, "f1")
+    assert summary["classified"] >= 9
+
+
+def test_syncmer_db_roundtrip(world, tmp_path):
+    """Syncmer-selected DB builds and classifies (smaller index)."""
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.params import BuildParams, ClassifyParams
+
+    root = world["root"]
+    dbs = str(tmp_path / "db_sync")
+    stats = build_database(
+        dbs, str(root / "library.txt"), str(root / "acc2taxid.map"),
+        str(root / "taxonomy"), BuildParams(syncmer=1, smer_len=5),
+    )
+    par = ClassifyParams(seq_mode=1, batch_reads=16)
+    clf = Classifier(dbs, par)
+    assert clf.par.syncmer == 1
+    out_dir = str(tmp_path / "sync_out")
+    summary = clf.classify_file(world["query"], None, out_dir, "sj")
+    assert summary["classified"] >= 9
