@@ -94,7 +94,8 @@ class Classifier:
         from .pipeline import build_dev_index
 
         self.dev_index = build_dev_index(
-            self.index.values, self.index.taxids.astype(np.int32)
+            self.index.values, self.index.taxids.astype(np.int32),
+            kmer_format=params.kmer_format,
         )
         self.d_species = jax.device_put(
             self.index.species_table().astype(np.int32)

@@ -37,75 +37,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import encode
-from ..ops.hamming import HAMMING_SUM_LUT, PACKED_LUT_HI, PACKED_LUT_LO
 
 PREFIX_BITS = 20
 INT32_MAX = np.int32(2147483647)
 
 
-def _build_pair_luts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """4096-entry tables over ((q1,t1),(q0,t0)) codon pairs.
+def hamming_dna48(q48: jax.Array, t48: jax.Array):
+    """(sum, packed_fwd16, packed_rev16) from expanded base encodings.
 
-    pair index = (q1<<9)|(t1<<6)|(q0<<3)|t0. Entry packs:
-      bits 0..3   hamming sum of both codons (true distances, 0..8)
-      bits 4..5   fwd 2-bit of codon0 (LUT0..6 pattern)
-      bits 6..7   fwd 2-bit of codon1
-      bits 8..9   hi-variant 2-bit of codon0 (LUT7 pattern)
-      bits 10..11 hi-variant 2-bit of codon1
-    Three tables: inner pairs use (lo,lo); the pair containing codon 7 (fwd)
-    or codon 0 (rev) needs the hi variant — we store lo and hi variants for
-    both slots and select by shift at use time.
+    Pure ALU: XOR the 2-bit base lanes, fold each lane to one mismatch bit,
+    popcount for the total, and extract per-codon 2-bit sums for the packed
+    words. Exactly equals the reference LUT results for same-AA metamers
+    (see expand_db_dna48). No gathers.
     """
-    idx = np.arange(4096)
-    t0 = idx & 7
-    q0 = (idx >> 3) & 7
-    t1 = (idx >> 6) & 7
-    q1 = (idx >> 9) & 7
-    s = HAMMING_SUM_LUT[q0, t0] + HAMMING_SUM_LUT[q1, t1]
-    lo0 = PACKED_LUT_LO[q0, t0]
-    lo1 = PACKED_LUT_LO[q1, t1]
-    hi0 = PACKED_LUT_HI[q0, t0]
-    hi1 = PACKED_LUT_HI[q1, t1]
-    packed = (s | (lo0 << 4) | (lo1 << 6) | (hi0 << 8) | (hi1 << 10)).astype(
-        np.int32
-    )
-    return packed
-
-
-_PAIR_LUT = _build_pair_luts()
-
-
-def hamming_pairs(q_dna: jax.Array, t_dna: jax.Array):
-    """(sum, packed_fwd16, packed_rev16) via 4 pair-LUT gathers.
-
-    Equivalent to ops.hamming.hamming_all (same tables), optimized for the
-    gather-bound TPU path.
-    """
-    lut = jnp.asarray(_PAIR_LUT)
-    total = jnp.zeros(jnp.broadcast_shapes(q_dna.shape, t_dna.shape), jnp.int32)
-    fwd = jnp.zeros_like(total)
-    rev = jnp.zeros_like(total)
-    for p in range(4):  # codon pair p covers codons 2p (slot0) and 2p+1 (slot1)
-        q2 = (q_dna >> (6 * p)) & 63
-        t2 = (t_dna >> (6 * p)) & 63
-        q0 = q2 & 7
-        q1 = q2 >> 3
-        t0 = t2 & 7
-        t1 = t2 >> 3
-        pair = (q1 << 9) | (t1 << 6) | (q0 << 3) | t0
-        e = lut[pair]
-        total = total + (e & 15)
-        c0 = 2 * p
-        c1 = 2 * p + 1
-        # forward packing: codon i at bit 2i; codon 7 uses the hi variant
-        f0 = (e >> (8 if c0 == 7 else 4)) & 3
-        f1 = (e >> (10 if c1 == 7 else 6)) & 3
-        fwd = fwd | (f0 << (2 * c0)) | (f1 << (2 * c1))
-        # reverse packing: codon i at bit 2*(7-i); codon 0 uses the hi variant
-        r0 = (e >> (8 if c0 == 0 else 4)) & 3
-        r1 = (e >> 6) & 3
-        rev = rev | (r0 << (2 * (7 - c0))) | (r1 << (2 * (7 - c1)))
-    return total, fwd, rev
+    x = q48 ^ t48
+    mism = (x | (x >> jnp.uint64(1))) & jnp.uint64(0x555555555555)
+    hsum = jax.lax.population_count(mism).astype(jnp.int32)
+    fwd = jnp.zeros(x.shape, jnp.int32)
+    rev = jnp.zeros(x.shape, jnp.int32)
+    for i in range(8):
+        lane = ((mism >> jnp.uint64(6 * i)) & jnp.uint64(0x15)).astype(jnp.int32)
+        vi = (lane & 1) + ((lane >> 2) & 1) + ((lane >> 4) & 1)
+        fwd = fwd | (vi << (2 * i))
+        rev = rev | (vi << (2 * (7 - i)))
+    return hsum, fwd, rev
 
 
 class DevIndex(NamedTuple):
@@ -113,13 +68,60 @@ class DevIndex(NamedTuple):
 
     hi32: jax.Array     # [N] int32 (bits 63..32, bit-cast)
     lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast)
+    dna48: jax.Array    # [N] uint64 expanded 2-bit bases, 6 bits/codon
     taxids: jax.Array   # [N] int32
     prefix: jax.Array   # [2^PREFIX_BITS + 1] int32 bucket start offsets
     n: int
     search_iters: int   # static binary-search depth within a bucket
 
 
-def build_dev_index(values: np.ndarray, taxids: np.ndarray) -> DevIndex:
+def _expansion_table() -> np.ndarray:
+    """EXP[aa*8 + codon_number] -> 6-bit raw codon bases.
+
+    Inverse of the (aa, codon-number) encoding: for every real codon
+    c1c2c3 the table maps its (aa, num) back to c1<<4|c2<<2|c3. Valid for
+    the standard 20-letter alphabet (`GeneticCode.h:32-194`).
+    """
+    from ..ops.genetic_code import codon_tables
+
+    aa_tab, num_tab = codon_tables(False)
+    exp = np.zeros(21 * 8, np.uint8)
+    for ci in range(64):
+        exp[int(aa_tab[ci]) * 8 + int(num_tab[ci])] = ci
+    return exp
+
+
+def expand_db_dna48(values: np.ndarray, kmer_format: int = 2) -> np.ndarray:
+    """Per-entry expanded base encoding (host, vectorized).
+
+    Matched query/target metamers share all 8 amino acids, so the per-codon
+    Hamming LUTs (`KmerMatcher.h:66-158`) reduce to plain base-level Hamming
+    between the expanded codons — computable on device by XOR + popcount
+    with no table gathers. (LUT entries that disagree with base distance
+    are unreachable for same-AA pairs.)
+    """
+    exp = _expansion_table().astype(np.uint64)
+    values = np.asarray(values, np.uint64)
+    d48 = np.zeros(len(values), np.uint64)
+    if kmer_format == 2:
+        for i in range(8):
+            aa_i = (values >> np.uint64(24 + 5 * (7 - i))) & np.uint64(31)
+            num_i = (values >> np.uint64(3 * (7 - i))) & np.uint64(7)
+            c6 = exp[np.minimum(aa_i, 20) * np.uint64(8) + num_i]
+            d48 |= c6 << np.uint64(6 * (7 - i))
+    else:
+        aa_part = values >> np.uint64(24)
+        for i in range(8):
+            aa_i = (aa_part // np.uint64(21**i)) % np.uint64(21)
+            num_i = (values >> np.uint64(3 * i)) & np.uint64(7)
+            c6 = exp[aa_i * np.uint64(8) + num_i]
+            d48 |= c6 << np.uint64(6 * i)
+    return d48
+
+
+def build_dev_index(
+    values: np.ndarray, taxids: np.ndarray, kmer_format: int = 2
+) -> DevIndex:
     """Split + bucket the sorted u64 table for the 32-bit search path."""
     n = len(values)
     hi32 = (values >> np.uint64(32)).astype(np.uint32).view(np.int32)
@@ -133,6 +135,7 @@ def build_dev_index(values: np.ndarray, taxids: np.ndarray) -> DevIndex:
     return DevIndex(
         hi32=jax.device_put(hi32),
         lo32=jax.device_put(lo32),
+        dna48=jax.device_put(expand_db_dna48(values, kmer_format)),
         taxids=jax.device_put(np.ascontiguousarray(taxids, np.int32)),
         prefix=jax.device_put(prefix.astype(np.int32)),
         n=n,
@@ -163,7 +166,7 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
     ),
 )
 def _classify_batch_impl(
-    db_hi, db_lo, db_tax, db_prefix,
+    db_hi, db_lo, db_d48, db_tax, db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -224,6 +227,7 @@ def _classify_batch_impl(
     idx_c = jnp.minimum(idx, jnp.int32(max(n_db - 1, 0)))
     c_hi = db_hi[idx_c]
     c_lo = db_lo[idx_c]
+    c_d48 = db_d48[idx_c]
     in_range = idx < jnp.int32(n_db)
     same_aa = (
         in_range
@@ -242,7 +246,8 @@ def _classify_batch_impl(
     n_over_cap = jnp.sum(over.astype(jnp.int32))
 
     t_dna = c_lo & jnp.int32(0xFFFFFF)
-    hsum, h_fwd, h_rev = hamming_pairs(q_dna[:, None], t_dna)
+    q_d48 = mm.dna48.reshape(-1)
+    hsum, h_fwd, h_rev = hamming_dna48(q_d48[:, None], c_d48)
     hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
     min_h = jnp.min(hsum_m, axis=1)
     cutoff = jnp.minimum(min_h * 2, 7)
@@ -305,7 +310,8 @@ def classify_batch_indexed(
     kmer_format: int = 2,
 ) -> BatchMatches:
     return _classify_batch_impl(
-        index.hi32, index.lo32, index.taxids, index.prefix, tax2species,
+        index.hi32, index.lo32, index.dna48, index.taxids, index.prefix,
+        tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -326,7 +332,9 @@ def classify_batch(
 ):
     """Convenience wrapper taking a raw u64 table (tests, graft entry,
     sharded path). Builds the split/bucketed DevIndex on the host."""
-    index = build_dev_index(np.asarray(db_values), np.asarray(db_taxids))
+    index = build_dev_index(
+        np.asarray(db_values), np.asarray(db_taxids), kmer_format=kmer_format
+    )
     return classify_batch_indexed(
         index, jnp.asarray(np.asarray(tax2species, np.int32)),
         codes, lens, pos_offsets, qid_offsets,

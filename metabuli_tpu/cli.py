@@ -47,6 +47,25 @@ def _classify(argv):
             ap.error("needs: <query> <dbdir> <outdir> <jobid>")
         q1, db_dir, out_dir, job_id = files
         q2 = None
+    if par.validate_input:
+        from .tools.validate_input import validate_query_file
+
+        for path in filter(None, (q1, q2)):
+            problems = validate_query_file(path)
+            if problems:
+                print(f"Invalid query file {path}:", file=sys.stderr)
+                for p in problems:
+                    print(f"  {p}", file=sys.stderr)
+                return 1
+    if par.validate_db:
+        from .tools.validate import validate_database
+
+        problems = validate_database(db_dir)
+        if problems:
+            print("Database validation failed:", file=sys.stderr)
+            for p in problems:
+                print(f"  {p}", file=sys.stderr)
+            return 1
     from .classify.classifier import Classifier
 
     clf = Classifier(db_dir, par)

@@ -51,6 +51,9 @@ class Metamers(NamedTuple):
     value: jax.Array  # uint64 metamer values (garbage where ~valid)
     pos: jax.Array    # int32 base position (reference semantics)
     valid: jax.Array  # bool
+    dna48: jax.Array  # uint64: 8 codons x 6 bits of raw 2-bit bases, same
+                      # per-codon bit order as the value's codon numbers
+                      # (codon at value-bits 3j sits at dna48-bits 6j)
 
 
 def max_codons(max_len: int) -> int:
@@ -83,7 +86,10 @@ def extract_metamers(
     W = max(0, A - K + 1)
     if W == 0:
         z = jnp.zeros((B, 6, 0))
-        return Metamers(z.astype(jnp.uint64), z.astype(jnp.int32), z.astype(bool))
+        return Metamers(
+            z.astype(jnp.uint64), z.astype(jnp.int32), z.astype(bool),
+            z.astype(jnp.uint64),
+        )
 
     aa_tab, num_tab = codon_tables(reduced)
     aa_tab = jnp.asarray(aa_tab)
@@ -105,6 +111,7 @@ def extract_metamers(
 
     frame_aas = []
     frame_nums = []
+    frame_c6 = []
     frame_ok = []
     frame_pos0 = []  # position of base 0 of codon p, per frame: pos = pos0 +/- 3p
 
@@ -127,6 +134,7 @@ def extract_metamers(
               + c3.astype(jnp.int32)) & 63
         frame_aas.append(jnp.where(ok, aa_tab[ci], -1))
         frame_nums.append(jnp.where(ok, num_tab[ci], 0))
+        frame_c6.append(jnp.where(ok, ci, 0))  # ci == c1<<4|c2<<2|c3 for valid
         frame_ok.append(ok)
         if f < 3:
             frame_pos0.append(begin)
@@ -136,6 +144,7 @@ def extract_metamers(
 
     aa = jnp.stack(frame_aas, axis=1)     # [B, 6, A] int32, -1 invalid
     num = jnp.stack(frame_nums, axis=1)   # [B, 6, A] int32
+    c6 = jnp.stack(frame_c6, axis=1)      # [B, 6, A] int32 raw codon bases
     ok = jnp.stack(frame_ok, axis=1)      # [B, 6, A] bool
     pos0 = jnp.stack(frame_pos0, axis=1)  # [B, 6] int32
 
@@ -144,26 +153,31 @@ def extract_metamers(
     aa_shift = 32 if reduced else 24
     aa_u = aa.astype(jnp.uint64)
     num_u = num.astype(jnp.uint64)
+    c6_u = c6.astype(jnp.uint64)
     aa_part = jnp.zeros(aa_u[..., :W].shape, jnp.uint64)
     dna_part = jnp.zeros_like(aa_part)
+    dna48 = jnp.zeros_like(aa_part)
     valid = jnp.ones(aa_part.shape, bool)
     for j in range(K):
         aa_part = (aa_part << 5) | aa_u[..., j : j + W]
         dna_part = (dna_part << bits_codon) | num_u[..., j : j + W]
         valid = valid & ok[..., j : j + W]
     if kmer_format == 2:
+        for j in range(K):
+            dna48 = (dna48 << 6) | c6_u[..., j : j + W]
         value = ((aa_part & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
             dna_part & ((jnp.uint64(1) << aa_shift) - 1)
         )
     else:
         # Old format (`KmerScanner.h:120-182`): amino acids packed base-21
         # little-endian (aa of codon j weighted 21**j), codon numbers
-        # little-endian 3-bit.
+        # little-endian 3-bit. dna48 mirrors the little-endian codon order.
         aa_old = jnp.zeros(aa_part.shape, jnp.uint64)
         dna_old = jnp.zeros(aa_part.shape, jnp.uint64)
         for j in range(K):
             aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(21**j)
             dna_old = dna_old | (num_u[..., j : j + W] << (bits_codon * j))
+            dna48 = dna48 | (c6_u[..., j : j + W] << (6 * j))
         value = ((aa_old & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
             dna_old & ((jnp.uint64(1) << aa_shift) - 1)
         )
@@ -176,7 +190,9 @@ def extract_metamers(
     if syncmer:
         valid = valid & _syncmer_keep(aa, smer_len, W)
 
-    return Metamers(value=value, pos=pos.astype(jnp.int32), valid=valid)
+    return Metamers(
+        value=value, pos=pos.astype(jnp.int32), valid=valid, dna48=dna48
+    )
 
 
 def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
