@@ -158,10 +158,12 @@ def main():
         max_matches = BATCH * 300
         kw = dict(cap=max(8, cap), max_matches=max_matches)
 
-        def run_batch(codes, lens, offs, qids, n_chunk):
-            bm = classify_batch_indexed(
+        def dispatch(codes, lens, offs, qids, n_chunk):
+            return classify_batch_indexed(
                 index, d_t2s, codes, lens, offs, qids, **kw
-            )
+            ), n_chunk
+
+        def drain(bm, n_chunk):
             m = matches_to_host(bm)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
@@ -172,13 +174,18 @@ def main():
 
         # warmup: compile
         t0 = time.time()
-        run_batch(*batches[0])
+        drain(*dispatch(*batches[0]))
         sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
 
+        # software pipeline: dispatch batch i+1 (async) before draining i
         t0 = time.time()
         classified = 0
-        for b in batches:
-            classified += run_batch(*b)
+        pending = dispatch(*batches[0])
+        for b in batches[1:]:
+            nxt = dispatch(*b)
+            classified += drain(*pending)
+            pending = nxt
+        classified += drain(*pending)
         dt = time.time() - t0
         value = N_READS / dt
         sys.stderr.write(

@@ -137,39 +137,55 @@ class Classifier:
             yield metas, rows
 
     # ----------------------------------------------------------------- device
-    def _run_device(self, rows):
+    def _dispatch_device(self, rows):
+        """Launch the device program asynchronously; returns drain context."""
         par = self.par
         max_len = max((len(r[0]) for r in rows), default=0)
         L = _bucket_len(max_len)
         codes, lens = encode_seqs_padded([r[0] for r in rows], max_len=L)
+        if par.mask_mode:
+            from ..ops.mask import mask_codes
+
+            for r_i, row in enumerate(rows):
+                n = len(row[0])
+                codes[r_i, :n] = mask_codes(codes[r_i, :n], par.mask_prob)
         pos_offsets = np.array([r[2] for r in rows], np.int32)
         qid_offsets = np.array([r[1] for r in rows], np.int32)
 
         # match budget: kmer capacity * matchPerKmer (QueryIndexer.h:72-74)
         n_windows = len(rows) * 6 * max(0, (L - 2) // 3 - 7)
         budget = max(1024, n_windows * par.match_per_kmer)
-        cap = self.cap
+        args = (codes, lens, pos_offsets, qid_offsets)
+        bm = self._launch(args, self.cap, budget)
+        return (args, bm, budget)
+
+    def _launch(self, args, cap, budget):
+        par = self.par
+        return classify_batch_indexed(
+            self.dev_index, self.d_species, *args,
+            cap=cap, max_matches=budget,
+            reduced=bool(par.reduced_aa),
+            syncmer=bool(par.syncmer),
+            smer_len=par.smer_len,
+            kmer_format=par.kmer_format,
+        )
+
+    def _drain_device(self, ctx):
+        """Fetch results; retry with larger cap/budget on overflow
+        (`Classifier.cpp:127-131`)."""
+        args, bm, budget = ctx
+        t0 = time.time()
+        m = matches_to_host(bm)
         while True:
-            t0 = time.time()
-            bm = classify_batch_indexed(
-                self.dev_index, self.d_species,
-                codes, lens, pos_offsets, qid_offsets,
-                cap=cap, max_matches=budget,
-                reduced=bool(par.reduced_aa),
-                syncmer=bool(par.syncmer),
-                smer_len=par.smer_len,
-                kmer_format=par.kmer_format,
-            )
-            m = matches_to_host(bm)
-            self.stats["device_s"] += time.time() - t0
-            if m["n_over_cap"] > 0 and cap < self.index.max_group:
-                cap = min(self.index.max_group, cap * 4)
-                self.cap = cap
-                continue
-            if m["n_matches"] > budget:
+            if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
+                self.cap = min(self.index.max_group, self.cap * 4)
+            elif m["n_matches"] > budget:
                 budget = int(m["n_matches"] * 1.2) + 1024
-                continue
-            break
+            else:
+                break
+            bm = self._launch(args, self.cap, budget)
+            m = matches_to_host(bm)
+        self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += m["total_kmers"]
         self.stats["matches"] += m["n_matches"]
         return m
@@ -217,8 +233,24 @@ class Classifier:
         mappings = [] if self.par.em else None
         all_results = [] if self.par.em else None
         with open(cls_path, "w") as fh:
-            for metas, rows in self._iter_batches(q1, q2):
-                m = self._run_device(rows)
+            # software pipeline: the next batch's device program is dispatched
+            # (async) before the current batch's host work runs
+            pending = None
+            batch_iter = self._iter_batches(q1, q2)
+            while True:
+                nxt = next(batch_iter, None)
+                if nxt is not None:
+                    nxt_ctx = (nxt[0], self._dispatch_device(nxt[1]))
+                else:
+                    nxt_ctx = None
+                if pending is None:
+                    if nxt_ctx is None:
+                        break
+                    pending = nxt_ctx
+                    continue
+                metas, dev_ctx = pending
+                pending = nxt_ctx
+                m = self._drain_device(dev_ctx)
                 results = self._assign_batch(metas, m)
                 self.stats["reads"] += len(metas)
                 rows_out = [

@@ -18,10 +18,11 @@ TPU-tuned representation (everything on the hot path is 32-bit):
   * a 2^20-entry prefix table over the top 20 value bits narrows each
     query's binary search to a handful of steps (the HBM-resident, massively
     wider analogue of the reference's 4096-entry ``split`` file);
-  * per-codon Hamming scoring gathers one packed 4096-entry LUT per codon
-    *pair* (6 gathers/candidate instead of 24);
-  * the sort runs on 5 packed int32 keys + a row-index payload, and all
-    match columns leave the device as one stacked array (single transfer).
+  * per-codon Hamming scoring is pure int32 ALU (XOR + popcount over
+    precomputed expanded-base encodings) — no table gathers at all;
+  * compaction is cumsum + scatter (TPU-friendly, no sort-based nonzero);
+  * the sort runs on 5 packed int32 keys, and all match columns leave the
+    device as one stacked array (single transfer).
 
 Overflow of the candidate cap or match budget is reported via counters,
 mirroring the reference's match-buffer retry (`Classifier.cpp:127-131`).
@@ -42,22 +43,35 @@ PREFIX_BITS = 20
 INT32_MAX = np.int32(2147483647)
 
 
-def hamming_dna48(q48: jax.Array, t48: jax.Array):
+def hamming_dna48_split(q_lo, q_hi, t_lo, t_hi):
     """(sum, packed_fwd16, packed_rev16) from expanded base encodings.
 
-    Pure ALU: XOR the 2-bit base lanes, fold each lane to one mismatch bit,
-    popcount for the total, and extract per-codon 2-bit sums for the packed
-    words. Exactly equals the reference LUT results for same-AA metamers
-    (see expand_db_dna48). No gathers.
+    Pure int32 ALU (no 64-bit emulation): XOR the 2-bit base lanes, fold
+    each lane to one mismatch bit, popcount for the total, and extract
+    per-codon 2-bit sums for the packed words. Exactly equals the reference
+    LUT results for same-AA metamers (see expand_db_dna48). No gathers.
+
+    ``lo`` holds dna48 bits 0..31 (codons 0..4 + low bits of codon 5);
+    ``hi`` holds bits 32..47 (rest of codon 5 + codons 6, 7).
     """
-    x = q48 ^ t48
-    mism = (x | (x >> jnp.uint64(1))) & jnp.uint64(0x555555555555)
-    hsum = jax.lax.population_count(mism).astype(jnp.int32)
-    fwd = jnp.zeros(x.shape, jnp.int32)
-    rev = jnp.zeros(x.shape, jnp.int32)
+    xl = q_lo ^ t_lo
+    xh = q_hi ^ t_hi
+    ml = (xl | (xl >> 1)) & jnp.int32(0x55555555)
+    mh = (xh | (xh >> 1)) & jnp.int32(0x5555)
+    hsum = (
+        jax.lax.population_count(ml) + jax.lax.population_count(mh)
+    ).astype(jnp.int32)
+    fwd = jnp.zeros(xl.shape, jnp.int32)
+    rev = jnp.zeros(xl.shape, jnp.int32)
     for i in range(8):
-        lane = ((mism >> jnp.uint64(6 * i)) & jnp.uint64(0x15)).astype(jnp.int32)
-        vi = (lane & 1) + ((lane >> 2) & 1) + ((lane >> 4) & 1)
+        if i < 5:  # codon i fully in lo at bits 6i..6i+4
+            lane = (ml >> (6 * i)) & 0x15
+            vi = (lane & 1) + ((lane >> 2) & 1) + ((lane >> 4) & 1)
+        elif i == 5:  # bits 30 (lo), 32, 34 (hi)
+            vi = ((ml >> 30) & 1) + (mh & 1) + ((mh >> 2) & 1)
+        else:  # codons 6,7 in hi at bits 6i-32
+            lane = (mh >> (6 * i - 32)) & 0x15
+            vi = (lane & 1) + ((lane >> 2) & 1) + ((lane >> 4) & 1)
         fwd = fwd | (vi << (2 * i))
         rev = rev | (vi << (2 * (7 - i)))
     return hsum, fwd, rev
@@ -68,7 +82,8 @@ class DevIndex(NamedTuple):
 
     hi32: jax.Array     # [N] int32 (bits 63..32, bit-cast)
     lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast)
-    dna48: jax.Array    # [N] uint64 expanded 2-bit bases, 6 bits/codon
+    d48lo: jax.Array    # [N] int32 expanded-base bits 0..31
+    d48hi: jax.Array    # [N] int32 expanded-base bits 32..47
     taxids: jax.Array   # [N] int32
     prefix: jax.Array   # [2^PREFIX_BITS + 1] int32 bucket start offsets
     n: int
@@ -132,10 +147,12 @@ def build_dev_index(
     np.cumsum(counts, out=prefix[1:])
     max_bucket = int(counts.max()) if n else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
+    d48 = expand_db_dna48(values, kmer_format)
     return DevIndex(
         hi32=jax.device_put(hi32),
         lo32=jax.device_put(lo32),
-        dna48=jax.device_put(expand_db_dna48(values, kmer_format)),
+        d48lo=jax.device_put((d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)),
+        d48hi=jax.device_put((d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)),
         taxids=jax.device_put(np.ascontiguousarray(taxids, np.int32)),
         prefix=jax.device_put(prefix.astype(np.int32)),
         n=n,
@@ -166,7 +183,7 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
     ),
 )
 def _classify_batch_impl(
-    db_hi, db_lo, db_d48, db_tax, db_prefix,
+    db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -227,7 +244,8 @@ def _classify_batch_impl(
     idx_c = jnp.minimum(idx, jnp.int32(max(n_db - 1, 0)))
     c_hi = db_hi[idx_c]
     c_lo = db_lo[idx_c]
-    c_d48 = db_d48[idx_c]
+    c_d48lo = db_d48lo[idx_c]
+    c_d48hi = db_d48hi[idx_c]
     in_range = idx < jnp.int32(n_db)
     same_aa = (
         in_range
@@ -247,7 +265,11 @@ def _classify_batch_impl(
 
     t_dna = c_lo & jnp.int32(0xFFFFFF)
     q_d48 = mm.dna48.reshape(-1)
-    hsum, h_fwd, h_rev = hamming_dna48(q_d48[:, None], c_d48)
+    q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
+    q_d48hi = bc32(q_d48 >> jnp.uint64(32))
+    hsum, h_fwd, h_rev = hamming_dna48_split(
+        q_d48lo[:, None], q_d48hi[:, None], c_d48lo, c_d48hi
+    )
     hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
     min_h = jnp.min(hsum_m, axis=1)
     cutoff = jnp.minimum(min_h * 2, 7)
@@ -259,10 +281,19 @@ def _classify_batch_impl(
         fwd_sel = (q_frame >= 3)[:, None]
     h16 = jnp.where(fwd_sel, h_fwd, h_rev)
 
-    # ---- compaction to a fixed budget of flat rows
+    # ---- compaction to a fixed budget of flat rows (cumsum + scatter;
+    # cheaper than jnp.nonzero's sort-based path on TPU)
     flat_keep = keep.reshape(-1)
-    n_matches = jnp.sum(flat_keep.astype(jnp.int32))
-    (rows,) = jnp.nonzero(flat_keep, size=max_matches, fill_value=Q * cap)
+    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    n_matches = pos[-1] + 1
+    scatter_idx = jnp.where(
+        flat_keep & (pos < max_matches), pos, jnp.int32(max_matches)
+    )
+    rows = (
+        jnp.full(max_matches, Q * cap, jnp.int32)
+        .at[scatter_idx]
+        .set(jnp.arange(Q * cap, dtype=jnp.int32), mode="drop")
+    )
     is_pad = rows >= Q * cap
     safe = jnp.minimum(rows, Q * cap - 1)
     qi = (safe // cap).astype(jnp.int32)
@@ -310,8 +341,8 @@ def classify_batch_indexed(
     kmer_format: int = 2,
 ) -> BatchMatches:
     return _classify_batch_impl(
-        index.hi32, index.lo32, index.dna48, index.taxids, index.prefix,
-        tax2species,
+        index.hi32, index.lo32, index.d48lo, index.d48hi, index.taxids,
+        index.prefix, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,

@@ -11,9 +11,10 @@ Re-designs the reference's IndexCreator pipeline
   5. write diffIdx / info / split / taxID_list / db.parameters.
 
 Round-1 scope notes (documented gaps vs reference, tracked in PARITY.md):
-  * Gene prediction (Prodigal port) and tantan masking are not yet wired;
-    extraction covers all 6 frames of every sequence (a superset of the
-    reference's predicted-ORF frames).
+  * Gene prediction (Prodigal port) is not yet wired; extraction covers all
+    6 frames of every sequence (a superset of the reference's predicted-ORF
+    frames). Low-complexity masking (mask_mode, native tantan-style HMM)
+    is applied before extraction.
   * The build is in-memory; the reference's flush-file + k-way merge
     out-of-core path (`IndexCreator.h:322-472`) lands with the native layer.
 """
@@ -107,6 +108,12 @@ class IndexBuilder:
         while bucket < max_len:
             bucket *= 2
         codes, lens = encode_seqs_padded([t.seq for t in batch], max_len=bucket)
+        if par.mask_mode:
+            from ..ops.mask import mask_codes
+
+            for r, t in enumerate(batch):
+                n = len(t.seq)
+                codes[r, :n] = mask_codes(codes[r, :n], par.mask_prob)
         b_pad = 1
         while b_pad < len(batch):
             b_pad *= 2

@@ -15,16 +15,20 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "taxonomer.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "taxonomer.cpp"),
+    os.path.join(os.path.dirname(__file__), "masker.cpp"),
+]
 _SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
 
 
 def _build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    newest = max(os.path.getmtime(src) for src in _SRCS)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
         return _SO
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _SO + ".tmp",
+        "-std=c++17", *_SRCS, "-o", _SO + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

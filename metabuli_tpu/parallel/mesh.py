@@ -51,7 +51,7 @@ def shard_index_aa_aligned(
     """Split the sorted table into AA-aligned, equal-padded shards in the
     32-bit split representation used by the device pipeline.
 
-    Returns (hi32 [S, Npad], lo32 [S, Npad], dna48 [S, Npad], tax [S, Npad],
+    Returns (hi32, lo32, d48lo, d48hi, tax [S, Npad] each,
     prefix [S, 2^PREFIX_BITS+1], n_pad, search_iters). Padding uses
     all-ones values whose AA part no real metamer can produce.
     """
@@ -68,14 +68,17 @@ def shard_index_aa_aligned(
     pad = max(max((len(c[0]) for c in chunks), default=1), 1)
     out_hi = np.full((n_shards, pad), -1, np.int32)
     out_lo = np.full((n_shards, pad), -1, np.int32)
-    out_d48 = np.zeros((n_shards, pad), np.uint64)
+    out_d48lo = np.zeros((n_shards, pad), np.int32)
+    out_d48hi = np.zeros((n_shards, pad), np.int32)
     out_t = np.zeros((n_shards, pad), np.int32)
     prefix = np.zeros((n_shards, (1 << PREFIX_BITS) + 1), np.int32)
     iters = 1
     for i, (v, t) in enumerate(chunks):
         out_hi[i, : len(v)] = (v >> np.uint64(32)).astype(np.uint32).view(np.int32)
         out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        out_d48[i, : len(v)] = expand_db_dna48(v, kmer_format)
+        d48 = expand_db_dna48(v, kmer_format)
+        out_d48lo[i, : len(v)] = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        out_d48hi[i, : len(v)] = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
         out_t[i, : len(t)] = t.astype(np.int32)
         # prefix table over REAL entries only: searches never reach the
         # padding (pad values have an impossible AA; equality masks them)
@@ -86,7 +89,7 @@ def shard_index_aa_aligned(
         np.cumsum(counts, out=prefix[i, 1:])
         if len(v):
             iters = max(iters, int(np.ceil(np.log2(max(2, counts.max() + 1)))))
-    return out_hi, out_lo, out_d48, out_t, prefix, pad, iters
+    return out_hi, out_lo, out_d48lo, out_d48hi, out_t, prefix, pad, iters
 
 
 def build_sharded_classify(
@@ -103,10 +106,11 @@ def build_sharded_classify(
 ):
     """shard_map'd classify step over (data, db)."""
 
-    def local_step(db_hi, db_lo, db_d48, db_tax, db_prefix, t2s,
+    def local_step(db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, t2s,
                    codes, lens, pos_off, qid_off):
         bm = _classify_batch_impl(
-            db_hi[0], db_lo[0], db_d48[0], db_tax[0], db_prefix[0], t2s,
+            db_hi[0], db_lo[0], db_d48lo[0], db_d48hi[0], db_tax[0],
+            db_prefix[0], t2s,
             codes, lens, pos_off, qid_off,
             n_db=n_pad, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -116,7 +120,7 @@ def build_sharded_classify(
 
     in_specs = (
         P("db", None), P("db", None), P("db", None), P("db", None),
-        P("db", None), P(),
+        P("db", None), P("db", None), P(),
         P("data", None), P("data"), P("data"), P("data"),
     )
     out_specs = (P("data", "db"), P("data", "db"))
