@@ -27,7 +27,7 @@ N_GENOMES = 8
 GENOME_LEN = 200_000
 N_READS = 16_384
 READ_LEN = 150
-BATCH = 4096
+BATCH = 8192
 
 
 def build_world(tmp):

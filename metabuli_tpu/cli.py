@@ -306,6 +306,122 @@ def _mapping2taxon(argv):
     return 0
 
 
+def _add_to_library(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu add-to-library")
+    ap.add_argument("file_list")
+    ap.add_argument("mapping")
+    ap.add_argument("dbdir")
+    ap.add_argument("--library-path", default="")
+    args = ap.parse_args(argv)
+    from .tools.library import add_to_library
+
+    print(json.dumps(add_to_library(args.file_list, args.mapping, args.dbdir,
+                                    args.library_path)))
+    return 0
+
+
+def _make_report(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu make-report")
+    ap.add_argument("classifications")
+    ap.add_argument("dbdir")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .tools.library import make_report
+
+    print(make_report(args.classifications, args.dbdir, args.out))
+    return 0
+
+
+def _edit_names(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu editNames")
+    ap.add_argument("names_dmp")
+    ap.add_argument("taxid_map")
+    args = ap.parse_args(argv)
+    from .tools.misc import edit_names
+
+    print(f"{edit_names(args.names_dmp, args.taxid_map)} names edited")
+    return 0
+
+
+def _createnewtaxalist(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu createnewtaxalist")
+    ap.add_argument("library_dir")
+    ap.add_argument("taxid_map")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .tools.misc import create_new_taxa_list
+
+    print(create_new_taxa_list(args.library_dir, args.taxid_map, args.out))
+    return 0
+
+
+def _print_delta_idx(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu printDeltaIdx")
+    ap.add_argument("diffidx")
+    ap.add_argument("n", nargs="?", type=int, default=20)
+    args = ap.parse_args(argv)
+    from .tools.misc import print_delta_idx
+
+    for v in print_delta_idx(args.diffidx, args.n):
+        print(v)
+    return 0
+
+
+def _grade_by_clade_size(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu gradeByCladeSize")
+    ap.add_argument("classifications")
+    ap.add_argument("answer_sheet")
+    ap.add_argument("dbdir")
+    ap.add_argument("--rank", default="species")
+    args = ap.parse_args(argv)
+    from .tools.misc import grade_by_clade_size
+
+    print(json.dumps(
+        grade_by_clade_size(args.classifications, args.answer_sheet,
+                            args.dbdir, args.rank), indent=2))
+    return 0
+
+
+def _query2reference(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu query2reference")
+    ap.add_argument("classifications")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("out")
+    args = ap.parse_args(argv)
+    from .tools.misc import query2reference
+
+    n = query2reference(args.classifications, args.acc2taxid, args.out)
+    print(f"{n} reads mapped")
+    return 0
+
+
+def _kmer_list(argv, mode):
+    ap = argparse.ArgumentParser(prog=f"metabuli_tpu {mode}")
+    ap.add_argument("dbdir")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .db.build import filter_common_kmers, filter_unique_kmers
+    from .db.formats import read_db_values, delta_encode
+    from .db.index import MetamerIndex
+
+    index = MetamerIndex.load(args.dbdir)
+    species = index.species_table()[index.taxids.astype(np.int64)]
+    if mode == "count-common-kmers":
+        v, _ = filter_common_kmers(index.values, species, index.taxonomy)
+        print(json.dumps({"total": len(index.values), "common": len(v)}))
+        return 0
+    if mode == "create-common-kmer-list":
+        v, t = filter_common_kmers(index.values, species, index.taxonomy)
+    else:
+        v, t = filter_unique_kmers(index.values, index.taxids)
+    out = args.out or os.path.join(args.dbdir, f"{mode.split('-')[1]}Kmers")
+    os.makedirs(out, exist_ok=True)
+    delta_encode(v).tofile(os.path.join(out, "diffIdx"))
+    t.astype(np.uint32).tofile(os.path.join(out, "info"))
+    print(json.dumps({"kmers": len(v), "out": out}))
+    return 0
+
+
 COMMANDS = {
     "classify": (_classify, "Assign taxonomy to reads"),
     "build": (_build, "Build a reference metamer database"),
@@ -322,6 +438,19 @@ COMMANDS = {
     "classifiedRefiner": (_refiner, "Filter/reshape a classifications TSV"),
     "databases": (_databases, "Prebuilt database catalog (no egress here)"),
     "mapping2taxon": (_mapping2taxon, "Map read->accession files to taxids"),
+    "add-to-library": (_add_to_library, "Split FASTAs into per-species library files"),
+    "make-report": (_make_report, "Regenerate a report from classifications"),
+    "editNames": (_edit_names, "Fix taxonkit names.dmp for GTDB assemblies"),
+    "createnewtaxalist": (_createnewtaxalist, "Produce --new-taxa input for updateDB"),
+    "printDeltaIdx": (_print_delta_idx, "Print decoded diffIdx k-mers"),
+    "gradeByCladeSize": (_grade_by_clade_size, "Accuracy stratified by clade size"),
+    "query2reference": (_query2reference, "Map classified reads to reference accessions"),
+    "count-common-kmers": (lambda a: _kmer_list(a, "count-common-kmers"),
+                           "Count k-mers shared between species"),
+    "create-common-kmer-list": (lambda a: _kmer_list(a, "create-common-kmer-list"),
+                                "Write the cross-species common k-mer index"),
+    "create-unique-kmer-list": (lambda a: _kmer_list(a, "create-unique-kmer-list"),
+                                "Write the single-taxon unique k-mer index"),
 }
 
 

@@ -244,3 +244,45 @@ def build_database(
         for acc, taxid in acc_rows:
             fh.write(f"{acc}\t{taxid}\n")
     return stats
+
+
+def filter_common_kmers(values, species, taxonomy: Taxonomy):
+    """FilterMode::COMMON_KMER (`IndexCreator.h:538-565`): keep metamers
+    shared by more than one species; id := LCA of the member species."""
+    order = np.argsort(values, kind="stable")
+    values = values[order]
+    species = species[order]
+    if not len(values):
+        return values, species.astype(np.uint32)
+    new_group = np.ones(len(values), bool)
+    new_group[1:] = values[1:] != values[:-1]
+    gid = np.cumsum(new_group) - 1
+    # group has >1 distinct species?
+    sp_change = np.ones(len(values), bool)
+    sp_change[1:] = (species[1:] != species[:-1]) | new_group[1:]
+    distinct_per_group = np.bincount(gid[sp_change])
+    common = distinct_per_group > 1
+    lca = taxonomy.lca_segments(species.astype(np.int64), gid)
+    keep_groups = np.nonzero(common)[0]
+    starts = np.nonzero(new_group)[0]
+    return values[starts[keep_groups]], lca[keep_groups].astype(np.uint32)
+
+
+def filter_unique_kmers(values, taxids):
+    """FilterMode::UNIQ_KMER (`IndexCreator.h:566-574`): keep metamers whose
+    occurrences all carry the same id."""
+    order = np.lexsort((taxids, values))
+    values = values[order]
+    taxids = taxids[order]
+    if not len(values):
+        return values, taxids
+    new_group = np.ones(len(values), bool)
+    new_group[1:] = values[1:] != values[:-1]
+    gid = np.cumsum(new_group) - 1
+    id_change = np.ones(len(values), bool)
+    id_change[1:] = (taxids[1:] != taxids[:-1]) | new_group[1:]
+    distinct = np.bincount(gid[id_change])
+    uniq = distinct == 1
+    starts = np.nonzero(new_group)[0]
+    keep = np.nonzero(uniq)[0]
+    return values[starts[keep]], taxids[starts[keep]]

@@ -236,3 +236,76 @@ def test_syncmer_db_roundtrip(world, tmp_path):
     out_dir = str(tmp_path / "sync_out")
     summary = clf.classify_file(world["query"], None, out_dir, "sj")
     assert summary["classified"] >= 9
+
+
+def test_make_report_and_library_tools(world, tmp_path, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+    rc = cli.main(["make-report", cls_file, world["db"], str(tmp_path / "rep.tsv")])
+    assert rc == 0
+    capsys.readouterr()
+    rep = open(tmp_path / "rep.tsv").read()
+    assert "SpA1" in rep
+
+    # add-to-library
+    rc = cli.main([
+        "add-to-library", str(world["root"] / "library.txt"),
+        str(world["root"] / "acc2taxid.map"), world["db"],
+        "--library-path", str(tmp_path / "lib"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["added"] == 2 and out["species_files"] == 2
+    assert os.path.exists(tmp_path / "lib" / "4.fna")
+
+
+def test_kmer_list_commands(world, tmp_path, capsys):
+    rc = cli.main(["count-common-kmers", world["db"]])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out)
+    assert counts["total"] > 1000
+    # two random genomes share essentially no metamers
+    assert counts["common"] < counts["total"] * 0.01
+
+    rc = cli.main(["create-unique-kmer-list", world["db"],
+                   str(tmp_path / "uniq")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["kmers"] > 1000
+    assert os.path.exists(tmp_path / "uniq" / "diffIdx")
+
+
+def test_misc_utilities(world, tmp_path, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+
+    rc = cli.main(["printDeltaIdx", os.path.join(world["db"], "diffIdx"), "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5
+
+    # query2reference
+    rc = cli.main(["query2reference", cls_file,
+                   str(world["root"] / "acc2taxid.map"),
+                   str(tmp_path / "q2r.tsv")])
+    assert rc == 0
+    capsys.readouterr()
+    assert open(tmp_path / "q2r.tsv").read().count("ACC_A") >= 9
+
+    # gradeByCladeSize
+    answers = tmp_path / "ans.tsv"
+    answers.write_text("".join(f"r{i}\t4\n" for i in range(10)))
+    rc = cli.main(["gradeByCladeSize", cls_file, str(answers), world["db"]])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out)
+    assert any(v["TP"] >= 9 for v in result.values())
+
+    # editNames
+    names = tmp_path / "names.dmp"
+    names.write_text("5\t|\t000001.1\t|\t\t|\tscientific name\t|\n")
+    tmap = tmp_path / "map.tsv"
+    tmap.write_text("GCA_000001.1\t5\n")
+    rc = cli.main(["editNames", str(names), str(tmap)])
+    assert rc == 0
+    capsys.readouterr()
+    assert "GCA_000001.1" in names.read_text()
