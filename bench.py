@@ -27,7 +27,7 @@ N_GENOMES = 8
 GENOME_LEN = 200_000
 N_READS = 16_384
 READ_LEN = 150
-BATCH = 8192
+BATCH = 4096
 
 
 def build_world(tmp):
@@ -164,7 +164,7 @@ def main():
             ), n_chunk
 
         def drain(bm, n_chunk):
-            m = matches_to_host(bm)
+            m = matches_to_host(bm, t2s)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
             res, _ = taxonomer.assign_batch(

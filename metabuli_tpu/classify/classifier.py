@@ -97,9 +97,8 @@ class Classifier:
             self.index.values, self.index.taxids.astype(np.int32),
             kmer_format=params.kmer_format,
         )
-        self.d_species = jax.device_put(
-            self.index.species_table().astype(np.int32)
-        )
+        self._species_np = self.index.species_table().astype(np.int32)
+        self.d_species = jax.device_put(self._species_np)
         self.cap = int(min(max(16, self.index.max_group), params.max_cap))
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
 
@@ -175,7 +174,7 @@ class Classifier:
         (`Classifier.cpp:127-131`)."""
         args, bm, budget = ctx
         t0 = time.time()
-        m = matches_to_host(bm)
+        m = matches_to_host(bm, self._species_np)
         while True:
             if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
@@ -184,7 +183,7 @@ class Classifier:
             else:
                 break
             bm = self._launch(args, self.cap, budget)
-            m = matches_to_host(bm)
+            m = matches_to_host(bm, self._species_np)
         self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += m["total_kmers"]
         self.stats["matches"] += m["n_matches"]

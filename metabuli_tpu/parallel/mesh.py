@@ -131,22 +131,38 @@ def build_sharded_classify(
     return jax.jit(fn)
 
 
-def merge_shard_matches(stacked, n_reads: int):
+def merge_shard_matches(stacked, n_reads: int, species_table=None):
     """Merge per-(data, db) match tensors into host match arrays.
 
-    ``stacked`` = (data [n_data, n_db, 8, M], counts [n_data, n_db, 3]).
-    Padding rows (qid == INT32_MAX) are dropped; rows re-sorted in the
-    reference match order.
+    ``stacked`` = (data [n_data, n_db, 5, M], counts [n_data, n_db, 3]) in
+    the transfer-packed layout (see pipeline.matches_to_host). Padding rows
+    (qid == INT32_MAX) are dropped; rows re-sorted in the reference match
+    order.
     """
     data, counts = (np.asarray(x) for x in stacked)
-    flat = data.transpose(2, 0, 1, 3).reshape(8, -1)
+    flat = data.transpose(2, 0, 1, 3).reshape(5, -1)
     valid = flat[0] != np.int32(2147483647)
     flat = flat[:, valid]
+    packed = flat[4]
+    out = {
+        "qid": flat[0],
+        "pos": flat[1],
+        "dna": flat[2],
+        "taxid": flat[3],
+        "frame": packed & 7,
+        "hamming": (packed >> 3) & 0xFF,
+        "h16": (packed >> 11) & 0xFFFF,
+    }
+    if species_table is not None:
+        out["species"] = np.asarray(species_table, np.int32)[out["taxid"]]
+    else:
+        out["species"] = np.zeros(len(flat[0]), np.int32)
     order = np.lexsort(
-        (flat[5], flat[4], flat[3], flat[2], flat[1], flat[0])
+        (out["dna"], out["hamming"], out["pos"], out["frame"],
+         out["species"], out["qid"])
     )
-    flat = flat[:, order]
-    out = {name: flat[i] for i, name in enumerate(FIELDS)}
+    for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16"):
+        out[k] = out[k][order]
     out["n_matches"] = int(counts[:, :, 0].sum())
     out["n_over_cap"] = int(counts[:, :, 1].sum())
     return out

@@ -88,7 +88,7 @@ def test_native_matches_python(tmp_path, em):
         np.zeros(n_reads, np.int32), qids, cap=32, max_matches=200_000,
     )
     from metabuli_tpu.classify.pipeline import matches_to_host
-    m = matches_to_host(bm)
+    m = matches_to_host(bm, tax.species_of.astype(np.int32))
 
     tp = TaxonomerParams(em=em)
     py = Taxonomer(tp, tax)

@@ -36,7 +36,7 @@ def _run_single(values, taxids, t2s, codes, lens, offs, qids, cap=8, budget=8192
     bm = classify_batch(
         values, taxids, t2s, codes, lens, offs, qids, cap=cap, max_matches=budget
     )
-    return matches_to_host(bm)
+    return matches_to_host(bm, np.asarray(t2s, np.int32))
 
 
 def _run_sharded(values, taxids, t2s, codes, lens, offs, qids, n_db_shards,
@@ -49,7 +49,7 @@ def _run_sharded(values, taxids, t2s, codes, lens, offs, qids, n_db_shards,
         mesh, n_pad=n_pad, search_iters=iters, cap=cap, max_matches=budget
     )
     out = step(s_hi, s_lo, s_d48lo, s_d48hi, s_tax, s_prefix, t2s, codes, lens, offs, qids)
-    return merge_shard_matches(out, len(qids))
+    return merge_shard_matches(out, len(qids), np.asarray(t2s, np.int32))
 
 
 def test_device_count():
