@@ -395,6 +395,42 @@ def _query2reference(argv):
     return 0
 
 
+def _uniref(argv, mode):
+    if mode == "db":
+        ap = argparse.ArgumentParser(prog="metabuli_tpu create-uniref-db")
+        ap.add_argument("xml")
+        ap.add_argument("dbdir")
+        args = ap.parse_args(argv)
+        from .uniref.classifier import create_uniref_db
+
+        print(json.dumps(create_uniref_db(args.xml, args.dbdir)))
+        return 0
+    if mode == "tree":
+        ap = argparse.ArgumentParser(prog="metabuli_tpu create-uniref-tree")
+        ap.add_argument("xml")
+        ap.add_argument("out")
+        args = ap.parse_args(argv)
+        from .uniref.tree import build_tree
+
+        tree = build_tree(args.xml)
+        tree.save(args.out)
+        print(f"{len(tree.names)} nodes written to {args.out}")
+        return 0
+    ap = argparse.ArgumentParser(prog="metabuli_tpu assign_uniref")
+    ap.add_argument("query")
+    ap.add_argument("dbdir")
+    ap.add_argument("outdir")
+    ap.add_argument("--protein", type=int, default=-1,
+                    help="1=protein, 0=DNA, -1=auto-detect")
+    args = ap.parse_args(argv)
+    from .uniref.classifier import UnirefClassifier
+
+    clf = UnirefClassifier(args.dbdir)
+    protein = None if args.protein == -1 else bool(args.protein)
+    print(json.dumps(clf.classify_file(args.query, args.outdir, protein)))
+    return 0
+
+
 def _kmer_list(argv, mode):
     ap = argparse.ArgumentParser(prog=f"metabuli_tpu {mode}")
     ap.add_argument("dbdir")
@@ -445,6 +481,12 @@ COMMANDS = {
     "printDeltaIdx": (_print_delta_idx, "Print decoded diffIdx k-mers"),
     "gradeByCladeSize": (_grade_by_clade_size, "Accuracy stratified by clade size"),
     "query2reference": (_query2reference, "Map classified reads to reference accessions"),
+    "create-uniref-db": (lambda a: _uniref(a, "db"),
+                         "Build a UniRef cluster k-mer database from XML"),
+    "create-uniref-tree": (lambda a: _uniref(a, "tree"),
+                           "Build the UniRef100/90/50 cluster tree"),
+    "assign_uniref": (lambda a: _uniref(a, "assign"),
+                      "Classify protein/DNA queries to UniRef clusters"),
     "count-common-kmers": (lambda a: _kmer_list(a, "count-common-kmers"),
                            "Count k-mers shared between species"),
     "create-common-kmer-list": (lambda a: _kmer_list(a, "create-common-kmer-list"),

@@ -215,3 +215,149 @@ def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
     stack = jnp.stack([smer[..., t : t + W] for t in range(n_smer)], axis=-1)
     first_min = jnp.argmin(stack, axis=-1)
     return (first_min == 0) | (first_min == n_smer - 1)
+
+
+# ---------------------------------------------------------------- AA k-mers
+# Amino-acid k-mer scanners for kmerFormat 3/4 (UniRef / read-group modules):
+# `KmerScanner_aa2aa` (`KmerScanner.h:264-350`) over protein sequences and
+# `KmerScanner_dna2aa` (`KmerScanner.h:185-261`) over 6-frame translations.
+
+def _build_aa_char_table() -> np.ndarray:
+    """Residue char -> code (`KmerScanner.h:272-306`); codes > 23 invalid."""
+    tab = np.full(256, 27, np.uint8)
+    for i, ch in enumerate("ARNDCQEGHILKMFPSTWYV"):
+        tab[ord(ch)] = i
+    tab[ord("B")] = 20
+    tab[ord("Z")] = 21
+    tab[ord("U")] = 22
+    tab[ord("O")] = 23
+    tab[ord("*")] = 24
+    for ch in "-.?":
+        tab[ord(ch)] = 25
+    tab[ord("X")] = 26
+    # lowercase maps like uppercase (kseq yields raw sequence; the reference
+    # indexes the raw char, so keep lowercase invalid to match `aacids`)
+    return tab
+
+
+AA_CHAR_CODE = _build_aa_char_table()
+
+
+def encode_aa_seqs_padded(seqs, max_len=None):
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    if max_len is None:
+        max_len = int(lens.max()) if len(seqs) else 0
+    out = np.full((len(seqs), max_len), 27, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        if isinstance(s, str):
+            s = s.encode()
+        n = min(len(s), max_len)
+        out[i, :n] = AA_CHAR_CODE[np.frombuffer(s, dtype=np.uint8)[:n]]
+    return out, lens
+
+
+@functools.partial(jax.jit, static_argnames=("k", "syncmer", "smer_len"))
+def extract_aa_kmers(
+    codes: jax.Array,  # [B, L] uint8 residue codes
+    lens: jax.Array,
+    *,
+    k: int = 12,
+    syncmer: bool = False,
+    smer_len: int = 5,
+):
+    """AA k-mers from protein sequences (KmerScanner_aa2aa semantics):
+    5-bit packed, emitted at every window whose residues are all valid
+    (code <= 23). Returns (values u64 [B, W], pos i32, valid bool)."""
+    B, L = codes.shape
+    W = max(0, L - k + 1)
+    ok = codes <= 23
+    aa_u = codes.astype(jnp.uint64)
+    value = jnp.zeros((B, W), jnp.uint64)
+    valid = jnp.ones((B, W), bool)
+    for j in range(k):
+        value = (value << 5) | aa_u[:, j : j + W]
+        valid = valid & ok[:, j : j + W]
+    pos = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    valid = valid & (pos + k <= lens[:, None])
+    if syncmer:
+        n_smer_pos = L - smer_len + 1
+        smer = jnp.zeros((B, n_smer_pos), jnp.uint64)
+        for j in range(smer_len):
+            smer = (smer << 5) | jnp.where(ok, aa_u, 0)[:, j : j + n_smer_pos]
+        n_smer = k - smer_len + 1
+        stack = jnp.stack([smer[:, t : t + W] for t in range(n_smer)], axis=-1)
+        first_min = jnp.argmin(stack, axis=-1)
+        valid = valid & ((first_min == 0) | (first_min == n_smer - 1))
+    return value, pos, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_aa_kmers_dna(
+    codes: jax.Array,  # [B, L] uint8 base codes
+    lens: jax.Array,
+    *,
+    k: int = 12,
+):
+    """AA k-mers from 6-frame translated DNA (KmerScanner_dna2aa semantics).
+    Returns (values u64 [B, 6, W], pos i32, valid bool)."""
+    mm_like = _translate_frames(codes, lens)
+    aa, ok, pos0 = mm_like
+    B = codes.shape[0]
+    A = aa.shape[-1]
+    W = max(0, A - k + 1)
+    aa_u = jnp.where(aa >= 0, aa, 0).astype(jnp.uint64)
+    value = jnp.zeros((B, 6, W), jnp.uint64)
+    valid = jnp.ones((B, 6, W), bool)
+    for j in range(k):
+        value = (value << 5) | aa_u[..., j : j + W]
+        valid = valid & ok[..., j : j + W]
+    p = jnp.arange(W, dtype=jnp.int32)
+    sign = jnp.array([1, 1, 1, -1, -1, -1], dtype=jnp.int32)
+    # reverse pos = seqEnd - (p + k)*3 + 1; pos0 already encodes the k=8
+    # variant, so recompute from first principles here
+    fwd_pos = pos0[:, :3, None] + 3 * p[None, None, :]
+    # pos0 for reverse frames stored seqEnd - 3(K8-1) - 2; recover seqEnd
+    seq_end = pos0[:, 3:, None] + 3 * (K - 1) + 2
+    rev_pos = seq_end - 3 * (p[None, None, :] + k) + 1
+    pos = jnp.concatenate([fwd_pos, rev_pos], axis=1)
+    return value, pos.astype(jnp.int32), valid
+
+
+def _translate_frames(codes: jax.Array, lens: jax.Array):
+    """Shared 6-frame translation: returns (aa [B,6,A], ok, pos0 [B,6])."""
+    from .genetic_code import codon_tables
+
+    B, L = codes.shape
+    A = max_codons(L)
+    aa_tab = jnp.asarray(codon_tables(False)[0])
+    rc_tab = jnp.asarray(_RC8)
+    lens = lens.astype(jnp.int32)
+    used_len = jnp.maximum(3 * ((lens - 2) // 3), 0)
+    aa_len = used_len // 3
+    codon_idx = jnp.arange(A, dtype=jnp.int32)
+
+    def gather_codes(base_idx):
+        safe = jnp.clip(base_idx, 0, L - 1)
+        vals = jnp.take_along_axis(codes, safe.astype(jnp.int32), axis=1)
+        return jnp.where((base_idx >= 0) & (base_idx < L), vals, jnp.uint8(7))
+
+    aas, oks, pos0s = [], [], []
+    for f in range(6):
+        if f < 3:
+            begin = jnp.full((B,), f, dtype=jnp.int32)
+            b1 = begin[:, None] + 3 * codon_idx[None, :]
+            c1, c2, c3 = gather_codes(b1), gather_codes(b1 + 1), gather_codes(b1 + 2)
+        else:
+            begin = jnp.mod(lens % 3 - (f - 3), 3)
+            end = begin + used_len - 1
+            b1 = end[:, None] - 3 * codon_idx[None, :]
+            c1 = rc_tab[gather_codes(b1)]
+            c2 = rc_tab[gather_codes(b1 - 1)]
+            c3 = rc_tab[gather_codes(b1 - 2)]
+        ok = (c1 < 4) & (c2 < 4) & (c3 < 4) & (codon_idx[None, :] < aa_len[:, None])
+        ci = (c1.astype(jnp.int32) * 16 + c2.astype(jnp.int32) * 4
+              + c3.astype(jnp.int32)) & 63
+        aas.append(jnp.where(ok, aa_tab[ci], -1))
+        oks.append(ok)
+        pos0s.append(begin if f < 3 else (begin + used_len - 1) - 3 * (K - 1) - 2)
+    return (jnp.stack(aas, 1), jnp.stack(oks, 1), jnp.stack(pos0s, 1))
