@@ -431,6 +431,21 @@ def _uniref(argv, mode):
     return 0
 
 
+def _grouping(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu grouping")
+    ap.add_argument("query")
+    ap.add_argument("classifications")
+    ap.add_argument("outdir")
+    ap.add_argument("--min-shared-kmers", type=int, default=2)
+    args = ap.parse_args(argv)
+    from .readgroup.group import group_reads_file
+
+    print(json.dumps(group_reads_file(
+        args.query, args.classifications, args.outdir,
+        args.min_shared_kmers)))
+    return 0
+
+
 def _kmer_list(argv, mode):
     ap = argparse.ArgumentParser(prog=f"metabuli_tpu {mode}")
     ap.add_argument("dbdir")
@@ -481,6 +496,7 @@ COMMANDS = {
     "printDeltaIdx": (_print_delta_idx, "Print decoded diffIdx k-mers"),
     "gradeByCladeSize": (_grade_by_clade_size, "Accuracy stratified by clade size"),
     "query2reference": (_query2reference, "Map classified reads to reference accessions"),
+    "grouping": (_grouping, "Group overlapping reads and propagate labels"),
     "create-uniref-db": (lambda a: _uniref(a, "db"),
                          "Build a UniRef cluster k-mer database from XML"),
     "create-uniref-tree": (lambda a: _uniref(a, "tree"),
