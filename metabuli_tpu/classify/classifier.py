@@ -90,13 +90,25 @@ class Classifier:
             pass
         self.reporter = Reporter(self.taxonomy, bool(params.print_lineage))
 
-        # device arrays (32-bit split representation + prefix buckets)
+        # device arrays (32-bit split representation + prefix buckets);
+        # DBs larger than the HBM budget stream through in AA-aligned chunks
+        # (the --max-ram analogue, see classify/chunked.py)
+        from .chunked import BYTES_PER_ENTRY, ChunkedIndex
         from .pipeline import build_dev_index
 
-        self.dev_index = build_dev_index(
-            self.index.values, self.index.taxids.astype(np.int32),
-            kmer_format=params.kmer_format,
-        )
+        hbm_budget = int(params.max_ram) << 30
+        if len(self.index.values) * BYTES_PER_ENTRY > hbm_budget:
+            self.chunked_index = ChunkedIndex(
+                self.index.values, self.index.taxids.astype(np.int32),
+                kmer_format=params.kmer_format, hbm_budget_bytes=hbm_budget,
+            )
+            self.dev_index = None
+        else:
+            self.chunked_index = None
+            self.dev_index = build_dev_index(
+                self.index.values, self.index.taxids.astype(np.int32),
+                kmer_format=params.kmer_format,
+            )
         self._species_np = self.index.species_table().astype(np.int32)
         self.d_species = jax.device_put(self._species_np)
         self.cap = int(min(max(16, self.index.max_group), params.max_cap))
@@ -155,6 +167,8 @@ class Classifier:
         n_windows = len(rows) * 6 * max(0, (L - 2) // 3 - 7)
         budget = max(1024, n_windows * par.match_per_kmer)
         args = (codes, lens, pos_offsets, qid_offsets)
+        if self.chunked_index is not None:
+            return (args, None, budget)  # chunked path runs at drain time
         bm = self._launch(args, self.cap, budget)
         return (args, bm, budget)
 
@@ -174,7 +188,18 @@ class Classifier:
         (`Classifier.cpp:127-131`)."""
         args, bm, budget = ctx
         t0 = time.time()
-        m = matches_to_host(bm, self._species_np)
+        if self.chunked_index is not None:
+            from .chunked import classify_batch_chunked
+
+            par = self.par
+            m = classify_batch_chunked(
+                self.chunked_index, self.d_species, self._species_np, *args,
+                cap=self.cap, max_matches=budget,
+                reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
+                smer_len=par.smer_len, kmer_format=par.kmer_format,
+            )
+        else:
+            m = matches_to_host(bm, self._species_np)
         while True:
             if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
@@ -182,8 +207,19 @@ class Classifier:
                 budget = int(m["n_matches"] * 1.2) + 1024
             else:
                 break
-            bm = self._launch(args, self.cap, budget)
-            m = matches_to_host(bm, self._species_np)
+            if self.chunked_index is not None:
+                from .chunked import classify_batch_chunked
+
+                par = self.par
+                m = classify_batch_chunked(
+                    self.chunked_index, self.d_species, self._species_np,
+                    *args, cap=self.cap, max_matches=budget,
+                    reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
+                    smer_len=par.smer_len, kmer_format=par.kmer_format,
+                )
+            else:
+                bm = self._launch(args, self.cap, budget)
+                m = matches_to_host(bm, self._species_np)
         self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += m["total_kmers"]
         self.stats["matches"] += m["n_matches"]
