@@ -115,14 +115,21 @@ class Classifier:
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
 
     # ---------------------------------------------------------------- batches
-    def _iter_batches(self, q1: str, q2: str | None):
-        """Yield (metas, rows) where rows = list of (seq, qid_local, pos_offset)."""
+    def _iter_batches(self, q1: str, q2: str | None, skip: int = 0):
+        """Yield (metas, rows) where rows = list of (seq, qid_local, pos_offset).
+        ``skip`` drops the first N reads (restart-friendly resume, the
+        analogue of the reference's processedReadCnt skip-ahead,
+        `Classifier.cpp:76-79`)."""
         par = self.par
         batch_reads = par.batch_reads
         metas: list[QueryMeta] = []
         rows: list[tuple[bytes, int, int]] = []
         it1 = fasta.read_records(q1)
         it2 = fasta.read_records(q2) if q2 else None
+        for _ in range(skip):
+            next(it1, None)
+            if it2 is not None:
+                next(it2, None)
         while True:
             rec1 = next(it1, None)
             if rec1 is None:
@@ -256,6 +263,7 @@ class Classifier:
         q2: str | None,
         out_dir: str,
         job_id: str,
+        resume: bool = False,
     ) -> dict:
         os.makedirs(out_dir, exist_ok=True)
         cls_path = os.path.join(out_dir, f"{job_id}_classifications.tsv")
@@ -265,13 +273,28 @@ class Classifier:
         tax_counts: dict[int, int] = {}
         total_reads = 0
         first = True
+        skip = 0
+        if resume and os.path.exists(cls_path):
+            # rebuild clade counts from the existing rows, append the rest
+            with open(cls_path) as fh:
+                for line in fh:
+                    if line.startswith("#"):
+                        continue
+                    cols = line.rstrip("\n").split("\t")
+                    if len(cols) < 3:
+                        continue
+                    t = self.taxonomy.to_internal(int(cols[2])) if cols[0] == "1" else 0
+                    tax_counts[max(t, 0)] = tax_counts.get(max(t, 0), 0) + 1
+                    skip += 1
+            total_reads = skip
+            first = False
         mappings = [] if self.par.em else None
         all_results = [] if self.par.em else None
-        with open(cls_path, "w") as fh:
+        with open(cls_path, "a" if skip else "w") as fh:
             # software pipeline: the next batch's device program is dispatched
             # (async) before the current batch's host work runs
             pending = None
-            batch_iter = self._iter_batches(q1, q2)
+            batch_iter = self._iter_batches(q1, q2, skip=skip)
             while True:
                 nxt = next(batch_iter, None)
                 if nxt is not None:
@@ -315,7 +338,7 @@ class Classifier:
             self.reporter.write_krona(fh, tax_counts, total_reads)
 
         summary = {
-            "reads": total_reads,
+            "reads": total_reads - skip,
             "classified": total_reads - tax_counts.get(0, 0),
             **self.stats,
         }

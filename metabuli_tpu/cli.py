@@ -34,6 +34,10 @@ from .params import BuildParams, ClassifyParams, add_to_parser, from_args
 def _classify(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu classify")
     ap.add_argument("files", nargs="+", help="query [query2] dbdir outdir jobid")
+    ap.add_argument("--resume", action="store_true",
+                    help="append to an existing partial classifications file")
+    ap.add_argument("--trace-dir", default="",
+                    help="write a jax.profiler trace of the run here")
     add_to_parser(ap, ClassifyParams)
     args = ap.parse_args(argv)
     par = from_args(ClassifyParams, args)
@@ -69,7 +73,13 @@ def _classify(argv):
     from .classify.classifier import Classifier
 
     clf = Classifier(db_dir, par)
-    summary = clf.classify_file(q1, q2, out_dir, job_id)
+    if args.trace_dir:
+        import jax
+
+        with jax.profiler.trace(args.trace_dir):
+            summary = clf.classify_file(q1, q2, out_dir, job_id, resume=args.resume)
+    else:
+        summary = clf.classify_file(q1, q2, out_dir, job_id, resume=args.resume)
     print(json.dumps(summary))
     return 0
 

@@ -158,3 +158,52 @@ def test_unclassified_reads(tiny_world, tmp_path):
     summary = clf.classify_file(str(q), None, out_dir, "noise")
     # random 150-mers should almost never chain 4+ consecutive matches
     assert summary["classified"] <= 1
+
+
+def test_long_read_mode(tiny_world, tmp_path):
+    """seq-mode 3: long reads / contigs use the 1000 denominator and the
+    same pipeline; 2kb fragments classify to their species."""
+    rng = np.random.default_rng(404)
+    frags = []
+    truth = []
+    for acc, (genome, taxid) in tiny_world["genomes"].items():
+        st = int(rng.integers(0, len(genome) - 2000))
+        frags.append(genome[st : st + 2000])
+        truth.append(taxid)
+    q = tmp_path / "long.fna"
+    q.write_text("".join(f">L{i}\n{f.decode()}\n" for i, f in enumerate(frags)))
+    par = ClassifyParams(seq_mode=3, batch_reads=8)
+    clf = Classifier(tiny_world["db"], par)
+    assert clf.taxonomer.p.denominator == 1000
+    out = str(tmp_path / "long_out")
+    summary = clf.classify_file(str(q), None, out, "lj")
+    lines = open(os.path.join(out, "lj_classifications.tsv")).read().splitlines()
+    good = sum(
+        1 for i, ln in enumerate(lines[1:])
+        if ln.split("\t")[0] == "1" and int(ln.split("\t")[2]) == truth[i]
+    )
+    assert good == len(frags)
+
+
+def test_resume_classification(tiny_world, tmp_path):
+    """--resume appends only unprocessed reads to an existing output."""
+    rng = np.random.default_rng(11)
+    genome, taxid = tiny_world["genomes"]["ACC_A.1"]
+    reads = [genome[i * 100 : i * 100 + 150] for i in range(10)]
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">x{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    out = str(tmp_path / "res_out")
+    par = ClassifyParams(seq_mode=1, batch_reads=4)
+    clf = Classifier(tiny_world["db"], par)
+    clf.classify_file(str(q), None, out, "rj")
+    full = open(os.path.join(out, "rj_classifications.tsv")).read().splitlines()
+
+    # truncate the output to simulate an interrupted run (header + 6 rows)
+    cls_path = os.path.join(out, "rj_classifications.tsv")
+    with open(cls_path, "w") as fh:
+        fh.write("\n".join(full[:7]) + "\n")
+    clf2 = Classifier(tiny_world["db"], par)
+    summary = clf2.classify_file(str(q), None, out, "rj", resume=True)
+    assert summary["reads"] == 4  # only the remaining reads processed
+    resumed = open(cls_path).read().splitlines()
+    assert resumed == full
