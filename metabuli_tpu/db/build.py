@@ -41,6 +41,8 @@ class SeqTask:
     seq: bytes
     taxid: int      # internal
     species: int    # internal
+    single_frame: bool = False  # CDS blocks scan only forward frame 0
+                                # (`IndexCreator.cpp:1104-1127`)
 
 
 def read_acc2taxid(path: str) -> dict[str, int]:
@@ -86,11 +88,15 @@ class IndexBuilder:
         if not tasks:
             return
         par = self.par
-        # group into padded sub-batches by size so the padded matrix stays small
-        tasks = sorted(tasks, key=lambda t: len(t.seq))
+        # group into padded sub-batches by size so the padded matrix stays
+        # small; single-frame (CDS) tasks batch separately
+        tasks = sorted(tasks, key=lambda t: (t.single_frame, len(t.seq)))
         batch: list[SeqTask] = []
         batch_bases = 0
         for t in tasks:
+            if batch and batch[0].single_frame != t.single_frame:
+                self._extract_batch(batch)
+                batch, batch_bases = [], 0
             batch.append(t)
             batch_bases += max(64, len(t.seq))
             if batch_bases >= par.batch_bases:
@@ -131,6 +137,9 @@ class IndexBuilder:
         )
         value = np.asarray(mm.value)
         valid = np.asarray(mm.valid)
+        if batch[0].single_frame:
+            valid = valid.copy()
+            valid[:, 1:, :] = False  # forward frame 0 only
         b, f, w = np.nonzero(valid)
         vals = value[b, f, w]
         taxids = np.array([t.taxid for t in batch], np.uint32)[b]
@@ -215,6 +224,12 @@ def build_database(
     acc2taxid = read_acc2taxid(acc2taxid_path)
     builder = IndexBuilder(params, tax)
 
+    cds_map = {}
+    if params.cds_info:
+        from .cds import load_cds_info
+
+        cds_map = load_cds_info(params.cds_info)
+
     with open(fasta_list) as fh:
         fasta_files = [line.strip() for line in fh if line.strip()]
 
@@ -233,7 +248,17 @@ def build_database(
                 skipped += 1
                 continue
             species = int(tax.species_of[internal])
-            tasks.append(SeqTask(rec.seq, internal, species))
+            if acc in cds_map:
+                from .cds import divide_cds_noncds
+
+                cds_blocks, non_cds = divide_cds_noncds(rec.seq, cds_map[acc])
+                for block in cds_blocks + non_cds:
+                    if len(block) >= 24:
+                        tasks.append(
+                            SeqTask(block, internal, species, single_frame=True)
+                        )
+            else:
+                tasks.append(SeqTask(rec.seq, internal, species))
             acc_rows.append((acc, org_taxid))
     builder.add_sequences(tasks)
     stats = builder.finalize(db_dir, params.db_name)

@@ -81,6 +81,14 @@ def extract_metamers(
     """Extract metamers for all 6 reading frames of every read in the batch."""
     if kmer_format not in (1, 2):
         raise ValueError(f"unsupported kmer_format {kmer_format}")
+    if reduced:
+        # The reduced 16-letter alphabet packs 4-bit amino acids + 4-bit
+        # codons (32+32 bits, `SeqIterator.cpp:29-43`); its scan path is not
+        # implemented yet (tracked in PARITY.md) — fail loudly rather than
+        # emit wrong values.
+        raise NotImplementedError(
+            "reduced-alphabet (--reduced-aa) extraction is not implemented yet"
+        )
     B, L = codes.shape
     A = max_codons(L)
     W = max(0, A - K + 1)
