@@ -236,6 +236,10 @@ def build_database(
     tasks: list[SeqTask] = []
     acc_rows = []
     skipped = 0
+    acc_nodes: list[tuple[int, int, str, str]] = []  # (new org id, parent org, rank, name)
+    used_org_ids = set(int(t) for t in tax.internal2org if t > 0)
+    next_acc_id = 1
+    pending: list[tuple] = []
     for path in fasta_files:
         for rec in fasta.read_records(path):
             acc = accession_of(rec.name)
@@ -246,6 +250,16 @@ def build_database(
             internal = tax.to_internal(org_taxid)
             if internal < 0:
                 skipped += 1
+                continue
+            if params.accession_level == 1:
+                # fresh smallest-unused external taxid per accession, child
+                # of its taxon with rank "accession"
+                # (`IndexCreator.cpp:615-664`)
+                while next_acc_id in used_org_ids:
+                    next_acc_id += 1
+                used_org_ids.add(next_acc_id)
+                acc_nodes.append((next_acc_id, org_taxid, "accession", acc))
+                pending.append((rec.seq, next_acc_id, acc, org_taxid))
                 continue
             species = int(tax.species_of[internal])
             if acc in cds_map:
@@ -260,14 +274,30 @@ def build_database(
             else:
                 tasks.append(SeqTask(rec.seq, internal, species))
             acc_rows.append((acc, org_taxid))
+    if params.accession_level == 1 and acc_nodes:
+        from .update import extend_taxonomy
+
+        tax = extend_taxonomy(tax, acc_nodes)
+        builder.tax = tax
+        for seq, acc_org, acc, org_taxid in pending:
+            internal = tax.to_internal(acc_org)
+            species = int(tax.species_of[internal])
+            tasks.append(SeqTask(seq, internal, species))
+            acc_rows.append((acc, org_taxid, acc_org))
     builder.add_sequences(tasks)
     stats = builder.finalize(db_dir, params.db_name)
     stats["sequences"] = len(tasks)
     stats["skipped_accessions"] = skipped
     with open(os.path.join(db_dir, "acc2taxid.map"), "w") as fh:
-        fh.write("accession\ttaxID\n")
-        for acc, taxid in acc_rows:
-            fh.write(f"{acc}\t{taxid}\n")
+        # 3 columns in accession-level DBs (`IndexCreator.cpp:708-719`)
+        if params.accession_level == 1:
+            fh.write("accession\ttaxID\taccessionTaxID\n")
+            for row in acc_rows:
+                fh.write(f"{row[0]}\t{row[1]}\t{row[2]}\n")
+        else:
+            fh.write("accession\ttaxID\n")
+            for acc, taxid in acc_rows:
+                fh.write(f"{acc}\t{taxid}\n")
     return stats
 
 

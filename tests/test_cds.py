@@ -75,3 +75,56 @@ def test_build_with_cds_restricts_frames(tmp_path):
     # single-frame CDS extraction yields far fewer k-mers than 6-frame
     assert stats_cds["unique_kmers"] < stats_all["unique_kmers"] / 3
     assert stats_cds["unique_kmers"] > 100
+
+
+def test_accession_level_build_and_classify(tmp_path):
+    """--accession-level 1: per-accession taxa; accessionLevel 2 prunes them."""
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.db.index import load_db_taxonomy
+    from metabuli_tpu.params import BuildParams, ClassifyParams
+
+    rng = np.random.default_rng(5)
+    g1 = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 2000))
+    g2 = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 2000))
+    taxdir = tmp_path / "tax"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n4\t|\t1\t|\tspecies\t|\n")
+    (taxdir / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n4\t|\tSp\t|\t\t|\tscientific name\t|\n")
+    (taxdir / "merged.dmp").write_text("")
+    fa = tmp_path / "g.fna"
+    fa.write_text(f">ACC_1.1\n{g1.decode()}\n>ACC_2.1\n{g2.decode()}\n")
+    (tmp_path / "lib.txt").write_text(str(fa) + "\n")
+    (tmp_path / "map.tsv").write_text("ACC_1.1\t4\nACC_2.1\t4\n")
+    db = str(tmp_path / "db")
+    build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
+                   str(taxdir), BuildParams(mask_mode=0, accession_level=1))
+    tax = load_db_taxonomy(db)
+    # two accession nodes under species 4
+    acc_nodes = [i for i in range(1, tax.n_nodes() + 1)
+                 if tax.rank_of(i) == "accession"]
+    assert len(acc_nodes) == 2
+    assert all(tax.to_original(int(tax.parent[i])) == 4 for i in acc_nodes)
+    mapfile = open(os.path.join(db, "acc2taxid.map")).read().splitlines()
+    assert mapfile[0].count("\t") == 2  # 3 columns
+
+    # reads from genome 1 classify to its accession node
+    reads = [g1[i * 150 : i * 150 + 150] for i in range(8)]
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    par = ClassifyParams(seq_mode=1, batch_reads=16, accession_level=1)
+    clf = Classifier(db, par)
+    out = str(tmp_path / "out")
+    clf.classify_file(str(q), None, out, "aj")
+    lines = open(os.path.join(out, "aj_classifications.tsv")).read().splitlines()
+    acc1_org = tax.to_original(acc_nodes[0])
+    hits = [ln for ln in lines[1:] if ln.split("\t")[0] == "1"]
+    assert len(hits) >= 7
+    # classified below species level (to an accession node)
+    sub_species = [ln for ln in hits if int(ln.split("\t")[2]) != 4]
+    assert len(sub_species) >= 6
+
+
+import os
