@@ -441,6 +441,28 @@ def _uniref(argv, mode):
     return 0
 
 
+def _maketestsets(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu maketestsets")
+    ap.add_argument("assembly_list")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("out_prefix")
+    ap.add_argument("--reads-per-assembly", type=int, default=100)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--error-rate", type=float, default=0.0)
+    ap.add_argument("--paired", type=int, default=0)
+    ap.add_argument("--exclusion-fraction", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+    from .tools.benchmark import make_test_set
+
+    print(json.dumps(make_test_set(
+        args.assembly_list, args.acc2taxid, args.out_prefix,
+        reads_per_assembly=args.reads_per_assembly, read_len=args.read_len,
+        error_rate=args.error_rate, paired=bool(args.paired),
+        exclusion_fraction=args.exclusion_fraction, seed=args.seed)))
+    return 0
+
+
 def _grouping(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu grouping")
     ap.add_argument("query")
@@ -507,6 +529,9 @@ COMMANDS = {
     "gradeByCladeSize": (_grade_by_clade_size, "Accuracy stratified by clade size"),
     "query2reference": (_query2reference, "Map classified reads to reference accessions"),
     "grouping": (_grouping, "Group overlapping reads and propagate labels"),
+    "maketestsets": (_maketestsets, "Sample benchmark reads + answer sheet from assemblies"),
+    "makeInclusionTestQueries": (_maketestsets, "Alias of maketestsets (inclusion split)"),
+    "make-virus-benchmark-set": (_maketestsets, "Alias of maketestsets for viral assemblies"),
     "create-uniref-db": (lambda a: _uniref(a, "db"),
                          "Build a UniRef cluster k-mer database from XML"),
     "create-uniref-tree": (lambda a: _uniref(a, "tree"),

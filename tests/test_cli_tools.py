@@ -309,3 +309,27 @@ def test_misc_utilities(world, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     assert "GCA_000001.1" in names.read_text()
+
+
+def test_maketestsets_and_grade_roundtrip(world, tmp_path, capsys):
+    rc = cli.main([
+        "maketestsets", str(world["root"] / "library.txt"),
+        str(world["root"] / "acc2taxid.map"), str(tmp_path / "bench"),
+        "--reads-per-assembly", "10", "--error-rate", "0.01",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["reads"] == 20
+    # classify the generated set and grade against the answer sheet
+    out_dir = str(tmp_path / "bench_out")
+    rc = cli.main(["classify", str(tmp_path / "bench.fna"), world["db"],
+                   out_dir, "bj", "--seq-mode", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "grade", os.path.join(out_dir, "bj_classifications.tsv"),
+        str(tmp_path / "bench_answers.tsv"), world["db"], "--rank", "species",
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out)
+    assert result["species"]["sensitivity"] > 0.8
