@@ -80,6 +80,11 @@ def load_db_taxonomy(db_dir: str) -> Taxonomy:
             os.path.join(taxdir, "merged.dmp"),
         )
         return tax
+    binary = os.path.join(db_dir, "taxonomyDB")
+    if os.path.exists(binary):
+        from .taxdb_binary import read_taxonomy_db
+
+        return read_taxonomy_db(binary)
     raise FileNotFoundError(
-        f"no taxonomy found in {db_dir} (expected taxonomyDB.npz or taxonomy/ dmp files)"
+        f"no taxonomy found in {db_dir} (expected taxonomyDB[.npz] or taxonomy/ dmp files)"
     )
