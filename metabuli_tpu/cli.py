@@ -441,6 +441,42 @@ def _uniref(argv, mode):
     return 0
 
 
+def _make_aa_offset(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu makeAAoffset")
+    ap.add_argument("diffidx")
+    args = ap.parse_args(argv)
+    from .tools.misc import make_aa_offset
+
+    print(json.dumps(make_aa_offset(args.diffidx)))
+    return 0
+
+
+def _ictv_format(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu ictv-format")
+    ap.add_argument("classifications")
+    ap.add_argument("dbdir")
+    ap.add_argument("out", nargs="?", default="")
+    args = ap.parse_args(argv)
+    from .tools.misc import ictv_format
+
+    print(ictv_format(args.classifications, args.dbdir, args.out))
+    return 0
+
+
+def _filter_by_genus(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu filter_by_genus")
+    ap.add_argument("classifications")
+    ap.add_argument("genus_list")
+    ap.add_argument("dbdir")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    from .tools.misc import filter_by_genus
+
+    print(filter_by_genus(args.classifications, args.genus_list, args.dbdir,
+                          args.out))
+    return 0
+
+
 def _maketestsets(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu maketestsets")
     ap.add_argument("assembly_list")
@@ -530,6 +566,9 @@ COMMANDS = {
     "query2reference": (_query2reference, "Map classified reads to reference accessions"),
     "grouping": (_grouping, "Group overlapping reads and propagate labels"),
     "maketestsets": (_maketestsets, "Sample benchmark reads + answer sheet from assemblies"),
+    "makeAAoffset": (_make_aa_offset, "Decompose diffIdx into per-AA-group files"),
+    "ictv-format": (_ictv_format, "Export classifications as ICTV-challenge CSV"),
+    "filter_by_genus": (_filter_by_genus, "Keep classification rows of listed genera"),
     "makeInclusionTestQueries": (_maketestsets, "Alias of maketestsets (inclusion split)"),
     "make-virus-benchmark-set": (_maketestsets, "Alias of maketestsets for viral assemblies"),
     "create-uniref-db": (lambda a: _uniref(a, "db"),

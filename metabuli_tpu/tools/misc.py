@@ -148,3 +148,97 @@ def grade_by_clade_size(
             "precision": precision, "sensitivity": sensitivity,
         }
     return result
+
+
+def make_aa_offset(diff_idx_path: str) -> dict:
+    """`makeAAoffset` (`/root/reference/src/util/makeAAoffset.cpp`):
+    decompose a diffIdx stream into per-amino-acid-group files:
+    <f>.aa (u64 AA parts), <f>.kmers (u64 values), <f>.deltaCnt,
+    <f>.kmerCnt (u32 per-group counts)."""
+    stream = np.fromfile(diff_idx_path, dtype=np.uint16)
+    values = delta_decode(stream)
+    aa = values >> np.uint64(24)
+    new_group = np.ones(len(values), bool)
+    if len(values):
+        new_group[1:] = aa[1:] != aa[:-1]
+    starts = np.nonzero(new_group)[0]
+    counts = np.diff(np.append(starts, len(values))).astype(np.uint32)
+    aa[starts].astype(np.uint64).tofile(diff_idx_path + ".aa")
+    values.astype(np.uint64).tofile(diff_idx_path + ".kmers")
+    counts.tofile(diff_idx_path + ".kmerCnt")
+    # delta chunk count per group
+    flags = (stream & 0x8000) != 0
+    ends = np.nonzero(flags)[0]
+    chunk_counts = np.diff(np.concatenate([[-1], ends])).astype(np.uint32)
+    group_chunks = np.add.reduceat(chunk_counts, starts) if len(starts) else np.zeros(0, np.uint32)
+    group_chunks.astype(np.uint32).tofile(diff_idx_path + ".deltaCnt")
+    return {"kmers": len(values), "aa_groups": len(starts)}
+
+
+def filter_by_genus(classifications: str, genus_list_path: str, db_dir: str,
+                    out_path: str = "") -> str:
+    """`filter_by_genus`: keep classification rows whose genus is listed."""
+    tax = load_db_taxonomy(db_dir)
+    with open(genus_list_path) as fh:
+        wanted = {int(x) for x in fh.read().split() if x.strip()}
+    out_path = out_path or classifications + ".genus_filtered"
+    with open(classifications) as fh, open(out_path, "w") as out:
+        for line in fh:
+            if line.startswith("#"):
+                out.write(line)
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 3 or cols[0] != "1":
+                continue
+            t = tax.to_internal(int(cols[2]))
+            if t > 0 and tax.to_original(int(tax.genus_of[t])) in wanted:
+                out.write(line)
+    return out_path
+
+
+ICTV_RANKS = [
+    "realm", "subrealm", "kingdom", "subkingdom", "phylum", "subphylum",
+    "class", "subclass", "order", "suborder", "family", "subfamily",
+    "genus", "subgenus", "species",
+]
+
+
+def ictv_format(classifications: str, db_dir: str, out_path: str = "") -> str:
+    """`ictv-format`: ICTV-challenge CSV — per-read lineage names + scores
+    at each ICTV rank (`/root/reference/src/util/ictv-challenge-format.cpp`)."""
+    tax = load_db_taxonomy(db_dir)
+    out_path = out_path or classifications + ".ictv.csv"
+    with open(classifications) as fh, open(out_path, "w") as out:
+        header = ["SequenceID"]
+        for r in ICTV_RANKS:
+            header += [r.capitalize(), f"{r.capitalize()}_score"]
+        out.write(",".join(header) + "\n")
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 5:
+                continue
+            row = [cols[1]]
+            if cols[0] != "1":
+                row += [""] * (2 * len(ICTV_RANKS))
+                out.write(",".join(row) + "\n")
+                continue
+            t = tax.to_internal(int(cols[2]))
+            score = cols[4]
+            # collect lineage rank -> name
+            lineage = {}
+            node = t
+            for _ in range(64):
+                if node <= 0:
+                    break
+                lineage[tax.rank_of(node)] = tax.name_of(node)
+                p = int(tax.parent[node])
+                if p == node:
+                    break
+                node = p
+            for r in ICTV_RANKS:
+                name = lineage.get(r, "")
+                row += [name, score if name else ""]
+            out.write(",".join(row) + "\n")
+    return out_path

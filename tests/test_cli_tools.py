@@ -333,3 +333,55 @@ def test_maketestsets_and_grade_roundtrip(world, tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out)
     assert result["species"]["sensitivity"] > 0.8
+
+
+def test_filter_contaminants(world, tmp_path, capsys):
+    """filter command removes reads matching the contam DB."""
+    rng = np.random.default_rng(77)
+    g = world["genomes"]["ACC_A.1"][0]
+    reads = [g[i * 150 : i * 150 + 150] for i in range(5)]
+    reads += [bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 150))
+              for _ in range(5)]
+    q = tmp_path / "mix.fna"
+    q.write_text("".join(f">m{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    out_dir = str(tmp_path / "fout")
+    from metabuli_tpu.tools.filter import filter_reads
+    from metabuli_tpu.params import ClassifyParams
+
+    summary = filter_reads(str(q), None, world["db"], out_dir, "fj",
+                           world["db"],  # contam list: the DB itself
+                           ClassifyParams(seq_mode=1, batch_reads=16),
+                           print_mode=2)
+    # genome-A reads are contaminants (classified) -> removed
+    assert summary["removed"] == 5 and summary["kept"] == 5
+    kept = open(os.path.join(out_dir, "mix_filtered.fna")).read()
+    assert kept.count(">") == 5
+
+
+def test_ictv_and_aa_offset_and_genus_filter(world, tmp_path, capsys):
+    out_dir = str(world["root"] / "cls_out")
+    cls_file = os.path.join(out_dir, "cj_classifications.tsv")
+
+    rc = cli.main(["ictv-format", cls_file, world["db"],
+                   str(tmp_path / "ictv.csv")])
+    assert rc == 0
+    capsys.readouterr()
+    lines = open(tmp_path / "ictv.csv").read().splitlines()
+    assert lines[0].startswith("SequenceID,Realm")
+    assert any("SpA1" in ln for ln in lines[1:])
+
+    rc = cli.main(["makeAAoffset", os.path.join(world["db"], "diffIdx")])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["aa_groups"] > 100
+    assert os.path.exists(os.path.join(world["db"], "diffIdx.aa"))
+
+    genus_list = tmp_path / "genera.txt"
+    genus_list.write_text("3\n")
+    rc = cli.main(["filter_by_genus", cls_file, str(genus_list), world["db"],
+                   "--out", str(tmp_path / "bygenus.tsv")])
+    assert rc == 0
+    capsys.readouterr()
+    body = [ln for ln in open(tmp_path / "bygenus.tsv").read().splitlines()
+            if not ln.startswith("#")]
+    assert len(body) >= 9
