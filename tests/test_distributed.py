@@ -32,3 +32,34 @@ def test_global_mesh_and_explicit_placement():
     out = step(*db_global, t2s, *reads)
     merged = merge_shard_matches(out, B, t2s)
     assert merged["n_matches"] >= 0  # executes end-to-end with explicit shardings
+
+
+def test_two_process_distributed_run():
+    """Real multi-process jax.distributed execution of the sharded classify
+    step (2 processes x 2 CPU devices = 4-device global mesh)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "helpers", "dist_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", f"localhost:{port}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"proc {i}: OK" in out
+        assert "global=4" in out
