@@ -156,7 +156,7 @@ def main():
             )
 
         max_matches = BATCH * 300
-        kw = dict(cap=max(8, cap), max_matches=max_matches)
+        kw = dict(cap=max(1, cap), max_matches=max_matches)
 
         def dispatch(codes, lens, offs, qids, n_chunk):
             return classify_batch_indexed(

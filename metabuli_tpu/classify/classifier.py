@@ -111,7 +111,9 @@ class Classifier:
             )
         self._species_np = self.index.species_table().astype(np.int32)
         self.d_species = jax.device_put(self._species_np)
-        self.cap = int(min(max(16, self.index.max_group), params.max_cap))
+        # cap = the DB's true max AA-group size (no silent drop possible);
+        # clamped by --max-cap for pathological low-complexity groups
+        self.cap = int(min(max(1, self.index.max_group), params.max_cap))
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
 
     # ---------------------------------------------------------------- batches
