@@ -10,14 +10,12 @@ match budget retries with a larger setting (`Classifier.cpp:127-131`).
 from __future__ import annotations
 
 import os
-import sys
 import time
 from dataclasses import dataclass
 
 import jax
 import numpy as np
 
-from ..db.formats import DbParameters
 from ..db.index import MetamerIndex
 from ..io import fasta
 from ..io.report import Reporter

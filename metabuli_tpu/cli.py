@@ -520,7 +520,7 @@ def _kmer_list(argv, mode):
     ap.add_argument("out", nargs="?", default="")
     args = ap.parse_args(argv)
     from .db.build import filter_common_kmers, filter_unique_kmers
-    from .db.formats import read_db_values, delta_encode
+    from .db.formats import delta_encode
     from .db.index import MetamerIndex
 
     index = MetamerIndex.load(args.dbdir)

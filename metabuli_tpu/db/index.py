@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .formats import DbParameters, read_db_values, read_taxid_list
+from .formats import DbParameters, read_db_values
 from .taxonomy import Taxonomy
 
 

@@ -14,8 +14,7 @@ import numpy as np
 
 from ..params import BuildParams
 from .build import IndexBuilder, SeqTask, accession_of, read_acc2taxid
-from .formats import read_db_values
-from .index import MetamerIndex, load_db_taxonomy
+from .index import MetamerIndex
 from .taxonomy import Taxonomy
 from ..io import fasta
 

@@ -21,11 +21,9 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..classify.pipeline import (
-    FIELDS,
     PREFIX_BITS,
     _classify_batch_impl,
     expand_db_dna48,
