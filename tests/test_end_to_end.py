@@ -207,3 +207,66 @@ def test_resume_classification(tiny_world, tmp_path):
     assert summary["reads"] == 4  # only the remaining reads processed
     resumed = open(cls_path).read().splitlines()
     assert resumed == full
+
+
+def test_gzip_inputs(tiny_world, tmp_path):
+    """Gzipped FASTQ queries work end to end."""
+    import gzip
+
+    genome, taxid = tiny_world["genomes"]["ACC_B.1"]
+    reads = [genome[i * 120 : i * 120 + 150] for i in range(6)]
+    q = tmp_path / "r.fq.gz"
+    payload = "".join(f"@z{i}\n{r.decode()}\n+\n{'I'*len(r)}\n"
+                      for i, r in enumerate(reads))
+    with gzip.open(q, "wt") as fh:
+        fh.write(payload)
+    par = ClassifyParams(seq_mode=1, batch_reads=8)
+    clf = Classifier(tiny_world["db"], par)
+    out = str(tmp_path / "gz_out")
+    summary = clf.classify_file(str(q), None, out, "gz")
+    assert summary["classified"] == 6
+    lines = open(os.path.join(out, "gz_classifications.tsv")).read().splitlines()
+    assert all(ln.split("\t")[2] == str(taxid) for ln in lines[1:])
+
+
+def test_empty_and_tiny_query_files(tiny_world, tmp_path):
+    q = tmp_path / "empty.fna"
+    q.write_text("")
+    par = ClassifyParams(seq_mode=1, batch_reads=8)
+    clf = Classifier(tiny_world["db"], par)
+    summary = clf.classify_file(str(q), None, str(tmp_path / "e_out"), "e")
+    assert summary["reads"] == 0
+
+    q2 = tmp_path / "tiny.fna"
+    q2.write_text(">t0\nACGT\n>t1\n" + "A" * 23 + "\n")  # below k-mer minimum
+    summary = clf.classify_file(str(q2), None, str(tmp_path / "t_out"), "t")
+    assert summary["reads"] == 2 and summary["classified"] == 0
+
+
+def test_iupac_genome_build(tmp_path):
+    """Degenerate IUPAC codes in reference genomes canonicalize like the
+    reference's atcg table; Ns break k-mer windows."""
+    from metabuli_tpu.db.build import build_database
+    rng = np.random.default_rng(21)
+    core = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 3000))
+    messy = core[:1000] + b"RYSWKMBDHVN" * 10 + core[1000:]
+    taxdir = tmp_path / "tax"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text("1\t|\t1\t|\tno rank\t|\n4\t|\t1\t|\tspecies\t|\n")
+    (taxdir / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n4\t|\tSp\t|\t\t|\tscientific name\t|\n")
+    (taxdir / "merged.dmp").write_text("")
+    fa = tmp_path / "g.fna"
+    fa.write_text(f">ACC_M.1\n{messy.decode()}\n")
+    (tmp_path / "lib.txt").write_text(str(fa) + "\n")
+    (tmp_path / "map.tsv").write_text("ACC_M.1\t4\n")
+    db = str(tmp_path / "db")
+    stats = build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
+                           str(taxdir), BuildParams(mask_mode=0))
+    assert stats["unique_kmers"] > 1000
+    # reads from the clean core still classify
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">c{i}\n{core[i*150:i*150+150].decode()}\n" for i in range(5)))
+    clf = Classifier(db, ClassifyParams(seq_mode=1, batch_reads=8))
+    summary = clf.classify_file(str(q), None, str(tmp_path / "out"), "m")
+    assert summary["classified"] == 5
