@@ -128,12 +128,13 @@ def _extract(argv):
     ap.add_argument("dbdir")
     ap.add_argument("--tax-id", type=int, required=True)
     ap.add_argument("--extract-mode", type=int, default=1)
+    ap.add_argument("--outdir", default="")
     args = ap.parse_args(argv)
     from .tools.extract import extract_reads
 
     out = extract_reads(
         args.query, args.classifications, args.dbdir, args.tax_id,
-        extract_mode=args.extract_mode,
+        extract_mode=args.extract_mode, out_dir=args.outdir,
     )
     print(out)
     return 0
@@ -220,8 +221,13 @@ def _print_info(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu printInfo")
     ap.add_argument("info")
     ap.add_argument("n", nargs="?", type=int, default=20)
+    ap.add_argument("--info-begin", type=int, default=0)
+    ap.add_argument("--info-end", type=int, default=0)
     args = ap.parse_args(argv)
-    data = np.fromfile(args.info, dtype=np.uint32, count=args.n)
+    begin = args.info_begin
+    count = (args.info_end - begin) if args.info_end else args.n
+    data = np.fromfile(args.info, dtype=np.uint32, count=count,
+                       offset=begin * 4)
     for t in data:
         print(int(t))
     return 0
@@ -233,10 +239,15 @@ def _grade(argv):
     ap.add_argument("answer_sheet")
     ap.add_argument("dbdir")
     ap.add_argument("--rank", default="species")
+    ap.add_argument("--test-rank", default="", help="alias of --rank (reference name)")
+    ap.add_argument("--readid-col", type=int, default=0)
+    ap.add_argument("--taxid-col", type=int, default=1)
     args = ap.parse_args(argv)
     from .tools.grade import grade
 
-    result = grade(args.classifications, args.answer_sheet, args.dbdir, args.rank)
+    result = grade(args.classifications, args.answer_sheet, args.dbdir,
+                   args.test_rank or args.rank,
+                   readid_col=args.readid_col, taxid_col=args.taxid_col)
     print(json.dumps(result, indent=2))
     return 0
 

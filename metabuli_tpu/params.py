@@ -65,9 +65,13 @@ class ClassifyParams:
     print_log: int = 0
     print_lineage: int = 0
     max_gap: int = 0
+    max_shift: int = 0
+    min_ss_match: int = 2
     validate_input: int = 0
     validate_db: int = 0
     taxonomy_path: str = ""
+    buffer_size: int = 16777216
+    random_seed: int = 42
     # TPU-specific execution knobs
     batch_reads: int = field(default=2048, metadata={"help": "reads per device batch"})
     max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
@@ -95,6 +99,10 @@ class BuildParams:
     gtdb: int = 0
     make_library: int = 0
     cds_info: str = ""
+    assembly: int = 0
+    spacing_mask: str = "11111111"
+    buffer_size: int = 16777216
+    tinfo_path: str = ""
     # TPU-specific
     batch_bases: int = field(
         default=2_000_000, metadata={"help": "bases per device extraction batch"}

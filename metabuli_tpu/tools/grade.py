@@ -51,11 +51,13 @@ def grade(
     answer_sheet: str,
     db_dir: str,
     ranks: str | list[str] = "",
+    readid_col: int = 0,
+    taxid_col: int = 1,
 ) -> dict:
     tax = load_db_taxonomy(db_dir)
     if isinstance(ranks, str):
         ranks = [r for r in ranks.split(",") if r] or DEFAULT_RANKS
-    answers = read_answer_sheet(answer_sheet)
+    answers = read_answer_sheet(answer_sheet, readid_col, taxid_col)
     shots = read_classifications(classifications)
 
     result = {}
