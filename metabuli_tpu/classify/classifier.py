@@ -77,6 +77,11 @@ class Classifier:
             kmer_format=params.kmer_format,
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
+        self.device_taxonomer = None
+        if params.device_tax:
+            from .device_taxonomer import DeviceTaxonomer
+
+            self.device_taxonomer = DeviceTaxonomer(tp, self.taxonomy)
         self.native_taxonomer = None
         try:
             from .native_taxonomer import NativeTaxonomer
@@ -239,6 +244,15 @@ class Classifier:
         starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
         ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
         read_lens = np.array([meta.read_len for meta in metas], np.int32)
+        if self.device_taxonomer is not None:
+            try:
+                out = self.device_taxonomer.assign_batch(
+                    m, read_lens, len(metas)
+                )
+                self.stats["tax_s"] += time.time() - t0
+                return out
+            except NotImplementedError:
+                pass  # grid overflow: fall through to the host taxonomer
         if self.native_taxonomer is not None:
             out, _ = self.native_taxonomer.assign_batch(m, starts, ends, read_lens)
             self.stats["tax_s"] += time.time() - t0

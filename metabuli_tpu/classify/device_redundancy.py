@@ -77,6 +77,16 @@ def quotient_best(
 ) -> QuotientResult:
     M = qid.shape[0]
     quot = pos // dna_shift
+    # quotients span frames, but matches arrive frame-major — re-sort so
+    # each (read, species, quotient) set is one contiguous segment
+    # (`filterRedundantMatches` walks the whole species range, all frames)
+    big_key = jnp.int32(2**31 - 1)
+    k_qid = jnp.where(valid, qid, big_key)
+    qid, species, quot, hamming, taxid, v_i = jax.lax.sort(
+        (k_qid, species, quot, hamming, taxid, valid.astype(jnp.int32)),
+        num_keys=3,
+    )
+    valid = v_i.astype(bool)
     seg_new = jnp.ones(M, bool)
     seg_new = seg_new.at[1:].set(
         ~(

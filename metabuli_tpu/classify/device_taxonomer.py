@@ -1,0 +1,191 @@
+"""Experimental full device taxonomer: matches -> per-read classifications.
+
+Composes the oracle-verified device blocks (chain DP, path combination,
+quotient redundancy reduction) into one flow equivalent to
+``Taxonomer::chooseBestTaxon`` (`/root/reference/src/commons/Taxonomer.cpp:130-202`):
+
+  device: chain -> paths -> per-(read, species) combined scores
+          + per-(read, species, quotient) best taxids
+  host:   species selection (ties -> taxonomy LCA), min-score /
+          min-sp-score branches, clade-count BFS below species, EM mappings
+
+Only the small per-group tensors leave the device (~3 ints per distinct
+quotient instead of 5 per match). Not yet the default classifier path —
+enabled via ``Classifier(..., device_tax=True)`` once wired; currently
+exercised by tests for equivalence with the host taxonomer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .device_chain import chain_matches
+from .device_combine import combine_paths
+from .device_redundancy import device_taxonomy, quotient_best
+from .taxonomer import ReadClassification, TaxonomerParams
+
+
+class DeviceTaxonomer:
+    """Batch taxonomer using the device blocks; host finishes per read."""
+
+    def __init__(self, params: TaxonomerParams, taxonomy):
+        self.p = params
+        self.tax = taxonomy
+        self.dt = device_taxonomy(taxonomy)
+        # euk-aware min depth per species (dense internal ids)
+        n = taxonomy.n_nodes()
+        euk = np.zeros(n + 1, bool)
+        if taxonomy.eukaryota_id:
+            e = taxonomy.eukaryota_id
+            for i in range(1, n + 1):
+                euk[i] = taxonomy.is_ancestor(e, i)
+        self.min_depth = np.where(
+            euk, params.min_cons_cnt_euk, params.min_cons_cnt
+        ).astype(np.int32)
+
+    def assign_batch(self, m: dict, read_lens_by_qid: np.ndarray,
+                     n_reads: int) -> list[ReadClassification]:
+        p = self.p
+        M = len(m["qid"])
+        if M == 0:
+            return [ReadClassification() for _ in range(n_reads)]
+        valid = np.ones(M, bool)
+
+        # --- device: chain DP
+        n_blocks = 1
+        while n_blocks < min(max(M, 2), 1 << 20):
+            n_blocks *= 2
+        w = 256
+        res = chain_matches(
+            m["qid"], m["species"], m["frame"], m["pos"], m["hamming"],
+            m["dna"], m["h16"], valid, self.min_depth,
+            n_blocks=n_blocks, w=w, k=4,
+            max_shift=p.max_codon_shift, kmer_format=p.kmer_format,
+        )
+        if np.asarray(res.fallback).any():
+            raise NotImplementedError(
+                "device taxonomer grid overflow; host fallback required"
+            )
+
+        # flatten emissions -> flat path arrays
+        em = np.asarray(res.emit_mask)
+        widx, bidx, sidx = np.nonzero(em)
+        p_read = np.asarray(res.block_read)[bidx]
+        p_species = np.asarray(res.block_species)[bidx]
+        p_start = np.asarray(res.start)[widx, bidx, sidx]
+        p_end = np.asarray(res.end)[widx, bidx, sidx]
+        p_score = np.asarray(res.score)[widx, bidx, sidx]
+        p_ham = np.asarray(res.hamming)[widx, bidx, sidx]
+        p_sh16 = np.asarray(res.start_h16)[widx, bidx, sidx]
+        p_eh16 = np.asarray(res.end_h16)[widx, bidx, sidx]
+
+        # --- device: combine per (read, species)
+        n_paths = len(p_read)
+        results = [ReadClassification() for _ in range(n_reads)]
+        if n_paths == 0:
+            return results
+        n_groups = 1
+        while n_groups < min(max(n_paths, 2), 1 << 20):
+            n_groups *= 2
+        comb = combine_paths(
+            p_read.astype(np.int32), p_species.astype(np.int32),
+            p_start.astype(np.int32), p_end.astype(np.int32),
+            p_score.astype(np.float32), p_ham.astype(np.int32),
+            p_sh16.astype(np.int32), p_eh16.astype(np.int32),
+            np.ones(n_paths, bool), read_lens_by_qid.astype(np.int32),
+            n_groups=n_groups, p_max=64,
+        )
+        if np.asarray(comb.fallback).any():
+            raise NotImplementedError("device combine overflow")
+
+        g_ok = np.asarray(comb.group_valid)
+        g_read = np.asarray(comb.group_read)[g_ok]
+        g_sp = np.asarray(comb.group_species)[g_ok]
+        g_score = np.asarray(comb.score)[g_ok].astype(np.float32)
+
+        # --- device: per-quotient best taxids (all (read, species) pairs)
+        max_rows = 1
+        while max_rows < max(M, 2):
+            max_rows *= 2
+        qres = quotient_best(
+            self.dt, m["qid"], m["species"], m["pos"], m["hamming"],
+            m["taxid"], valid, dna_shift=p.dna_shift, max_rows=max_rows,
+        )
+        n_rows = int(qres.n_rows)
+        r_read = np.asarray(qres.row_read)[:n_rows]
+        r_sp = np.asarray(qres.row_species)[:n_rows]
+        r_tax = np.asarray(qres.row_taxid)[:n_rows]
+
+        # --- host: per-read selection + below-species descent
+        order = np.lexsort((g_sp, g_read))
+        g_read, g_sp, g_score = g_read[order], g_sp[order], g_score[order]
+        starts = np.searchsorted(g_read, np.arange(n_reads), side="left")
+        ends = np.searchsorted(g_read, np.arange(n_reads), side="right")
+        q_order = np.lexsort((r_sp, r_read))
+        r_read, r_sp, r_tax = r_read[q_order], r_sp[q_order], r_tax[q_order]
+
+        from .taxonomer import F32, Taxonomer
+
+        host = Taxonomer(p, self.tax)
+        for rid in range(n_reads):
+            lo, hi = int(starts[rid]), int(ends[rid])
+            if lo == hi:
+                continue
+            sp2score = [
+                (int(g_sp[i]), F32(g_score[i]))
+                for i in range(lo, hi)
+                if g_score[i] >= p.min_score
+            ]
+            # reproduce getBestSpeciesMatches selection (`:388-407`)
+            meaningful = sum(1 for _, sc in sp2score if sc > 0)
+            if meaningful == 0 or not sp2score:
+                continue
+            res_rc = results[rid]
+            if p.em:
+                ordered = sorted(sp2score, key=lambda x: -x[1])
+                res_rc.top_species = ordered[0][0]
+                res_rc.species_scores = [
+                    (sp, float(F32(sc) * F32(sc))) for sp, sc in ordered[:10]
+                ]
+            best_sp_score = max(sc for _, sc in sp2score)
+            max_species = []
+            total = F32(0)
+            for sp, sc in sp2score:
+                if sc >= best_sp_score * F32(p.tie_ratio):
+                    max_species.append(sp)
+                    total = F32(total + sc)
+            if len(max_species) > 1:
+                lca = self.tax.lca(max_species)
+                score = F32(total / len(max_species))
+                if score == 0 or score < p.min_score:
+                    res_rc.score = float(score)
+                    continue
+                res_rc.is_classified = True
+                res_rc.taxid = lca
+                res_rc.score = float(score)
+                continue
+            best = max_species[0]
+            score = total
+            if score == 0 or score < p.min_score:
+                res_rc.score = float(score)
+                continue
+            # tax counts for the winning species
+            a = np.searchsorted(r_read, rid, side="left")
+            b = np.searchsorted(r_read, rid, side="right")
+            sel = (r_sp[a:b] == best)
+            tax_cnt: dict[int, int] = {}
+            for t in r_tax[a:b][sel]:
+                tax_cnt[int(t)] = tax_cnt.get(int(t), 0) + 1
+            res_rc.tax_counts = tax_cnt
+            res_rc.is_classified = True
+            res_rc.score = float(score)
+            if score < p.min_sp_score:
+                species = self.tax.species_of[best]
+                res_rc.taxid = int(self.tax.parent[species])
+            elif p.em:
+                res_rc.taxid = best
+            else:
+                res_rc.taxid = host._lower_rank(
+                    tax_cnt, best, int(read_lens_by_qid[rid])
+                )
+        return results

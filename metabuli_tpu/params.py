@@ -75,6 +75,7 @@ class ClassifyParams:
     # TPU-specific execution knobs
     batch_reads: int = field(default=2048, metadata={"help": "reads per device batch"})
     max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
+    device_tax: int = field(default=0, metadata={"help": "experimental: run the taxonomer stages on device"})
 
 
 @dataclass
