@@ -67,41 +67,42 @@ class DeviceTaxonomer:
                 "device taxonomer grid overflow; host fallback required"
             )
 
-        # flatten emissions -> flat path arrays
-        em = np.asarray(res.emit_mask)
-        widx, bidx, sidx = np.nonzero(em)
-        p_read = np.asarray(res.block_read)[bidx]
-        p_species = np.asarray(res.block_species)[bidx]
-        p_start = np.asarray(res.start)[widx, bidx, sidx]
-        p_end = np.asarray(res.end)[widx, bidx, sidx]
-        p_score = np.asarray(res.score)[widx, bidx, sidx]
-        p_ham = np.asarray(res.hamming)[widx, bidx, sidx]
-        p_sh16 = np.asarray(res.start_h16)[widx, bidx, sidx]
-        p_eh16 = np.asarray(res.end_h16)[widx, bidx, sidx]
-
-        # --- device: combine per (read, species)
-        n_paths = len(p_read)
+        # --- device: compact emissions + combine per (read, species);
+        # everything stays on-chip until the small group tensors
         results = [ReadClassification() for _ in range(n_reads)]
-        if n_paths == 0:
+        budget = 1
+        while budget < min(max(M, 2), 1 << 22):
+            budget *= 2
+        from .device_compact import compact_paths
+
+        flat = compact_paths(res, budget=budget)
+        if int(flat.n_paths) > budget:
+            raise NotImplementedError("device path budget overflow")
+        if int(flat.n_paths) == 0:
             return results
-        n_groups = 1
-        while n_groups < min(max(n_paths, 2), 1 << 20):
-            n_groups *= 2
         comb = combine_paths(
-            p_read.astype(np.int32), p_species.astype(np.int32),
-            p_start.astype(np.int32), p_end.astype(np.int32),
-            p_score.astype(np.float32), p_ham.astype(np.int32),
-            p_sh16.astype(np.int32), p_eh16.astype(np.int32),
-            np.ones(n_paths, bool), read_lens_by_qid.astype(np.int32),
-            n_groups=n_groups, p_max=64,
+            flat.read, flat.species, flat.start, flat.end, flat.score,
+            flat.ham, flat.sh16, flat.eh16, flat.valid,
+            read_lens_by_qid.astype(np.int32),
+            n_groups=budget, p_max=64,
         )
         if np.asarray(comb.fallback).any():
             raise NotImplementedError("device combine overflow")
 
-        g_ok = np.asarray(comb.group_valid)
-        g_read = np.asarray(comb.group_read)[g_ok]
-        g_sp = np.asarray(comb.group_species)[g_ok]
-        g_score = np.asarray(comb.score)[g_ok].astype(np.float32)
+        # compact the (read, species) score groups on device: only the
+        # small per-group tensors leave the chip
+        from .device_compact import compact_groups
+
+        g_budget = 1024
+        while g_budget < min(4 * n_reads, budget):
+            g_budget *= 2
+        groups = compact_groups(comb, budget=g_budget)
+        n_g = int(groups.n_groups)
+        if n_g > g_budget:
+            raise NotImplementedError("device group budget overflow")
+        g_read = np.asarray(groups.read)[:n_g]
+        g_sp = np.asarray(groups.species)[:n_g]
+        g_score = np.asarray(groups.score)[:n_g].astype(np.float32)
 
         # --- device: per-quotient best taxids (all (read, species) pairs)
         max_rows = 1
@@ -112,9 +113,13 @@ class DeviceTaxonomer:
             m["taxid"], valid, dna_shift=p.dna_shift, max_rows=max_rows,
         )
         n_rows = int(qres.n_rows)
-        r_read = np.asarray(qres.row_read)[:n_rows]
-        r_sp = np.asarray(qres.row_species)[:n_rows]
-        r_tax = np.asarray(qres.row_taxid)[:n_rows]
+        n_pad = 1024
+        while n_pad < n_rows:
+            n_pad *= 2
+        n_pad = min(n_pad, int(qres.row_read.shape[0]))
+        r_read = np.asarray(qres.row_read[:n_pad])[:n_rows]
+        r_sp = np.asarray(qres.row_species[:n_pad])[:n_rows]
+        r_tax = np.asarray(qres.row_taxid[:n_pad])[:n_rows]
 
         # --- host: per-read selection + below-species descent
         order = np.lexsort((g_sp, g_read))
