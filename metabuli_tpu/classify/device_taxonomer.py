@@ -44,18 +44,29 @@ class DeviceTaxonomer:
         ).astype(np.int32)
 
     def assign_batch(self, m: dict, read_lens_by_qid: np.ndarray,
-                     n_reads: int) -> list[ReadClassification]:
+                     n_reads: int, valid=None,
+                     n_blocks: int | None = None,
+                     w: int | None = None) -> list[ReadClassification]:
         p = self.p
-        M = len(m["qid"])
+        M = int(m["qid"].shape[0])
         if M == 0:
             return [ReadClassification() for _ in range(n_reads)]
-        valid = np.ones(M, bool)
+        if valid is None:
+            valid = np.ones(M, bool)
 
-        # --- device: chain DP
-        n_blocks = 1
-        while n_blocks < min(max(M, 2), 1 << 20):
-            n_blocks *= 2
-        w = 256
+        # --- device: chain DP. The grid is sized by BLOCK count
+        # ((read, species, frame) runs) and read length, not match count;
+        # overflow raises for the caller's host fallback.
+        if w is None:
+            max_q = int(np.max(read_lens_by_qid)) // 3 + 4
+            w = 16
+            while w < min(max_q, 2048):
+                w *= 2
+        if n_blocks is None:
+            est = max(1024, 8 * n_reads)
+            n_blocks = 1
+            while n_blocks < min(est, M, 1 << 20):
+                n_blocks *= 2
         res = chain_matches(
             m["qid"], m["species"], m["frame"], m["pos"], m["hamming"],
             m["dna"], m["h16"], valid, self.min_depth,
@@ -70,7 +81,7 @@ class DeviceTaxonomer:
         # --- device: compact emissions + combine per (read, species);
         # everything stays on-chip until the small group tensors
         results = [ReadClassification() for _ in range(n_reads)]
-        budget = 1
+        budget = 1024
         while budget < min(max(M, 2), 1 << 22):
             budget *= 2
         from .device_compact import compact_paths
