@@ -17,7 +17,49 @@ exercised by tests for equivalence with the host taxonomer.
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _pow2(n: int, cap: int) -> int:
+    v = 1024
+    while v < n:
+        v *= 2
+    return min(v, cap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("path_budget", "g_budget", "max_rows", "dna_shift"),
+)
+def _tail_program(dt, chain_res, qid_a, sp_a, pos_a, ham_a, tax_a, valid_a,
+                  rl, *, path_budget, g_budget, max_rows, dna_shift):
+    """Fused post-chain stages: compact -> combine -> group compaction ->
+    quotient reduction, one dispatch."""
+    from .device_compact import compact_groups, compact_paths
+
+    flat = compact_paths(chain_res, budget=path_budget)
+    comb = combine_paths(
+        flat.read, flat.species, flat.start, flat.end, flat.score,
+        flat.ham, flat.sh16, flat.eh16, flat.valid, rl,
+        n_groups=g_budget, p_max=64,
+    )
+    groups = compact_groups(comb, budget=g_budget)
+    qres = quotient_best(
+        dt, qid_a, sp_a, pos_a, ham_a, tax_a, valid_a,
+        dna_shift=dna_shift, max_rows=max_rows,
+    )
+    overflow = (
+        (flat.n_paths > path_budget).astype(jnp.int32)
+        + comb.fallback.any().astype(jnp.int32)
+        + (groups.n_groups > g_budget).astype(jnp.int32)
+    )
+    counts = jnp.stack([groups.n_groups, qres.n_rows, overflow])
+    return groups, qres, counts
+
 
 from .device_chain import chain_matches
 from .device_combine import combine_paths
@@ -78,59 +120,42 @@ class DeviceTaxonomer:
                 "device taxonomer grid overflow; host fallback required"
             )
 
-        # --- device: compact emissions + combine per (read, species);
-        # everything stays on-chip until the small group tensors
+        # --- device: compact emissions -> combine -> group compaction ->
+        # quotient reduction, all in one on-chip program; only the compact
+        # group/quotient tensors and overflow counters transfer.
         results = [ReadClassification() for _ in range(n_reads)]
-        budget = 1024
-        while budget < min(max(M, 2), 1 << 22):
-            budget *= 2
-        from .device_compact import compact_paths
-
-        flat = compact_paths(res, budget=budget)
-        if int(flat.n_paths) > budget:
-            raise NotImplementedError("device path budget overflow")
-        if int(flat.n_paths) == 0:
-            return results
-        comb = combine_paths(
-            flat.read, flat.species, flat.start, flat.end, flat.score,
-            flat.ham, flat.sh16, flat.eh16, flat.valid,
-            read_lens_by_qid.astype(np.int32),
-            n_groups=budget, p_max=64,
-        )
-        if np.asarray(comb.fallback).any():
-            raise NotImplementedError("device combine overflow")
-
-        # compact the (read, species) score groups on device: only the
-        # small per-group tensors leave the chip
-        from .device_compact import compact_groups
-
+        path_budget = 1024
+        while path_budget < min(max(M, 2), 1 << 22):
+            path_budget *= 2
         g_budget = 1024
-        while g_budget < min(4 * n_reads, budget):
+        while g_budget < 8 * n_reads:
             g_budget *= 2
-        groups = compact_groups(comb, budget=g_budget)
-        n_g = int(groups.n_groups)
-        if n_g > g_budget:
-            raise NotImplementedError("device group budget overflow")
-        g_read = np.asarray(groups.read)[:n_g]
-        g_sp = np.asarray(groups.species)[:n_g]
-        g_score = np.asarray(groups.score)[:n_g].astype(np.float32)
-
-        # --- device: per-quotient best taxids (all (read, species) pairs)
-        max_rows = 1
+        max_rows = 1024
         while max_rows < max(M, 2):
             max_rows *= 2
-        qres = quotient_best(
-            self.dt, m["qid"], m["species"], m["pos"], m["hamming"],
-            m["taxid"], valid, dna_shift=p.dna_shift, max_rows=max_rows,
+
+        groups, qres, counts_dev = _tail_program(
+            self.dt, res, m["qid"], m["species"], m["pos"], m["hamming"],
+            m["taxid"], valid, read_lens_by_qid.astype(np.int32),
+            path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
+            dna_shift=p.dna_shift,
         )
-        n_rows = int(qres.n_rows)
-        n_pad = 1024
-        while n_pad < n_rows:
-            n_pad *= 2
-        n_pad = min(n_pad, int(qres.row_read.shape[0]))
-        r_read = np.asarray(qres.row_read[:n_pad])[:n_rows]
-        r_sp = np.asarray(qres.row_species[:n_pad])[:n_rows]
-        r_tax = np.asarray(qres.row_taxid[:n_pad])[:n_rows]
+        counts = np.asarray(counts_dev)
+        if int(counts[2]):
+            raise NotImplementedError("device taxonomer budget overflow")
+        n_g = int(counts[0])
+        if n_g == 0:
+            return results
+        g_read = np.asarray(groups.read[:_pow2(n_g, g_budget)])[:n_g]
+        g_sp = np.asarray(groups.species[:_pow2(n_g, g_budget)])[:n_g]
+        g_score = np.asarray(
+            groups.score[:_pow2(n_g, g_budget)]
+        )[:n_g].astype(np.float32)
+        n_rows = int(counts[1])
+        np_pad = _pow2(n_rows, max_rows)
+        r_read = np.asarray(qres.row_read[:np_pad])[:n_rows]
+        r_sp = np.asarray(qres.row_species[:np_pad])[:n_rows]
+        r_tax = np.asarray(qres.row_taxid[:np_pad])[:n_rows]
 
         # --- host: per-read selection + below-species descent
         order = np.lexsort((g_sp, g_read))
