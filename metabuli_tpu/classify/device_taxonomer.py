@@ -157,69 +157,97 @@ class DeviceTaxonomer:
         r_sp = np.asarray(qres.row_species[:np_pad])[:n_rows]
         r_tax = np.asarray(qres.row_taxid[:np_pad])[:n_rows]
 
-        # --- host: per-read selection + below-species descent
+        # --- host: vectorized per-read selection, python only for the rare
+        # tie/LCA and below-species BFS cases
         order = np.lexsort((g_sp, g_read))
         g_read, g_sp, g_score = g_read[order], g_sp[order], g_score[order]
-        starts = np.searchsorted(g_read, np.arange(n_reads), side="left")
-        ends = np.searchsorted(g_read, np.arange(n_reads), side="right")
-        q_order = np.lexsort((r_sp, r_read))
-        r_read, r_sp, r_tax = r_read[q_order], r_sp[q_order], r_tax[q_order]
+
+        keep = g_score >= p.min_score
+        gk_read = g_read[keep]
+        gk_sp = g_sp[keep]
+        gk_score = g_score[keep].astype(np.float32)
 
         from .taxonomer import F32, Taxonomer
 
         host = Taxonomer(p, self.tax)
-        for rid in range(n_reads):
-            lo, hi = int(starts[rid]), int(ends[rid])
-            if lo == hi:
-                continue
-            sp2score = [
-                (int(g_sp[i]), F32(g_score[i]))
-                for i in range(lo, hi)
-                if g_score[i] >= p.min_score
-            ]
-            # reproduce getBestSpeciesMatches selection (`:388-407`)
-            meaningful = sum(1 for _, sc in sp2score if sc > 0)
-            if meaningful == 0 or not sp2score:
-                continue
+        if len(gk_read) == 0:
+            return results
+
+        # per-read best score and tie counts (getBestSpeciesMatches `:388-407`)
+        best_per_read = np.zeros(n_reads, np.float32)
+        np.maximum.at(best_per_read, gk_read, gk_score)
+        is_tied = gk_score >= best_per_read[gk_read] * np.float32(p.tie_ratio)
+        n_tied = np.zeros(n_reads, np.int64)
+        np.add.at(n_tied, gk_read[is_tied], 1)
+        sum_tied = np.zeros(n_reads, np.float32)
+        # reference accumulates in encounter (species-ascending) order
+        for i in np.nonzero(is_tied)[0]:
+            rid = gk_read[i]
+            sum_tied[rid] = np.float32(sum_tied[rid] + gk_score[i])
+        meaningful = np.zeros(n_reads, np.int64)
+        np.add.at(meaningful, gk_read[gk_score > 0], 1)
+
+        winner = np.zeros(n_reads, np.int64)
+        single = n_tied == 1
+        w_idx = is_tied & single[gk_read]
+        winner[gk_read[w_idx]] = gk_sp[w_idx]
+
+        # winner tax counts from the quotient rows, vectorized
+        q_order = np.lexsort((r_tax, r_sp, r_read))
+        r_read, r_sp, r_tax = r_read[q_order], r_sp[q_order], r_tax[q_order]
+        r_ok = (r_read < n_reads) & (r_sp == winner[np.clip(r_read, 0, n_reads - 1)])
+        rr, rs, rt = r_read[r_ok], r_sp[r_ok], r_tax[r_ok]
+        run_new = np.ones(len(rr), bool)
+        run_new[1:] = (rr[1:] != rr[:-1]) | (rt[1:] != rt[:-1])
+        run_ids = np.cumsum(run_new) - 1
+        run_counts = np.bincount(run_ids) if len(rr) else np.zeros(0, np.int64)
+        run_read = rr[run_new]
+        run_tax = rt[run_new]
+
+        tax_counts_per_read: list[dict] = [dict() for _ in range(n_reads)]
+        for i in range(len(run_read)):
+            tax_counts_per_read[int(run_read[i])][int(run_tax[i])] = int(
+                run_counts[i]
+            )
+
+        em_lists = None
+        if p.em:
+            em_lists = [[] for _ in range(n_reads)]
+            for i in range(len(gk_read)):
+                em_lists[int(gk_read[i])].append(
+                    (int(gk_sp[i]), F32(gk_score[i]))
+                )
+
+        for rid in np.nonzero(meaningful > 0)[0]:
+            rid = int(rid)
             res_rc = results[rid]
             if p.em:
-                ordered = sorted(sp2score, key=lambda x: -x[1])
+                ordered = sorted(em_lists[rid], key=lambda x: -x[1])
                 res_rc.top_species = ordered[0][0]
                 res_rc.species_scores = [
                     (sp, float(F32(sc) * F32(sc))) for sp, sc in ordered[:10]
                 ]
-            best_sp_score = max(sc for _, sc in sp2score)
-            max_species = []
-            total = F32(0)
-            for sp, sc in sp2score:
-                if sc >= best_sp_score * F32(p.tie_ratio):
-                    max_species.append(sp)
-                    total = F32(total + sc)
-            if len(max_species) > 1:
-                lca = self.tax.lca(max_species)
-                score = F32(total / len(max_species))
+            if n_tied[rid] > 1:
+                tie_species = [
+                    int(gk_sp[i]) for i in np.nonzero(
+                        is_tied & (gk_read == rid)
+                    )[0]
+                ]
+                score = F32(sum_tied[rid] / n_tied[rid])
+                res_rc.score = float(score)
                 if score == 0 or score < p.min_score:
-                    res_rc.score = float(score)
                     continue
                 res_rc.is_classified = True
-                res_rc.taxid = lca
-                res_rc.score = float(score)
+                res_rc.taxid = self.tax.lca(tie_species)
                 continue
-            best = max_species[0]
-            score = total
+            best = int(winner[rid])
+            score = F32(sum_tied[rid])
+            res_rc.score = float(score)
             if score == 0 or score < p.min_score:
-                res_rc.score = float(score)
                 continue
-            # tax counts for the winning species
-            a = np.searchsorted(r_read, rid, side="left")
-            b = np.searchsorted(r_read, rid, side="right")
-            sel = (r_sp[a:b] == best)
-            tax_cnt: dict[int, int] = {}
-            for t in r_tax[a:b][sel]:
-                tax_cnt[int(t)] = tax_cnt.get(int(t), 0) + 1
+            tax_cnt = tax_counts_per_read[rid]
             res_rc.tax_counts = tax_cnt
             res_rc.is_classified = True
-            res_rc.score = float(score)
             if score < p.min_sp_score:
                 species = self.tax.species_of[best]
                 res_rc.taxid = int(self.tax.parent[species])
