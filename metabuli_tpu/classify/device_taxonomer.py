@@ -33,19 +33,28 @@ def _pow2(n: int, cap: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("path_budget", "g_budget", "max_rows", "dna_shift"),
+    static_argnames=("path_budget", "g_budget", "max_rows", "dna_shift",
+                     "p_max", "n_blocks", "w", "k", "max_shift",
+                     "kmer_format"),
 )
-def _tail_program(dt, chain_res, qid_a, sp_a, pos_a, ham_a, tax_a, valid_a,
-                  rl, *, path_budget, g_budget, max_rows, dna_shift):
-    """Fused post-chain stages: compact -> combine -> group compaction ->
-    quotient reduction, one dispatch."""
+def _full_program(dt, qid_a, sp_a, frame_a, pos_a, ham_a, dna_a, tax_a,
+                  h16_a, valid_a, min_depth, rl, *, path_budget, g_budget,
+                  max_rows, dna_shift, p_max, n_blocks, w, k, max_shift,
+                  kmer_format):
+    """Single-dispatch device taxonomer: chain DP -> path compaction ->
+    combine -> group compaction -> quotient reduction."""
     from .device_compact import compact_groups, compact_paths
 
+    chain_res = chain_matches(
+        qid_a, sp_a, frame_a, pos_a, ham_a, dna_a, h16_a, valid_a,
+        min_depth, n_blocks=n_blocks, w=w, k=k, max_shift=max_shift,
+        kmer_format=kmer_format,
+    )
     flat = compact_paths(chain_res, budget=path_budget)
     comb = combine_paths(
         flat.read, flat.species, flat.start, flat.end, flat.score,
         flat.ham, flat.sh16, flat.eh16, flat.valid, rl,
-        n_groups=g_budget, p_max=64,
+        n_groups=g_budget, p_max=p_max,
     )
     groups = compact_groups(comb, budget=g_budget)
     qres = quotient_best(
@@ -56,6 +65,7 @@ def _tail_program(dt, chain_res, qid_a, sp_a, pos_a, ham_a, tax_a, valid_a,
         (flat.n_paths > path_budget).astype(jnp.int32)
         + comb.fallback.any().astype(jnp.int32)
         + (groups.n_groups > g_budget).astype(jnp.int32)
+        + chain_res.fallback.any().astype(jnp.int32)
     )
     counts = jnp.stack([groups.n_groups, qres.n_rows, overflow])
     return groups, qres, counts
@@ -109,19 +119,8 @@ class DeviceTaxonomer:
             n_blocks = 1
             while n_blocks < min(est, M, 1 << 20):
                 n_blocks *= 2
-        res = chain_matches(
-            m["qid"], m["species"], m["frame"], m["pos"], m["hamming"],
-            m["dna"], m["h16"], valid, self.min_depth,
-            n_blocks=n_blocks, w=w, k=4,
-            max_shift=p.max_codon_shift, kmer_format=p.kmer_format,
-        )
-        if np.asarray(res.fallback).any():
-            raise NotImplementedError(
-                "device taxonomer grid overflow; host fallback required"
-            )
-
-        # --- device: compact emissions -> combine -> group compaction ->
-        # quotient reduction, all in one on-chip program; only the compact
+        # --- device: one fused program (chain DP -> compact -> combine ->
+        # group compaction -> quotient reduction); only the compact
         # group/quotient tensors and overflow counters transfer.
         results = [ReadClassification() for _ in range(n_reads)]
         path_budget = 1024
@@ -134,15 +133,34 @@ class DeviceTaxonomer:
         while max_rows < max(M, 2):
             max_rows *= 2
 
-        groups, qres, counts_dev = _tail_program(
-            self.dt, res, m["qid"], m["species"], m["pos"], m["hamming"],
-            m["taxid"], valid, read_lens_by_qid.astype(np.int32),
-            path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
-            dna_shift=p.dna_shift,
-        )
-        counts = np.asarray(counts_dev)
+        counts = None
+        for p_max in (8, 64):  # retry with more path slots on overflow
+            args = (
+                self.dt, m["qid"], m["species"], m["frame"], m["pos"],
+                m["hamming"], m["dna"], m["taxid"], m["h16"], valid,
+                self.min_depth, read_lens_by_qid.astype(np.int32),
+            )
+            kw = dict(
+                path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
+                dna_shift=p.dna_shift, p_max=p_max, n_blocks=n_blocks, w=w,
+                k=4, max_shift=p.max_codon_shift, kmer_format=p.kmer_format,
+            )
+            try:
+                groups, qres, counts_dev = _full_program(*args, **kw)
+            except ValueError as e:
+                if "buffers" not in str(e):
+                    raise
+                # jax executable-cache aliasing mismatch (constant folding
+                # differs between traces with identical signatures): retrace
+                _full_program.clear_cache()
+                groups, qres, counts_dev = _full_program(*args, **kw)
+            counts = np.asarray(counts_dev)
+            if not int(counts[2]):
+                break
         if int(counts[2]):
-            raise NotImplementedError("device taxonomer budget overflow")
+            raise NotImplementedError(
+                "device taxonomer overflow; host fallback required"
+            )
         n_g = int(counts[0])
         if n_g == 0:
             return results

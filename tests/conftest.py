@@ -19,3 +19,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache is tuned for the slow remote-TPU compile
+# path; on CPU it can resurrect stale executables across code changes
+# (buffer-count mismatches), so switch it off for tests.
+jax.config.update("jax_enable_compilation_cache", False)
