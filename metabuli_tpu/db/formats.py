@@ -240,3 +240,136 @@ def write_taxid_list(path: str, taxids) -> None:
 def read_taxid_list(path: str) -> np.ndarray:
     with open(path) as fh:
         return np.array([int(x) for x in fh.read().split()], np.int64)
+
+
+# ------------------------------------------------------------------ .mtbl
+# Newest reference DB format (`/root/reference/src/commons/Kmer.h:121-165`,
+# reader `KmerMatcher.cpp:780-1069`): the sorted (metamer, 30-bit id) pairs
+# form 94-bit numbers value94 = (metamer << 30) | id, delta-compressed in
+# the same MSB-terminated 15-bit chunk stream as diffIdx
+# (Metamer::substract/add implement exactly base-2^30 borrow arithmetic).
+
+MTBL_SPLIT_DTYPE = np.dtype([
+    ("metamer", "<u8"), ("id", "<u4"), ("pad", "<u4"), ("offset", "<u8"),
+])
+
+
+def _combined_chunks(hi: np.ndarray, lo: np.ndarray, shift: int) -> np.ndarray:
+    """15-bit chunk at bit offset `shift` of (hi << 30 | lo) values."""
+    if shift >= 30:
+        return ((hi >> np.uint64(shift - 30)) & np.uint64(0x7FFF)).astype(np.uint16)
+    part = (lo >> np.uint64(shift)) & np.uint64(0x7FFF)
+    if 30 - shift < 15:
+        part |= (hi << np.uint64(30 - shift)) & np.uint64(0x7FFF)
+    return part.astype(np.uint16)
+
+
+def mtbl_encode(values: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Sorted (metamer u64, id u30) pairs -> u16 .mtbl delta stream."""
+    values = np.asarray(values, np.uint64)
+    ids = np.asarray(ids, np.uint64) & np.uint64(0x3FFFFFFF)
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, np.uint16)
+    # 94-bit difference with base-2^30 borrow
+    prev_v = np.concatenate([[np.uint64(0)], values[:-1]])
+    prev_i = np.concatenate([[np.uint64(0)], ids[:-1]])
+    borrow = ids < prev_i
+    lo = (ids - prev_i) & np.uint64(0x3FFFFFFF)
+    hi = values - prev_v - borrow.astype(np.uint64)
+
+    # chunks needed: position of highest set bit across (hi, lo)
+    bl = np.zeros(n, np.int64)
+    tmp = hi.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = tmp >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        tmp[m] >>= np.uint64(s)
+    bl += tmp.astype(np.int64)  # hi bit length
+    total_bits = np.where(bl > 0, bl + 30, 0)
+    lo_bl = np.zeros(n, np.int64)
+    tmp = lo.copy()
+    for s in (16, 8, 4, 2, 1):
+        m = tmp >= (np.uint64(1) << np.uint64(s))
+        lo_bl[m] += s
+        tmp[m] >>= np.uint64(s)
+    lo_bl += tmp.astype(np.int64)
+    total_bits = np.maximum(total_bits, lo_bl)
+    nchunks = np.maximum(1, (total_bits + 14) // 15)
+    total = int(nchunks.sum())
+    out = np.zeros(total, np.uint16)
+    ends = np.cumsum(nchunks) - 1
+    starts = ends - nchunks + 1
+    for j in range(int(nchunks.max())):
+        sel = nchunks > j
+        shift = ((nchunks[sel] - 1 - j) * 15).astype(np.int64)
+        # gather chunks at per-element shifts: loop over distinct shifts
+        chunk = np.zeros(sel.sum(), np.uint16)
+        sh_vals = np.unique(shift)
+        hi_s = hi[sel]
+        lo_s = lo[sel]
+        for sv in sh_vals:
+            mask = shift == sv
+            chunk[mask] = _combined_chunks(hi_s[mask], lo_s[mask], int(sv))
+        is_last = (nchunks[sel] - 1) == j
+        out[starts[sel] + j] = chunk | (is_last.astype(np.uint16) << 15)
+    return out
+
+
+def mtbl_decode(stream: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """u16 .mtbl delta stream -> (metamers u64, ids u32)."""
+    stream = np.asarray(stream, np.uint16)
+    if len(stream) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    flags = (stream & 0x8000) != 0
+    ends = np.nonzero(flags)[0]
+    n = len(ends)
+    starts = np.empty(n, np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    chunk_num = np.repeat(np.arange(n), ends - starts + 1)
+    pos = np.arange(len(stream), dtype=np.int64)
+    rev = (ends[chunk_num] - pos) * 15
+    payload = stream.astype(np.uint64) & np.uint64(0x7FFF)
+    # diff split into hi (bits >= 30) and lo (bits < 30)
+    lo_contrib = np.where(
+        rev < 30, payload << rev.astype(np.uint64), np.uint64(0)
+    )
+    hi_contrib = np.where(
+        rev >= 30, payload << (rev - 30).clip(min=0).astype(np.uint64),
+        np.uint64(0),
+    )
+    d_lo = np.add.reduceat(lo_contrib, starts)   # may exceed 30 bits
+    d_hi = np.add.reduceat(hi_contrib, starts)
+    d_hi += d_lo >> np.uint64(30)
+    d_lo &= np.uint64(0x3FFFFFFF)
+    # cumulative base-2^30 addition
+    ids = np.cumsum(d_lo)
+    carry = ids >> np.uint64(30)
+    ids &= np.uint64(0x3FFFFFFF)
+    metamers = np.cumsum(d_hi) + carry
+    return metamers.astype(np.uint64), ids.astype(np.uint32)
+
+
+def write_mtbl_files(db_dir: str, values: np.ndarray, ids: np.ndarray,
+                     split_num: int = 4096) -> None:
+    """Write deltaIdx.mtbl + deltaIdxSplits.mtbl (`KmerMatcher.cpp:784-785`)."""
+    os.makedirs(db_dir, exist_ok=True)
+    stream = mtbl_encode(values, ids)
+    stream.tofile(os.path.join(db_dir, "deltaIdx.mtbl"))
+    splits = np.zeros(split_num, MTBL_SPLIT_DTYPE)
+    n = len(values)
+    if n:
+        flags_end = np.nonzero((stream & 0x8000) != 0)[0]
+        size = max(1, n // max(1, split_num - 1))
+        for i in range(1, split_num):
+            k = i * size
+            if k >= n:
+                break
+            splits[i] = (values[k - 1], ids[k - 1], 0, flags_end[k - 1] + 1)
+    splits.tofile(os.path.join(db_dir, "deltaIdxSplits.mtbl"))
+
+
+def read_mtbl_values(db_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    stream = np.fromfile(os.path.join(db_dir, "deltaIdx.mtbl"), dtype=np.uint16)
+    return mtbl_decode(stream)

@@ -36,7 +36,14 @@ class MetamerIndex:
     def load(cls, db_dir: str) -> "MetamerIndex":
         params_path = os.path.join(db_dir, "db.parameters")
         params = DbParameters.read(params_path) if os.path.exists(params_path) else DbParameters()
-        values, taxids = read_db_values(db_dir)
+        if not os.path.exists(os.path.join(db_dir, "diffIdx")) and os.path.exists(
+            os.path.join(db_dir, "deltaIdx.mtbl")
+        ):
+            from .formats import read_mtbl_values
+
+            values, taxids = read_mtbl_values(db_dir)
+        else:
+            values, taxids = read_db_values(db_dir)
         if params.skip_redundancy == 0:
             taxids = taxids & np.uint32(0x7FFFFFFF)
         taxonomy = load_db_taxonomy(db_dir)

@@ -74,3 +74,57 @@ def test_db_parameters_roundtrip(tmp_path):
     assert q.db_name == "testdb"
     assert q.syncmer == 1 and q.smer_len == 6
     assert q.kmer_format == 2 and q.skip_redundancy == 1
+
+
+def _scalar_mtbl_encode(values, ids):
+    """Scalar oracle for Metamer::substract + 15-bit chunking
+    (`Kmer.h:127-165`, `IndexCreator.cpp:874-892` chunk layout)."""
+    out = []
+    prev = 0
+    for v, i in zip(values, ids):
+        combined = (int(v) << 30) | int(i)
+        diff = combined - prev
+        chunks = [0x8000 | (diff & 0x7FFF)]
+        diff >>= 15
+        while diff:
+            chunks.append(diff & 0x7FFF)
+            diff >>= 15
+        out.extend(reversed(chunks))
+        prev = combined
+    return np.array(out, np.uint16)
+
+
+def test_mtbl_codec_matches_scalar_oracle():
+    rng = np.random.default_rng(0)
+    values = np.sort(rng.integers(0, 1 << 63, size=3000, dtype=np.uint64))
+    ids = rng.integers(0, 1 << 30, size=3000).astype(np.uint32)
+    # enforce (value, id) sort like compareTargetKmer
+    order = np.lexsort((ids, values))
+    values, ids = values[order], ids[order]
+    got = formats.mtbl_encode(values, ids)
+    want = _scalar_mtbl_encode(values, ids)
+    assert np.array_equal(got, want)
+    v2, i2 = formats.mtbl_decode(got)
+    assert np.array_equal(v2, values)
+    assert np.array_equal(i2, ids)
+
+
+def test_mtbl_borrow_cases():
+    # same metamer with decreasing... ids must be non-decreasing per sort,
+    # but borrow happens when the next pair has a larger metamer + smaller id
+    values = np.array([5, 5, 6, 6, 1 << 40], np.uint64)
+    ids = np.array([7, 9, 2, 3, 0], np.uint32)
+    stream = formats.mtbl_encode(values, ids)
+    v2, i2 = formats.mtbl_decode(stream)
+    assert np.array_equal(v2, values)
+    assert np.array_equal(i2, ids)
+
+
+def test_mtbl_db_read(tmp_path):
+    rng = np.random.default_rng(1)
+    values = np.unique(np.sort(rng.integers(0, 1 << 62, 2000, dtype=np.uint64)))
+    ids = rng.integers(1, 1000, len(values)).astype(np.uint32)
+    formats.write_mtbl_files(str(tmp_path), values, ids)
+    v2, i2 = formats.read_mtbl_values(str(tmp_path))
+    assert np.array_equal(v2, values)
+    assert np.array_equal(i2, ids)
