@@ -20,9 +20,11 @@ from .pipeline import build_dev_index, classify_batch_indexed, matches_to_host
 BYTES_PER_ENTRY = 24  # hi32 + lo32 + d48lo + d48hi + taxid + prefix share
 
 
-def chunk_bounds(values: np.ndarray, n_chunks: int) -> list[tuple[int, int]]:
+def chunk_bounds(
+    values: np.ndarray, n_chunks: int, reduced: bool = False
+) -> list[tuple[int, int]]:
     n = len(values)
-    aa = values >> np.uint64(24)
+    aa = values >> np.uint64(32 if reduced else 24)
     bounds = [0]
     for s in range(1, n_chunks):
         target = s * n // n_chunks
@@ -43,20 +45,23 @@ class ChunkedIndex:
         taxids: np.ndarray,
         kmer_format: int = 2,
         hbm_budget_bytes: int = 8 << 30,
+        reduced: bool = False,
     ):
         need = len(values) * BYTES_PER_ENTRY
         self.n_chunks = max(1, -(-need // max(1, hbm_budget_bytes)))
-        self.bounds = chunk_bounds(values, self.n_chunks)
+        self.bounds = chunk_bounds(values, self.n_chunks, reduced)
         self.values = values
         self.taxids = taxids
         self.kmer_format = kmer_format
+        self.reduced = reduced
         self._cache = {}
 
     def chunk(self, i: int):
         if i not in self._cache:
             a, b = self.bounds[i]
             self._cache[i] = build_dev_index(
-                self.values[a:b], self.taxids[a:b], self.kmer_format
+                self.values[a:b], self.taxids[a:b], self.kmer_format,
+                reduced=self.reduced,
             )
             if self.n_chunks > 1:
                 # keep at most one chunk resident
@@ -89,9 +94,10 @@ def classify_batch_chunked(
         return parts[0]
     fields = ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
     merged = {k: np.concatenate([p[k] for p in parts]) for k in fields}
+    # dna compared unsigned (reduced mode uses the full 32 bits)
     order = np.lexsort((
-        merged["dna"], merged["hamming"], merged["pos"], merged["frame"],
-        merged["species"], merged["qid"],
+        merged["dna"].view(np.uint32), merged["hamming"], merged["pos"],
+        merged["frame"], merged["species"], merged["qid"],
     ))
     for k in fields:
         merged[k] = merged[k][order]

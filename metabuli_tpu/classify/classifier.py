@@ -78,7 +78,8 @@ class Classifier:
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
         self.device_taxonomer = None
-        if params.device_tax:
+        if params.device_tax and not params.reduced_aa:
+            # the device chain kernels assume the 3-bit/24-bit codon layout
             from .device_taxonomer import DeviceTaxonomer
 
             self.device_taxonomer = DeviceTaxonomer(tp, self.taxonomy)
@@ -104,6 +105,7 @@ class Classifier:
             self.chunked_index = ChunkedIndex(
                 self.index.values, self.index.taxids.astype(np.int32),
                 kmer_format=params.kmer_format, hbm_budget_bytes=hbm_budget,
+                reduced=bool(params.reduced_aa),
             )
             self.dev_index = None
         else:
@@ -111,6 +113,7 @@ class Classifier:
             self.dev_index = build_dev_index(
                 self.index.values, self.index.taxids.astype(np.int32),
                 kmer_format=params.kmer_format,
+                reduced=bool(params.reduced_aa),
             )
         self._species_np = self.index.species_table().astype(np.int32)
         self.d_species = jax.device_put(self._species_np)

@@ -95,6 +95,7 @@ class NativeTaxonomer:
             ctypes.c_float(p.tie_ratio), ctypes.c_int32(p.dna_shift),
             ctypes.c_int32(p.max_codon_shift), ctypes.c_int32(p.denominator),
             ctypes.c_int32(p.accession_level), ctypes.c_int32(1 if p.em else 0),
+            ctypes.c_int32(p.bits_per_codon),
             ctypes.c_int32(self.threads),
             out_taxid.ctypes, out_score.ctypes, out_cls.ctypes,
             ctypes.c_int64(taxcnt_cap), tc_read.ctypes, tc_tax.ctypes,

@@ -135,7 +135,8 @@ def expand_db_dna48(values: np.ndarray, kmer_format: int = 2) -> np.ndarray:
 
 
 def build_dev_index(
-    values: np.ndarray, taxids: np.ndarray, kmer_format: int = 2
+    values: np.ndarray, taxids: np.ndarray, kmer_format: int = 2,
+    reduced: bool = False,
 ) -> DevIndex:
     """Split + bucket the sorted u64 table for the 32-bit search path."""
     n = len(values)
@@ -147,7 +148,10 @@ def build_dev_index(
     np.cumsum(counts, out=prefix[1:])
     max_bucket = int(counts.max()) if n else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
-    d48 = expand_db_dna48(values, kmer_format)
+    # reduced mode scores via the 11x11 LUT on codon-number fields, not the
+    # expanded-base XOR path; d48 columns stay zero there.
+    d48 = (np.zeros(n, np.uint64) if reduced
+           else expand_db_dna48(values, kmer_format))
     return DevIndex(
         hi32=jax.device_put(hi32),
         lo32=jax.device_put(lo32),
@@ -217,8 +221,13 @@ def _classify_batch_impl(
     )
     q_hi = bc32(q_values >> jnp.uint64(32))
     q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
-    q_dna = q_lo & jnp.int32(0xFFFFFF)
-    q_aa8 = q_lo & jnp.int32(-16777216)  # top 8 bits of lo32 = low AA bits
+    if reduced:
+        # reduced layout: AA part == hi32 exactly, DNA part == lo32 exactly
+        q_dna = q_lo
+        q_aa8 = jnp.zeros_like(q_lo)
+    else:
+        q_dna = q_lo & jnp.int32(0xFFFFFF)
+        q_aa8 = q_lo & jnp.int32(-16777216)  # top 8 bits of lo32 = low AA bits
 
     # ---- bucketed lower-bound search for (q_hi, q_aa8, dna=0)
     bucket = (
@@ -248,10 +257,11 @@ def _classify_batch_impl(
     c_d48lo = db_d48lo[idx_c]
     c_d48hi = db_d48hi[idx_c]
     in_range = idx < jnp.int32(n_db)
+    aa_lo_mask = jnp.int32(0) if reduced else jnp.int32(-16777216)
     same_aa = (
         in_range
         & (c_hi == q_hi[:, None])
-        & ((c_lo & jnp.int32(-16777216)) == q_aa8[:, None])
+        & ((c_lo & aa_lo_mask) == q_aa8[:, None])
         & q_valid[:, None]
     )
     # overflow: the entry just past the cap window still shares the AA
@@ -260,17 +270,25 @@ def _classify_batch_impl(
         q_valid
         & (start + cap < jnp.int32(n_db))
         & (db_hi[over_idx] == q_hi)
-        & ((db_lo[over_idx] & jnp.int32(-16777216)) == q_aa8)
+        & ((db_lo[over_idx] & aa_lo_mask) == q_aa8)
     )
     n_over_cap = jnp.sum(over.astype(jnp.int32))
 
-    t_dna = c_lo & jnp.int32(0xFFFFFF)
-    q_d48 = mm.dna48.reshape(-1)
-    q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
-    q_d48hi = bc32(q_d48 >> jnp.uint64(32))
-    hsum, h_fwd, h_rev = hamming_dna48_split(
-        q_d48lo[:, None], q_d48hi[:, None], c_d48lo, c_d48hi
-    )
+    if reduced:
+        # LUT-based per-codon distances over 4-bit codon-number fields
+        # (the 11x11 table is NOT base-level Hamming, so no XOR trick).
+        from ..ops.hamming import hamming_all_reduced
+
+        t_dna = c_lo
+        hsum, h_fwd, h_rev = hamming_all_reduced(q_dna[:, None], t_dna)
+    else:
+        t_dna = c_lo & jnp.int32(0xFFFFFF)
+        q_d48 = mm.dna48.reshape(-1)
+        q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
+        q_d48hi = bc32(q_d48 >> jnp.uint64(32))
+        hsum, h_fwd, h_rev = hamming_dna48_split(
+            q_d48lo[:, None], q_d48hi[:, None], c_d48lo, c_d48hi
+        )
     hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
     min_h = jnp.min(hsum_m, axis=1)
     cutoff = jnp.minimum(min_h * 2, 7)
@@ -311,22 +329,38 @@ def _classify_batch_impl(
     m_h16 = jnp.where(is_pad, 0, h16[qi, ci])
 
     # reference match order (`KmerMatcher.cpp:1149-1166`); padding sorts
-    # last via INT32_MAX keys. hamming<=56 and dna<2^24 pack into one key;
-    # frame (3b) | hamming (8b) | h16 (16b) pack into one payload word.
-    k_hamdna = jnp.where(is_pad, INT32_MAX, (m_ham << 24) | m_dna)
+    # last via INT32_MAX keys (the qid key alone already orders padding).
+    # frame (3b) | hamming (8b, <=7 post-cutoff) | h16 (16b) pack into one
+    # payload word.
     m_packed = jnp.where(
         is_pad, INT32_MAX, m_frame | (m_ham << 3) | (m_h16 << 11)
     )
-    sorted_ops = jax.lax.sort(
-        (m_qid, m_species, m_frame, m_pos, k_hamdna,
-         m_dna, m_taxid, m_packed),
-        num_keys=5,
-    )
-    data = jnp.stack(
-        (sorted_ops[0], sorted_ops[3], sorted_ops[5], sorted_ops[6],
-         sorted_ops[7]),
-        axis=0,
-    )
+    if reduced:
+        # 32-bit dna doesn't pack with hamming; sort on (ham, dna) with the
+        # dna compared unsigned (sign-bit flip).
+        k_dna_u = jnp.where(is_pad, INT32_MAX, m_dna ^ jnp.int32(-2147483648))
+        keys = (m_qid, m_species, m_frame, m_pos, m_ham, k_dna_u)
+        sorted_ops = jax.lax.sort(
+            keys + (m_dna, m_taxid, m_packed), num_keys=6
+        )
+        data = jnp.stack(
+            (sorted_ops[0], sorted_ops[3], sorted_ops[6], sorted_ops[7],
+             sorted_ops[8]),
+            axis=0,
+        )
+    else:
+        # hamming<=56 and dna<2^24 pack into one key
+        k_hamdna = jnp.where(is_pad, INT32_MAX, (m_ham << 24) | m_dna)
+        sorted_ops = jax.lax.sort(
+            (m_qid, m_species, m_frame, m_pos, k_hamdna,
+             m_dna, m_taxid, m_packed),
+            num_keys=5,
+        )
+        data = jnp.stack(
+            (sorted_ops[0], sorted_ops[3], sorted_ops[5], sorted_ops[6],
+             sorted_ops[7]),
+            axis=0,
+        )
     counts = jnp.stack(
         (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
     ).astype(jnp.int32)
@@ -369,7 +403,8 @@ def classify_batch(
     """Convenience wrapper taking a raw u64 table (tests, graft entry,
     sharded path). Builds the split/bucketed DevIndex on the host."""
     index = build_dev_index(
-        np.asarray(db_values), np.asarray(db_taxids), kmer_format=kmer_format
+        np.asarray(db_values), np.asarray(db_taxids), kmer_format=kmer_format,
+        reduced=reduced,
     )
     return classify_batch_indexed(
         index, jnp.asarray(np.asarray(tax2species, np.int32)),

@@ -55,6 +55,15 @@ class TaxonomerParams:
         return (8 - self.smer_len) * 3 if self.syncmer else 3
 
     @property
+    def bits_per_codon(self) -> int:
+        # `Taxonomer.cpp:50-57`
+        return 4 if self.reduced_aa else 3
+
+    @property
+    def total_dna_bits(self) -> int:
+        return 32 if self.reduced_aa else 24
+
+    @property
     def max_codon_shift(self) -> int:
         return 8 - self.smer_len if self.syncmer else 1
 
@@ -308,17 +317,21 @@ class Taxonomer:
                     inc = _score_increment(int(h16[nj]), shift)
                     best = None
                     best_score = F32(0)
-                    mask = (1 << (24 - 3 * shift)) - 1
+                    bpc = p.bits_per_codon
+                    mask = (1 << (p.total_dna_bits - bpc * shift)) - 1
                     fmt2 = p.kmer_format == 2
                     for cj in range(cur_s, cur_e):
                         # isConsecutive2 for the new format, isConsecutive for
                         # the old (`Taxonomer.cpp:671-699`); operands swapped
-                        # for reverse frames (`:536` vs `:605`)
+                        # for reverse frames (`:536` vs `:605`); dna read
+                        # unsigned (reduced mode uses the full 32 bits)
                         a, b = (cj, nj) if forward else (nj, cj)
+                        da = int(dna[a]) & 0xFFFFFFFF
+                        db = int(dna[b]) & 0xFFFFFFFF
                         if fmt2:
-                            ok = (int(dna[a]) & mask) == (int(dna[b]) >> (3 * shift))
+                            ok = (da & mask) == (db >> (bpc * shift))
                         else:
-                            ok = (int(dna[a]) >> (3 * shift)) == (int(dna[b]) & mask)
+                            ok = (da >> (bpc * shift)) == (db & mask)
                         if ok:
                             connected[cj - start] = True
                             lp = local[cj - start]

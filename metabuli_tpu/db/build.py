@@ -75,12 +75,23 @@ def accession_of(header_name: str) -> str:
 
 
 class IndexBuilder:
-    def __init__(self, params: BuildParams, taxonomy: Taxonomy):
+    def __init__(self, params: BuildParams, taxonomy: Taxonomy,
+                 flush_dir: str | None = None):
         self.par = params
         self.tax = taxonomy
         self._values: list[np.ndarray] = []
         self._taxids: list[np.ndarray] = []
         self._species: list[np.ndarray] = []
+        self._pending = 0
+        # out-of-core: flush sorted/deduped blocks once pending k-mers exceed
+        # the RAM budget (the reference's N_diffIdx/N_info flush files,
+        # `IndexCreator.cpp:793-798`); 16B/entry pending + sort scratch
+        self._flush_dir = flush_dir
+        self._flush_pairs: list[tuple[str, str]] = []
+        if params.flush_kmers > 0:
+            self._flush_threshold = params.flush_kmers
+        else:
+            self._flush_threshold = max(1 << 20, (params.max_ram << 30) // 32)
 
     # ---------------------------------------------------------------- extract
     def add_sequences(self, tasks: list[SeqTask]):
@@ -147,10 +158,26 @@ class IndexBuilder:
         self._values.append(vals)
         self._taxids.append(taxids)
         self._species.append(species)
+        self._pending += len(vals)
+        if self._flush_dir is not None and self._pending >= self._flush_threshold:
+            self._flush()
 
-    # ------------------------------------------------------------------ write
-    def finalize(self, db_dir: str, db_name: str = "") -> dict:
-        par = self.par
+    # ------------------------------------------------------------- out-of-core
+    def _sort_dedup(self, values, taxids, species):
+        """Sort by (value, species, taxid) (`Kmer.h:77-87`) and dedup per
+        (value, species) with LCA of member taxids (`IndexCreator.h:535-581`,
+        FilterMode::DB_CREATION)."""
+        order = np.lexsort((taxids, species, values))
+        values, taxids, species = values[order], taxids[order], species[order]
+        if len(values) == 0:
+            return values, taxids, species
+        new_group = np.ones(len(values), bool)
+        new_group[1:] = (values[1:] != values[:-1]) | (species[1:] != species[:-1])
+        group_id = np.cumsum(new_group) - 1
+        lca = self.tax.lca_segments(taxids.astype(np.int64), group_id)
+        return values[new_group], lca.astype(np.uint32), species[new_group]
+
+    def _drain_pending(self):
         if self._values:
             values = np.concatenate(self._values)
             taxids = np.concatenate(self._taxids)
@@ -159,31 +186,64 @@ class IndexBuilder:
             values = np.zeros(0, np.uint64)
             taxids = np.zeros(0, np.uint32)
             species = np.zeros(0, np.uint32)
+        self._values, self._taxids, self._species = [], [], []
+        self._pending = 0
+        return values, taxids, species
 
-        # sort by (value, species, taxid) — compareTargetKmer (`Kmer.h:77-87`)
-        order = np.lexsort((taxids, species, values))
-        values, taxids, species = values[order], taxids[order], species[order]
+    def _flush(self):
+        """Write the pending block as a sorted/deduped flush-file pair."""
+        from .formats import delta_encode
 
-        # dedup by (value, species); taxid := LCA of group members
-        # (`IndexCreator.h:535-581`, FilterMode::DB_CREATION)
-        if len(values):
-            new_group = np.ones(len(values), bool)
-            new_group[1:] = (values[1:] != values[:-1]) | (
-                species[1:] != species[:-1]
-            )
-            group_id = np.cumsum(new_group) - 1
-            lca_per_group = self.tax.lca_segments(taxids.astype(np.int64), group_id)
-            keep = new_group
-            out_values = values[keep]
-            out_species = species[keep]
-            out_taxids = lca_per_group.astype(np.uint32)
-        else:
-            out_values = values
-            out_taxids = taxids
-            out_species = species
+        values, taxids, species = self._drain_pending()
+        values, taxids, _ = self._sort_dedup(values, taxids, species)
+        if len(values) == 0:
+            return
+        i = len(self._flush_pairs)
+        os.makedirs(self._flush_dir, exist_ok=True)
+        dpath = os.path.join(self._flush_dir, f"{i}_diffIdx")
+        ipath = os.path.join(self._flush_dir, f"{i}_info")
+        delta_encode(values).tofile(dpath)
+        taxids.tofile(ipath)
+        self._flush_pairs.append((dpath, ipath))
 
+    # ------------------------------------------------------------------ write
+    def finalize(self, db_dir: str, db_name: str = "") -> dict:
+        par = self.par
         os.makedirs(db_dir, exist_ok=True)
-        write_db_files(db_dir, out_values, out_taxids, par.split_num)
+        if self._flush_pairs:
+            # out-of-core path: flush the remainder, then k-way merge with
+            # cross-flush (value, species)-dedup + LCA
+            # (`IndexCreator.h:322-472`)
+            from .formats import merge_flush_files, read_taxid_list
+
+            if self._pending:
+                self._flush()
+            n_unique = merge_flush_files(
+                db_dir, self._flush_pairs,
+                self.tax.species_of.astype(np.uint32),
+                self.tax.lca_segments,
+                split_num=par.split_num, reduced=bool(par.reduced_aa),
+            )
+            for d, i in self._flush_pairs:
+                os.remove(d)
+                os.remove(i)
+            self._flush_pairs = []
+            # unique taxids from the merged info file, streamed in chunks
+            uniq: np.ndarray = np.zeros(0, np.uint32)
+            info_mm = np.memmap(os.path.join(db_dir, "info"),
+                                dtype=np.uint32, mode="r") if n_unique else []
+            for s in range(0, len(info_mm), 1 << 24):
+                uniq = np.union1d(uniq, np.asarray(info_mm[s : s + (1 << 24)]))
+            out_taxids = uniq
+            n_total = n_unique  # post-flush-dedup inputs; pre-dedup count n/a
+            out_count = n_unique
+        else:
+            values, taxids, species = self._drain_pending()
+            n_total = len(values)
+            out_values, out_taxids, _ = self._sort_dedup(values, taxids, species)
+            out_count = len(out_values)
+            write_db_files(db_dir, out_values, out_taxids, par.split_num,
+                           reduced=bool(par.reduced_aa))
         dbp = DbParameters(
             db_name=db_name or par.db_name,
             creation_date=par.db_date or datetime.date.today().isoformat(),
@@ -202,8 +262,8 @@ class IndexBuilder:
             os.path.join(db_dir, "taxID_list"), np.unique(out_taxids)
         )
         return {
-            "total_kmers": int(len(values)),
-            "unique_kmers": int(len(out_values)),
+            "total_kmers": int(n_total),
+            "unique_kmers": int(out_count),
         }
 
 
@@ -222,7 +282,7 @@ def build_database(
         os.path.join(taxonomy_dir, "merged.dmp"),
     )
     acc2taxid = read_acc2taxid(acc2taxid_path)
-    builder = IndexBuilder(params, tax)
+    builder = IndexBuilder(params, tax, flush_dir=os.path.join(db_dir, "flush"))
 
     cds_map = {}
     if params.cds_info:

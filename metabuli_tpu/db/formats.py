@@ -33,13 +33,17 @@ SPLIT_DTYPE = np.dtype(
 )
 
 
-def delta_encode(values: np.ndarray) -> np.ndarray:
-    """Sorted uint64 values -> u16 delta stream (`IndexCreator.cpp:874-892`)."""
+def delta_encode(values: np.ndarray, prev: int = 0) -> np.ndarray:
+    """Sorted uint64 values -> u16 delta stream (`IndexCreator.cpp:874-892`).
+
+    ``prev`` continues an existing stream (the delta of the first value is
+    taken against it), enabling block-streamed writes.
+    """
     values = np.asarray(values, dtype=np.uint64)
     if len(values) == 0:
         return np.zeros(0, np.uint16)
     diffs = np.empty_like(values)
-    diffs[0] = values[0]
+    diffs[0] = values[0] - np.uint64(prev)
     np.subtract(values[1:], values[:-1], out=diffs[1:])
     # chunks per diff: 1 + floor(bit_length(diff)-1, /15) with diff=0 -> 1
     bl = np.zeros(len(diffs), np.int64)
@@ -82,6 +86,226 @@ def delta_decode(stream: np.ndarray, base: int = 0) -> np.ndarray:
     contrib = (stream.astype(np.uint64) & np.uint64(0x7FFF)) << (rev * np.uint64(15))
     diffs = np.add.reduceat(contrib, starts)
     return np.cumsum(diffs, dtype=np.uint64) + np.uint64(base)
+
+
+class StreamingDeltaReader:
+    """Block-streamed decode of a diffIdx/info file pair.
+
+    The host-side analogue of the reference's ``DeltaIdxReader``
+    (`/root/reference/src/commons/DeltaIdxReader.h:19-290`): decodes the
+    MSB-terminated 15-bit chunk stream in bounded blocks, carrying the
+    running value across blocks, so GTDB-scale flush files never need to be
+    resident at once.
+    """
+
+    def __init__(self, diff_path: str, info_path: str,
+                 block_values: int = 1 << 20):
+        self._stream = np.memmap(diff_path, dtype=np.uint16, mode="r") \
+            if os.path.getsize(diff_path) else np.zeros(0, np.uint16)
+        self._info = np.memmap(info_path, dtype=np.uint32, mode="r") \
+            if os.path.getsize(info_path) else np.zeros(0, np.uint32)
+        self._block = block_values
+        self._chunk_pos = 0      # next unread u16
+        self._info_pos = 0       # next unread info entry
+        self._last = 0           # running decoded value
+        # the info file has exactly one entry per encoded value
+        self.total_values = len(self._info)
+
+    @property
+    def exhausted(self) -> bool:
+        return self._info_pos >= self.total_values
+
+    def read_block(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode up to ``block_values`` next values; returns (values, infos)."""
+        if self.exhausted:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+        # find the terminator of the block's last value: scan a window that
+        # surely contains block_values terminators (<= 5 chunks per value)
+        start = self._chunk_pos
+        window = np.asarray(self._stream[start : start + self._block * 5 + 8])
+        flag_idx = np.nonzero((window & 0x8000) != 0)[0]
+        take = min(self._block, len(flag_idx))
+        end = start + int(flag_idx[take - 1]) + 1
+        vals = delta_decode(np.asarray(self._stream[start:end]), base=self._last)
+        infos = np.asarray(self._info[self._info_pos : self._info_pos + take])
+        self._chunk_pos = end
+        self._info_pos += take
+        self._last = int(vals[-1])
+        return vals, infos
+
+
+class StreamingDbWriter:
+    """Block-streamed diffIdx/info/split writer (write_db_files, streamed).
+
+    Accepts globally sorted blocks; maintains the delta-encoding carry and
+    the reference's split-checkpoint protocol (`IndexCreator.h:436-448`):
+    checkpoints are multiples of total_estimate/(split_num-1); when the
+    written-info count crosses a checkpoint the writer arms, and the next
+    amino-acid change records a split entry (previous value, u16 count
+    after it, index of the first k-mer of the new AA group).
+    """
+
+    def __init__(self, db_dir: str, total_estimate: int,
+                 split_num: int = 4096, reduced: bool = False):
+        os.makedirs(db_dir, exist_ok=True)
+        self._diff_fh = open(os.path.join(db_dir, "diffIdx"), "wb")
+        self._info_fh = open(os.path.join(db_dir, "info"), "wb")
+        self._split_path = os.path.join(db_dir, "split")
+        self._split_num = split_num
+        self._aa_shift = np.uint64(32 if reduced else 24)
+        self._size_of_split = max(1, total_estimate // max(1, split_num - 1))
+        self._splits = np.zeros(split_num, SPLIT_DTYPE)
+        self._split_idx = 1
+        self._armed = False
+        self._prev_value = 0   # last value written (delta carry)
+        self._diff_cnt = 0     # u16 chunks written
+        self._info_cnt = 0     # values written
+        self._next_checkpoint = self._size_of_split
+
+    def write_block(self, values: np.ndarray, taxids: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        values = np.asarray(values, np.uint64)
+        stream = delta_encode(values, prev=self._prev_value)
+        stream.tofile(self._diff_fh)
+        np.asarray(taxids, np.uint32).tofile(self._info_fh)
+
+        # split bookkeeping (vectorized over the block)
+        flags_end = np.nonzero((stream & 0x8000) != 0)[0]
+        diff_cnt_after = self._diff_cnt + flags_end + 1
+        aa = values >> self._aa_shift
+        prev_aa = (np.uint64(self._prev_value) >> self._aa_shift) \
+            if self._info_cnt else None
+        idx = 0
+        n = len(values)
+        while self._split_idx < self._split_num:
+            if not self._armed:
+                # next index (global) where info_cnt reaches the checkpoint
+                if self._info_cnt + n < self._next_checkpoint:
+                    break
+                idx = self._next_checkpoint - self._info_cnt
+                self._armed = True
+                self._next_checkpoint += self._size_of_split
+                if idx >= n:
+                    break
+            # armed: find the first AA change at or after idx
+            if idx == 0 and prev_aa is not None and aa[0] != prev_aa:
+                boundary = 0
+            else:
+                lo = max(idx, 1)
+                changes = np.nonzero(aa[lo:] != aa[lo - 1 : -1])[0]
+                if len(changes) == 0:
+                    break  # AA change not in this block; stay armed
+                boundary = lo + int(changes[0])
+            prev = boundary - 1
+            if prev < 0:
+                ad, dc = self._prev_value, self._diff_cnt
+            else:
+                ad, dc = int(values[prev]), int(diff_cnt_after[prev])
+            self._splits[self._split_idx] = (ad, dc, self._info_cnt + boundary)
+            self._split_idx += 1
+            self._armed = False
+            idx = boundary
+
+        self._prev_value = int(values[-1])
+        self._diff_cnt += len(stream)
+        self._info_cnt += n
+
+    def finalize(self) -> int:
+        self._diff_fh.close()
+        self._info_fh.close()
+        # deduplicate identical boundaries (same as write_db_files)
+        seen = set()
+        for i in range(1, self._split_num):
+            key = (int(self._splits[i]["ADkmer"]),
+                   int(self._splits[i]["diffIdxOffset"]))
+            if self._splits[i]["ADkmer"] != 0 and key in seen:
+                self._splits[i] = (0, 0, 0)
+            elif self._splits[i]["ADkmer"] != 0:
+                seen.add(key)
+        self._splits.tofile(self._split_path)
+        return self._info_cnt
+
+
+def merge_flush_files(
+    db_dir: str,
+    flush_pairs: list[tuple[str, str]],
+    species_of: np.ndarray,
+    lca_segments,
+    split_num: int = 4096,
+    reduced: bool = False,
+    block_values: int = 1 << 20,
+) -> int:
+    """K-way merge of sorted flush files with (value, species)-dedup + LCA.
+
+    The out-of-core analogue of `IndexCreator::mergeTargetFiles`
+    (`IndexCreator.h:322-472`): each round drains every reader up to the
+    smallest last-buffered value (ties fully loaded), so a global
+    sort + dedup of the round's block is safe. Returns the merged k-mer
+    count.
+    """
+    readers = [StreamingDeltaReader(d, i, block_values) for d, i in flush_pairs]
+    total = sum(r.total_values for r in readers)
+    writer = StreamingDbWriter(db_dir, total, split_num, reduced)
+    bufs = [[np.zeros(0, np.uint64), np.zeros(0, np.uint32)] for _ in readers]
+
+    def refill(i):
+        v, t = readers[i].read_block()
+        if len(v):
+            bufs[i][0] = np.concatenate([bufs[i][0], v])
+            bufs[i][1] = np.concatenate([bufs[i][1], t])
+
+    while True:
+        for i, r in enumerate(readers):
+            if len(bufs[i][0]) == 0 and not r.exhausted:
+                refill(i)
+        active = [i for i in range(len(readers)) if len(bufs[i][0])]
+        if not active:
+            break
+        lasts = [int(bufs[i][0][-1]) for i in active if not readers[i].exhausted]
+        if lasts:
+            cut = min(lasts)
+            # ensure every copy of `cut` is buffered
+            stable = False
+            while not stable:
+                stable = True
+                for i in active:
+                    while (not readers[i].exhausted
+                           and int(bufs[i][0][-1]) <= cut):
+                        refill(i)
+                        stable = False
+                lasts = [int(bufs[i][0][-1]) for i in active
+                         if not readers[i].exhausted]
+                new_cut = min(lasts) if lasts else cut
+                if new_cut != cut:
+                    cut = new_cut
+                    stable = False
+        else:
+            cut = None
+
+        vals_parts, tax_parts = [], []
+        for i in active:
+            v, t = bufs[i]
+            k = len(v) if cut is None else int(np.searchsorted(v, np.uint64(cut), side="right"))
+            if k:
+                vals_parts.append(v[:k])
+                tax_parts.append(t[:k])
+                bufs[i][0] = v[k:]
+                bufs[i][1] = t[k:]
+        if not vals_parts:
+            continue
+        values = np.concatenate(vals_parts)
+        taxids = np.concatenate(tax_parts)
+        species = species_of[taxids & np.uint32(0x7FFFFFFF)]
+        order = np.lexsort((taxids, species, values))
+        values, taxids, species = values[order], taxids[order], species[order]
+        new_group = np.ones(len(values), bool)
+        new_group[1:] = (values[1:] != values[:-1]) | (species[1:] != species[:-1])
+        group_id = np.cumsum(new_group) - 1
+        lca = lca_segments(taxids.astype(np.int64), group_id)
+        writer.write_block(values[new_group], lca.astype(np.uint32))
+
+    return writer.finalize()
 
 
 def count_deltas(stream: np.ndarray) -> int:
@@ -165,6 +389,7 @@ def write_db_files(
     values: np.ndarray,
     taxids: np.ndarray,
     split_num: int = 4096,
+    reduced: bool = False,
 ):
     """Write diffIdx / info / split for a sorted, deduplicated metamer table.
 
@@ -186,7 +411,7 @@ def write_db_files(
         # cumulative u16 count after writing each k-mer
         flags_end = np.nonzero((stream & 0x8000) != 0)[0]
         diff_cnt_after = flags_end + 1  # per k-mer i: chunks written so far
-        aa = values >> np.uint64(24)
+        aa = values >> np.uint64(32 if reduced else 24)
         size_of_split = max(1, n // max(1, split_num - 1))
         split_idx = 1
         checkpoints = np.arange(1, split_num) * size_of_split

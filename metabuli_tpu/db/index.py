@@ -47,7 +47,7 @@ class MetamerIndex:
         if params.skip_redundancy == 0:
             taxids = taxids & np.uint32(0x7FFFFFFF)
         taxonomy = load_db_taxonomy(db_dir)
-        aa = values >> np.uint64(24)
+        aa = values >> np.uint64(32 if params.reduced_aa else 24)
         if len(aa):
             change = np.nonzero(aa[1:] != aa[:-1])[0]
             bounds = np.concatenate([[-1], change, [len(aa) - 1]])
@@ -65,7 +65,8 @@ class MetamerIndex:
         from .formats import write_db_files, write_taxid_list
 
         os.makedirs(db_dir, exist_ok=True)
-        write_db_files(db_dir, self.values, self.taxids, split_num)
+        write_db_files(db_dir, self.values, self.taxids, split_num,
+                       reduced=bool(self.params.reduced_aa))
         self.params.write(os.path.join(db_dir, "db.parameters"))
         self.taxonomy.save(os.path.join(db_dir, "taxonomyDB"))
         write_taxid_list(

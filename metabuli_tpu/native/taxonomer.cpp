@@ -68,6 +68,10 @@ struct Params {
   int32_t denominator;
   int32_t accession_level;
   int32_t em_mode;
+  // 3/24 for the standard alphabet, 4/32 for --reduced-aa
+  // (Taxonomer.cpp:50-57)
+  int32_t bits_per_codon;
+  int32_t total_dna_bits;
 };
 
 struct MatchView {
@@ -174,7 +178,9 @@ static void get_match_paths(const MatchView& m, int64_t start, int64_t end,
     int64_t nxt_e = i;
     int shift = (next_pos - cur_pos) / 3;
     if (shift > 0 && shift <= max_shift) {
-      uint32_t mask = (1u << (24 - 3 * shift)) - 1;
+      const int bpc = par.bits_per_codon;
+      uint32_t mask =
+          (uint32_t)(((uint64_t)1 << (par.total_dna_bits - bpc * shift)) - 1);
       for (int64_t nj = nxt_s; nj < nxt_e; ++nj) {
         float inc = score_increment(m.h16[nj], shift);
         const Path* best = nullptr;
@@ -187,9 +193,9 @@ static void get_match_paths(const MatchView& m, int64_t start, int64_t end,
           bool ok;
           if (par.kmer_format == 2)
             ok = ((uint32_t)m.dna[a] & mask) ==
-                 ((uint32_t)m.dna[b] >> (3 * shift));
+                 ((uint32_t)m.dna[b] >> (bpc * shift));
           else
-            ok = ((uint32_t)m.dna[a] >> (3 * shift)) ==
+            ok = ((uint32_t)m.dna[a] >> (bpc * shift)) ==
                  ((uint32_t)m.dna[b] & mask);
           if (ok) {
             connected[cj - start] = 1;
@@ -488,7 +494,7 @@ int64_t taxonomer_assign(
     float min_score, float min_sp_score, int32_t min_cons_cnt,
     int32_t min_cons_cnt_euk, float tie_ratio, int32_t dna_shift,
     int32_t max_codon_shift, int32_t denominator, int32_t accession_level,
-    int32_t em_mode, int32_t n_threads,
+    int32_t em_mode, int32_t bits_per_codon, int32_t n_threads,
     // outputs
     int32_t* out_taxid, float* out_score, uint8_t* out_classified,
     int64_t taxcnt_capacity, int64_t* taxcnt_read, int32_t* taxcnt_taxid,
@@ -501,7 +507,8 @@ int64_t taxonomer_assign(
   Params par{kmer_format,
              min_score,      min_sp_score, min_cons_cnt, min_cons_cnt_euk,
              tie_ratio,      dna_shift,    max_codon_shift, denominator,
-             accession_level, em_mode};
+             accession_level, em_mode,     bits_per_codon,
+             bits_per_codon == 4 ? 32 : 24};
   MatchView m{qid, species, frame, pos, hamming, dna, taxid, h16};
 
   std::atomic<int64_t> taxcnt_cursor{0};

@@ -81,14 +81,13 @@ def extract_metamers(
     """Extract metamers for all 6 reading frames of every read in the batch."""
     if kmer_format not in (1, 2):
         raise ValueError(f"unsupported kmer_format {kmer_format}")
-    if reduced:
-        # The reduced 16-letter alphabet packs 4-bit amino acids + 4-bit
-        # codons (32+32 bits, `SeqIterator.cpp:29-43`); its scan path is not
-        # implemented yet (tracked in PARITY.md) — fail loudly rather than
-        # emit wrong values.
-        raise NotImplementedError(
-            "reduced-alphabet (--reduced-aa) extraction is not implemented yet"
-        )
+    # Reduced 16-letter alphabet: 4-bit amino acids + 4-bit codon numbers,
+    # AA part in bits 63..32 (`SeqIterator.cpp:29-43` bitsForCodon=4 /
+    # bitsFor8Codons=32; masks `ReducedKmerMatcher.h:63-66`,
+    # `IndexCreator.cpp:31-37`). Note the reference's *current* scanner
+    # (`KmerScanner.h:82-117`) hardcodes the standard 5+3-bit packing and
+    # would truncate reduced codon numbers (up to 10) to 3 bits — we
+    # implement the coherent layout its matcher/taxonomer expect instead.
     B, L = codes.shape
     A = max_codons(L)
     W = max(0, A - K + 1)
@@ -158,7 +157,9 @@ def extract_metamers(
 
     # Window validity and packed value via 8 static shifted slices.
     bits_codon = 4 if reduced else 3
+    bits_aa = 4 if reduced else 5
     aa_shift = 32 if reduced else 24
+    aa_mask_bits = 32 if reduced else 40
     aa_u = aa.astype(jnp.uint64)
     num_u = num.astype(jnp.uint64)
     c6_u = c6.astype(jnp.uint64)
@@ -167,26 +168,29 @@ def extract_metamers(
     dna48 = jnp.zeros_like(aa_part)
     valid = jnp.ones(aa_part.shape, bool)
     for j in range(K):
-        aa_part = (aa_part << 5) | aa_u[..., j : j + W]
+        aa_part = (aa_part << bits_aa) | aa_u[..., j : j + W]
         dna_part = (dna_part << bits_codon) | num_u[..., j : j + W]
         valid = valid & ok[..., j : j + W]
     if kmer_format == 2:
         for j in range(K):
             dna48 = (dna48 << 6) | c6_u[..., j : j + W]
-        value = ((aa_part & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
+        value = ((aa_part & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_part & ((jnp.uint64(1) << aa_shift) - 1)
         )
     else:
         # Old format (`KmerScanner.h:120-182`): amino acids packed base-21
         # little-endian (aa of codon j weighted 21**j), codon numbers
         # little-endian 3-bit. dna48 mirrors the little-endian codon order.
+        # Reduced mode historically used base-16 powers (`SeqIterator.cpp:39-42`),
+        # which equals 4-bit little-endian fields.
+        aa_base = 16 if reduced else 21
         aa_old = jnp.zeros(aa_part.shape, jnp.uint64)
         dna_old = jnp.zeros(aa_part.shape, jnp.uint64)
         for j in range(K):
-            aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(21**j)
+            aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(aa_base**j)
             dna_old = dna_old | (num_u[..., j : j + W] << (bits_codon * j))
             dna48 = dna48 | (c6_u[..., j : j + W] << (6 * j))
-        value = ((aa_old & ((jnp.uint64(1) << 40) - 1)) << aa_shift) | (
+        value = ((aa_old & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_old & ((jnp.uint64(1) << aa_shift) - 1)
         )
 

@@ -28,9 +28,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hamming import hamming_all
+from .hamming import hamming_all, hamming_all_reduced
 
 DNA_MASK24 = (1 << 24) - 1
+DNA_MASK32 = (1 << 32) - 1
 
 
 class MatchResult(NamedTuple):
@@ -45,7 +46,7 @@ class MatchResult(NamedTuple):
     n_candidates: jax.Array  # [Q] int32 true AA-group size (overflow check)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "reduced"))
 def match_metamers(
     db_values: jax.Array,    # [N] uint64 sorted metamer values
     db_taxids: jax.Array,    # [N] uint32 per-entry taxid (internal IDs)
@@ -55,15 +56,17 @@ def match_metamers(
     q_valid: jax.Array,      # [Q] bool
     *,
     cap: int,
+    reduced: bool = False,
 ) -> MatchResult:
     n = db_values.shape[0]
-    aa_mask = jnp.uint64(0xFFFFFFFFFF000000)
+    dna_mask = DNA_MASK32 if reduced else DNA_MASK24
+    aa_mask = jnp.uint64(0xFFFFFFFFFFFFFFFF ^ dna_mask)
     q_aa = q_values & aa_mask
     # Invalid queries get an AA that can never match (all ones).
     q_aa = jnp.where(q_valid, q_aa, jnp.uint64(0xFFFFFFFFFFFFFFFF))
 
     lo = jnp.searchsorted(db_values, q_aa, side="left")
-    hi = jnp.searchsorted(db_values, q_aa | jnp.uint64(DNA_MASK24), side="right")
+    hi = jnp.searchsorted(db_values, q_aa | jnp.uint64(dna_mask), side="right")
     n_cand = (hi - lo).astype(jnp.int32)
 
     idx = lo[:, None] + jnp.arange(cap, dtype=lo.dtype)[None, :]
@@ -71,10 +74,12 @@ def match_metamers(
     idx = jnp.minimum(idx, n - 1)
     t_val = db_values[idx]
     t_tax = db_taxids[idx]
-    t_dna = (t_val & jnp.uint64(DNA_MASK24)).astype(jnp.int32)
-    q_dna = (q_values & jnp.uint64(DNA_MASK24)).astype(jnp.int32)
+    # bit-cast through uint32 keeps the 32-bit reduced DNA part intact
+    t_dna = (t_val & jnp.uint64(dna_mask)).astype(jnp.uint32).view(jnp.int32)
+    q_dna = (q_values & jnp.uint64(dna_mask)).astype(jnp.uint32).view(jnp.int32)
 
-    hsum, h_fwd, h_rev = hamming_all(q_dna[:, None], t_dna)
+    ham_fn = hamming_all_reduced if reduced else hamming_all
+    hsum, h_fwd, h_rev = ham_fn(q_dna[:, None], t_dna)
     hsum = jnp.where(cand_ok, hsum, jnp.int32(255))
     min_h = jnp.min(hsum, axis=1)
     cutoff = jnp.minimum(min_h * 2, 7)

@@ -44,7 +44,8 @@ def make_mesh(devices=None, n_db: int | None = None) -> Mesh:
 
 
 def shard_index_aa_aligned(
-    values: np.ndarray, taxids: np.ndarray, n_shards: int, kmer_format: int = 2
+    values: np.ndarray, taxids: np.ndarray, n_shards: int, kmer_format: int = 2,
+    reduced: bool = False,
 ):
     """Split the sorted table into AA-aligned, equal-padded shards in the
     32-bit split representation used by the device pipeline.
@@ -54,7 +55,7 @@ def shard_index_aa_aligned(
     all-ones values whose AA part no real metamer can produce.
     """
     n = len(values)
-    aa = values >> np.uint64(24)
+    aa = values >> np.uint64(32 if reduced else 24)
     bounds = [0]
     for s in range(1, n_shards):
         target = s * n // n_shards
@@ -74,7 +75,8 @@ def shard_index_aa_aligned(
     for i, (v, t) in enumerate(chunks):
         out_hi[i, : len(v)] = (v >> np.uint64(32)).astype(np.uint32).view(np.int32)
         out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        d48 = expand_db_dna48(v, kmer_format)
+        d48 = (np.zeros(len(v), np.uint64) if reduced
+               else expand_db_dna48(v, kmer_format))
         out_d48lo[i, : len(v)] = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         out_d48hi[i, : len(v)] = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
         out_t[i, : len(t)] = t.astype(np.int32)
@@ -156,7 +158,7 @@ def merge_shard_matches(stacked, n_reads: int, species_table=None):
     else:
         out["species"] = np.zeros(len(flat[0]), np.int32)
     order = np.lexsort(
-        (out["dna"], out["hamming"], out["pos"], out["frame"],
+        (out["dna"].view(np.uint32), out["hamming"], out["pos"], out["frame"],
          out["species"], out["qid"])
     )
     for k in ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16"):

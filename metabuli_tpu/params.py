@@ -108,3 +108,8 @@ class BuildParams:
     batch_bases: int = field(
         default=2_000_000, metadata={"help": "bases per device extraction batch"}
     )
+    flush_kmers: int = field(
+        default=0,
+        metadata={"help": "k-mers per out-of-core flush file "
+                          "(0 = derive from --max-ram)"},
+    )

@@ -26,11 +26,12 @@ def max_covered_length(length: int) -> int:
     return length - 3
 
 
-def _codon_codes(seq: bytes, start: int, end: int, forward: bool):
+def _codon_codes(seq: bytes, start: int, end: int, forward: bool,
+                 reduced: bool = False):
     """Yield per-codon (aa, codon_number) exactly like MetamerScanner reads
     them (`KmerScanner.h:82-117`): forward reads chars start+3i..+2, reverse
     reads chars end-3i, end-3i-1, end-3i-2 through the complement table."""
-    aa_tab, num_tab = codon_tables(False)
+    aa_tab, num_tab = codon_tables(reduced)
     aa_len = (end - start + 1) // 3
     out = []
     for i in range(aa_len):
@@ -50,10 +51,17 @@ def _codon_codes(seq: bytes, start: int, end: int, forward: bool):
     return out
 
 
-def scan_metamers(seq: bytes, start: int, end: int, forward: bool):
+def scan_metamers(seq: bytes, start: int, end: int, forward: bool,
+                  reduced: bool = False):
     """MetamerScanner::next loop (`KmerScanner.h:82-117`). Returns
-    [(value, pos)] for one frame."""
-    codons = _codon_codes(seq, start, end, forward)
+    [(value, pos)] for one frame. ``reduced`` uses the coherent 16-letter
+    layout (4-bit AAs + 4-bit codon numbers, AA part at bits 63..32;
+    `SeqIterator.cpp:29-43`, `ReducedKmerMatcher.h:63-66`)."""
+    codons = _codon_codes(seq, start, end, forward, reduced)
+    bits_aa = 4 if reduced else 5
+    bits_num = 4 if reduced else 3
+    aa_shift = 32 if reduced else 24
+    aa_mask = (1 << (32 if reduced else 40)) - 1
     aa_len = len(codons)
     results = []
     for p in range(aa_len - 7):
@@ -63,9 +71,11 @@ def scan_metamers(seq: bytes, start: int, end: int, forward: bool):
         aa_part = 0
         dna_part = 0
         for aa, num in window:
-            aa_part = (aa_part << 5) | aa
-            dna_part = (dna_part << 3) | num
-        value = ((aa_part & ((1 << 40) - 1)) << 24) | (dna_part & 0xFFFFFF)
+            aa_part = (aa_part << bits_aa) | aa
+            dna_part = (dna_part << bits_num) | num
+        value = ((aa_part & aa_mask) << aa_shift) | (
+            dna_part & ((1 << aa_shift) - 1)
+        )
         if forward:
             pos = start + p * 3
         else:
@@ -171,7 +181,8 @@ def scan_syncmers(seq: bytes, start: int, end: int, forward: bool, smer_len: int
         results.append((value, pos))
 
 
-def extract_all_frames(seq: bytes, syncmer=False, smer_len=5, old=False):
+def extract_all_frames(seq: bytes, syncmer=False, smer_len=5, old=False,
+                       reduced=False):
     """fillQueryKmerBuffer frame loop (`KmerExtractor.cpp:342-373`)."""
     L = len(seq)
     used = max_covered_length(L)
@@ -191,7 +202,7 @@ def extract_all_frames(seq: bytes, syncmer=False, smer_len=5, old=False):
         elif old:
             kmers = scan_old_metamers(seq, begin, begin + used - 1, forward)
         else:
-            kmers = scan_metamers(seq, begin, begin + used - 1, forward)
+            kmers = scan_metamers(seq, begin, begin + used - 1, forward, reduced)
         for value, pos in kmers:
             out.append((value, pos, frame))
     return out
@@ -237,6 +248,37 @@ def compare_dna_ref(query: int, targets: list[int], frame: int, kmer_format=2):
             else:
                 packed.append(hammings_rev_ref(query & 0xFFFFFF, t & 0xFFFFFF))
     return sel, sums, packed
+
+
+def reduced_hamming_sum_ref(q_dna: int, t_dna: int) -> int:
+    """ReducedKmerMatcher::getHammingDistanceSum (`ReducedKmerMatcher.h:24-35`)."""
+    from metabuli_tpu.ops.hamming import REDUCED_SUM_LUT
+
+    s = 0
+    for i in range(8):
+        s += REDUCED_SUM_LUT[(q_dna >> (4 * i)) & 15][(t_dna >> (4 * i)) & 15]
+    return int(s)
+
+
+def reduced_hammings_ref(q_dna: int, t_dna: int) -> int:
+    """ReducedKmerMatcher::getHammings (`ReducedKmerMatcher.h:38-47`):
+    uint16 OR of 3-bit distances shifted by 2i (spill preserved)."""
+    from metabuli_tpu.ops.hamming import REDUCED_SUM_LUT
+
+    h = 0
+    for i in range(8):
+        h |= int(REDUCED_SUM_LUT[(q_dna >> (4 * i)) & 15][(t_dna >> (4 * i)) & 15]) << (2 * i)
+    return h & 0xFFFF
+
+
+def reduced_hammings_rev_ref(q_dna: int, t_dna: int) -> int:
+    """ReducedKmerMatcher::getHammings_reverse (`ReducedKmerMatcher.h:49-56`)."""
+    from metabuli_tpu.ops.hamming import REDUCED_SUM_LUT
+
+    h = 0
+    for i in range(8):
+        h |= int(REDUCED_SUM_LUT[(q_dna >> (4 * i)) & 15][(t_dna >> (4 * i)) & 15]) << (2 * (7 - i))
+    return h & 0xFFFF
 
 
 def random_dna(rng: np.random.Generator, length: int, n_prob=0.02) -> bytes:

@@ -109,3 +109,29 @@ def test_lowercase_and_iupac_chars():
     want = _ref_kmers(seqs[0])
     assert sorted(dev[0]) == sorted(want)
     assert len(want) > 0
+
+
+def test_reduced_metamers_match_reference():
+    """Reduced 16-letter mode: 4-bit AAs + 4-bit codon numbers, AA at
+    bits 63..32 (SeqIterator.cpp:29-43 semantics)."""
+    rng = np.random.default_rng(161)
+    for length in (24, 40, 151):
+        seqs = [ref_impl.random_dna(rng, length, n_prob=0.03) for _ in range(6)]
+        dev = _device_kmers(seqs, reduced=True)
+        for seq, got in zip(seqs, dev):
+            want = _ref_kmers(seq, reduced=True)
+            assert sorted(got) == sorted(want), f"len={length}"
+
+
+def test_reduced_aa_part_is_high_32_bits():
+    rng = np.random.default_rng(8)
+    seqs = [ref_impl.random_dna(rng, 90, n_prob=0.0) for _ in range(4)]
+    for kmers in _device_kmers(seqs, reduced=True):
+        assert kmers
+        for value, _, _ in kmers:
+            aa = value >> 32
+            for j in range(8):
+                assert ((aa >> (4 * j)) & 15) <= 15
+            dna = value & 0xFFFFFFFF
+            for j in range(8):
+                assert ((dna >> (4 * j)) & 15) <= 10

@@ -270,3 +270,120 @@ def test_iupac_genome_build(tmp_path):
     clf = Classifier(db, ClassifyParams(seq_mode=1, batch_reads=8))
     summary = clf.classify_file(str(q), None, str(tmp_path / "out"), "m")
     assert summary["classified"] == 5
+
+
+def test_reduced_alphabet_end_to_end(tmp_path):
+    """--reduced-aa 1: build + classify with the 16-letter alphabet
+    (4-bit AA / 4-bit codon layout) works end to end, and the native and
+    Python taxonomer paths agree."""
+    rng = np.random.default_rng(616)
+    root = tmp_path
+    genomes = {
+        "RED_A.1": (_random_genome(rng, 3000), 4),
+        "RED_B.1": (_random_genome(rng, 3000), 8),
+    }
+    nodes = [
+        (1, 1, "no rank"), (2, 1, "superkingdom"), (3, 2, "genus"),
+        (4, 3, "species"), (7, 2, "genus"), (8, 7, "species"),
+    ]
+    names = {1: "root", 2: "Bacteria", 3: "GenusA", 4: "SpA1",
+             7: "GenusB", 8: "SpB1"}
+    taxdir = root / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n"
+                for t, n in names.items()))
+    (taxdir / "merged.dmp").write_text("")
+    fasta_dir = root / "fasta"
+    fasta_dir.mkdir()
+    paths = []
+    for acc, (seq, taxid) in genomes.items():
+        p = fasta_dir / f"{acc}.fna"
+        p.write_text(f">{acc}\n{seq.decode()}\n")
+        paths.append(str(p))
+    (root / "library.txt").write_text("\n".join(paths) + "\n")
+    (root / "acc2taxid.map").write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        + "".join(f"{acc.split('.')[0]}\t{acc}\t{taxid}\t0\n"
+                  for acc, (_, taxid) in genomes.items()))
+    db_dir = str(root / "db")
+    build_database(
+        db_dir, str(root / "library.txt"), str(root / "acc2taxid.map"),
+        str(taxdir), BuildParams(batch_bases=100_000, reduced_aa=1),
+    )
+    # db.parameters must record + re-apply the reduced alphabet
+    from metabuli_tpu.db.formats import DbParameters
+    dbp = DbParameters.read(os.path.join(db_dir, "db.parameters"))
+    assert dbp.reduced_aa == 1
+
+    reads, truth = [], []
+    for acc, (genome, taxid) in genomes.items():
+        rs = _sample_reads(rng, genome, 12, 150)
+        reads += rs
+        truth += [taxid] * len(rs)
+    q = root / "reads.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+
+    par = ClassifyParams(seq_mode=1, batch_reads=32)
+    clf = Classifier(db_dir, par)
+    assert clf.par.reduced_aa == 1  # picked up from db.parameters
+    out_dir = str(root / "out")
+    summary = clf.classify_file(str(q), None, out_dir, "red")
+    assert summary["reads"] == len(reads)
+    assert summary["classified"] >= 0.9 * len(reads)
+    lines = open(os.path.join(out_dir, "red_classifications.tsv")).read().splitlines()
+    correct = sum(
+        1 for ln in lines[1:]
+        if ln.split("\t")[0] == "1"
+        and int(ln.split("\t")[2]) == truth[int(ln.split("\t")[1][1:])]
+    )
+    assert correct >= 0.85 * len(reads)
+
+    # python-taxonomer path must agree byte-for-byte with the native one
+    os.environ["METABULI_TPU_NO_NATIVE"] = "1"
+    try:
+        clf2 = Classifier(db_dir, ClassifyParams(seq_mode=1, batch_reads=32))
+        assert clf2.native_taxonomer is None
+        out_dir2 = str(root / "out_py")
+        clf2.classify_file(str(q), None, out_dir2, "red")
+        a = open(os.path.join(out_dir, "red_classifications.tsv")).read()
+        b = open(os.path.join(out_dir2, "red_classifications.tsv")).read()
+        assert a == b
+    finally:
+        del os.environ["METABULI_TPU_NO_NATIVE"]
+
+
+def test_out_of_core_build_matches_in_memory(tiny_world, tmp_path):
+    """flush + k-way merge (the --max-ram analogue of
+    IndexCreator.h:322-472) produces the same diffIdx/info as the
+    in-memory build."""
+    root = tiny_world["root"]
+    db2 = str(tmp_path / "db_ooc")
+    build_database(
+        db2, str(root / "library.txt"), str(root / "acc2taxid.map"),
+        str(root / "taxonomy"),
+        BuildParams(batch_bases=30_000, flush_kmers=1500),
+    )
+    # multiple flushes must actually have happened for this to test merging
+    for f in ("diffIdx", "info"):
+        with open(os.path.join(tiny_world["db"], f), "rb") as fa, \
+             open(os.path.join(db2, f), "rb") as fb:
+            assert fa.read() == fb.read(), f
+    assert not os.path.exists(os.path.join(db2, "flush")) or \
+        not os.listdir(os.path.join(db2, "flush"))
+
+    # classify against the merged DB: identical outputs
+    rng = np.random.default_rng(99)
+    genome, _ = tiny_world["genomes"]["ACC_A.1"]
+    reads = _sample_reads(rng, genome, 10, 150)
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    outs = []
+    for db in (tiny_world["db"], db2):
+        clf = Classifier(db, ClassifyParams(seq_mode=1, batch_reads=16))
+        od = str(tmp_path / f"out_{os.path.basename(db)}")
+        clf.classify_file(str(q), None, od, "j")
+        outs.append(open(os.path.join(od, "j_classifications.tsv")).read())
+    assert outs[0] == outs[1]

@@ -128,3 +128,117 @@ def test_mtbl_db_read(tmp_path):
     v2, i2 = formats.read_mtbl_values(str(tmp_path))
     assert np.array_equal(v2, values)
     assert np.array_equal(i2, ids)
+
+
+def test_streaming_delta_reader_roundtrip():
+    from metabuli_tpu.db.formats import StreamingDeltaReader, delta_encode
+
+    rng = np.random.default_rng(31)
+    values = np.unique(rng.integers(0, 1 << 40, size=6000).astype(np.uint64))[:5000]
+    taxids = rng.integers(1, 100, size=len(values)).astype(np.uint32)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        dp, ip = os.path.join(d, "x_diffIdx"), os.path.join(d, "x_info")
+        delta_encode(values).tofile(dp)
+        taxids.tofile(ip)
+        r = StreamingDeltaReader(dp, ip, block_values=700)
+        assert r.total_values == len(values)
+        got_v, got_t = [], []
+        while not r.exhausted:
+            v, t = r.read_block()
+            got_v.append(v)
+            got_t.append(t)
+        assert np.array_equal(np.concatenate(got_v), values)
+        assert np.array_equal(np.concatenate(got_t), taxids)
+
+
+def test_streaming_writer_matches_write_db_files():
+    from metabuli_tpu.db.formats import StreamingDbWriter, write_db_files
+
+    rng = np.random.default_rng(32)
+    values = np.unique(rng.integers(0, 1 << 44, size=21000).astype(np.uint64))[:20000]
+    taxids = rng.integers(1, 500, size=len(values)).astype(np.uint32)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        a, b = os.path.join(d, "a"), os.path.join(d, "b")
+        write_db_files(a, values, taxids, split_num=64)
+        w = StreamingDbWriter(b, len(values), split_num=64)
+        for s in range(0, len(values), 3000):
+            w.write_block(values[s : s + 3000], taxids[s : s + 3000])
+        assert w.finalize() == len(values)
+        for f in ("diffIdx", "info", "split"):
+            with open(os.path.join(a, f), "rb") as fa, \
+                 open(os.path.join(b, f), "rb") as fb:
+                assert fa.read() == fb.read(), f
+
+
+def test_merge_flush_files_equals_in_memory():
+    """K-way merge with (value, species)-dedup + LCA == one-shot dedup."""
+    from metabuli_tpu.db.formats import (
+        delta_encode, merge_flush_files, read_db_values)
+    from metabuli_tpu.db.taxonomy import Taxonomy
+
+    # taxonomy: root(1) -> genus(2) -> species 3,4; species 3 -> sub 5,6
+    nodes = [(1, 1, "no rank"), (2, 1, "genus"), (3, 2, "species"),
+             (4, 2, "species"), (5, 3, "subspecies"), (6, 3, "subspecies")]
+    names = {i: f"n{i}" for i in range(1, 7)}
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        td = os.path.join(d, "tax")
+        os.makedirs(td)
+        open(os.path.join(td, "nodes.dmp"), "w").write(
+            "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+        open(os.path.join(td, "names.dmp"), "w").write(
+            "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n"
+                    for t, n in names.items()))
+        open(os.path.join(td, "merged.dmp"), "w").write("")
+        tax = Taxonomy.from_dmp(
+            os.path.join(td, "names.dmp"), os.path.join(td, "nodes.dmp"),
+            os.path.join(td, "merged.dmp"))
+        sp_of = tax.species_of.astype(np.uint32)
+
+        rng = np.random.default_rng(33)
+        # overlapping values across 3 flushes; taxids = internal ids of
+        # subspecies/species so LCA-on-duplicate matters
+        cand_tax = [tax.to_internal(x) for x in (3, 4, 5, 6)]
+        pool = np.unique(rng.integers(0, 1 << 30, size=4200).astype(np.uint64))[:4000]
+        all_v, all_t = [], []
+        pairs = []
+        for i in range(3):
+            v = rng.choice(pool, 2500)
+            t = rng.choice(cand_tax, 2500).astype(np.uint32)
+            sp = sp_of[t]
+            order = np.lexsort((t, sp, v))
+            v, t, sp = v[order], t[order], sp[order]
+            ng = np.ones(len(v), bool)
+            ng[1:] = (v[1:] != v[:-1]) | (sp[1:] != sp[:-1])
+            gid = np.cumsum(ng) - 1
+            lca = tax.lca_segments(t.astype(np.int64), gid)
+            v, t = v[ng], lca.astype(np.uint32)
+            dp, ip = os.path.join(d, f"{i}_diffIdx"), os.path.join(d, f"{i}_info")
+            delta_encode(v).tofile(dp)
+            t.tofile(ip)
+            pairs.append((dp, ip))
+            all_v.append(v)
+            all_t.append(t)
+
+        out = os.path.join(d, "merged")
+        n = merge_flush_files(out, pairs, sp_of, tax.lca_segments,
+                              split_num=16, block_values=600)
+
+        # oracle: concatenate everything, sort, dedup per (value, species)
+        v = np.concatenate(all_v)
+        t = np.concatenate(all_t)
+        sp = sp_of[t]
+        order = np.lexsort((t, sp, v))
+        v, t, sp = v[order], t[order], sp[order]
+        ng = np.ones(len(v), bool)
+        ng[1:] = (v[1:] != v[:-1]) | (sp[1:] != sp[:-1])
+        gid = np.cumsum(ng) - 1
+        lca = tax.lca_segments(t.astype(np.int64), gid)
+        want_v, want_t = v[ng], lca.astype(np.uint32)
+
+        got_v, got_t = read_db_values(out)
+        assert n == len(want_v)
+        assert np.array_equal(got_v, want_v)
+        assert np.array_equal(got_t, want_t)
