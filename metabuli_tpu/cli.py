@@ -38,9 +38,13 @@ def _classify(argv):
                     help="append to an existing partial classifications file")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of the run here")
+    ap.add_argument("--lineage", type=int, default=None,
+                    help="print lineage information (reference flag name)")
     add_to_parser(ap, ClassifyParams)
     args = ap.parse_args(argv)
     par = from_args(ClassifyParams, args)
+    if args.lineage is not None:
+        par.print_lineage = args.lineage
     files = args.files
     if par.seq_mode == 2:
         if len(files) != 5:
@@ -127,14 +131,19 @@ def _extract(argv):
     ap.add_argument("classifications")
     ap.add_argument("dbdir")
     ap.add_argument("--tax-id", type=int, required=True)
-    ap.add_argument("--extract-mode", type=int, default=1)
+    ap.add_argument("--extract-mode", type=int, default=None)
+    ap.add_argument("--extract-format", type=int, default=None,
+                    help="0: original format, 1: FASTA, 2: FASTQ")
     ap.add_argument("--outdir", default="")
     args = ap.parse_args(argv)
     from .tools.extract import extract_reads
 
+    mode = args.extract_mode
+    if mode is None:
+        mode = args.extract_format if args.extract_format is not None else 1
     out = extract_reads(
         args.query, args.classifications, args.dbdir, args.tax_id,
-        extract_mode=args.extract_mode, out_dir=args.outdir,
+        extract_mode=mode, out_dir=args.outdir,
     )
     print(out)
     return 0
@@ -144,6 +153,8 @@ def _filter(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu filter")
     ap.add_argument("files", nargs="+")
     ap.add_argument("--contam-list", required=True)
+    ap.add_argument("--print-mode", type=int, default=1,
+                    help="1: only filtered reads, 2: filtered and removed")
     add_to_parser(ap, ClassifyParams)
     args = ap.parse_args(argv)
     par = from_args(ClassifyParams, args)
@@ -155,7 +166,8 @@ def _filter(argv):
         q2 = None
     from .tools.filter import filter_reads
 
-    summary = filter_reads(q1, q2, db_dir, out_dir, job_id, args.contam_list, par)
+    summary = filter_reads(q1, q2, db_dir, out_dir, job_id, args.contam_list,
+                           par, print_mode=args.print_mode)
     print(json.dumps(summary))
     return 0
 
@@ -203,11 +215,16 @@ def _expand_diffidx(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu expand_diffidx")
     ap.add_argument("diffidx")
     ap.add_argument("out", nargs="?", default="")
+    ap.add_argument("--kmer-begin", type=int, default=0)
+    ap.add_argument("--kmer-end", type=int, default=0)
     args = ap.parse_args(argv)
     from .db.formats import delta_decode
 
     stream = np.fromfile(args.diffidx, dtype=np.uint16)
     values = delta_decode(stream)
+    if args.kmer_begin or args.kmer_end:
+        end = args.kmer_end or len(values)
+        values = values[args.kmer_begin:end]
     if args.out:
         values.tofile(args.out)
         print(f"Wrote {len(values)} uint64 k-mers to {args.out}")
@@ -242,12 +259,18 @@ def _grade(argv):
     ap.add_argument("--test-rank", default="", help="alias of --rank (reference name)")
     ap.add_argument("--readid-col", type=int, default=0)
     ap.add_argument("--taxid-col", type=int, default=1)
+    ap.add_argument("--test-type", default="",
+                    help="read-id mangling: gtdb, hiv[-ex], cami[-long|-euk], over")
+    ap.add_argument("--skip-secondary", type=int, default=0,
+                    help="keep only the first classified observation per read")
     args = ap.parse_args(argv)
     from .tools.grade import grade
 
     result = grade(args.classifications, args.answer_sheet, args.dbdir,
                    args.test_rank or args.rank,
-                   readid_col=args.readid_col, taxid_col=args.taxid_col)
+                   readid_col=args.readid_col, taxid_col=args.taxid_col,
+                   test_type=args.test_type,
+                   skip_secondary=bool(args.skip_secondary))
     print(json.dumps(result, indent=2))
     return 0
 
@@ -255,11 +278,17 @@ def _grade(argv):
 def _accession2taxid(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu accession2taxid")
     ap.add_argument("library", help="FASTA list file")
-    ap.add_argument("taxid_map", help="file name -> taxid TSV")
+    ap.add_argument("taxid_map", nargs="?", default="",
+                    help="file name -> taxid TSV")
+    ap.add_argument("--assacc2taxid", default="",
+                    help="assembly-accession -> taxid file (reference flag name)")
     args = ap.parse_args(argv)
     from .tools.accession import accession2taxid_from_library
 
-    out = accession2taxid_from_library(args.library, args.taxid_map)
+    mapping = args.taxid_map or args.assacc2taxid
+    if not mapping:
+        ap.error("need a taxid map (positional or --assacc2taxid)")
+    out = accession2taxid_from_library(args.library, mapping)
     print(f"Wrote {out}")
     return 0
 
@@ -274,7 +303,11 @@ def _refiner(argv):
     ap.add_argument("--select-taxid", default="")
     ap.add_argument("--exclude-taxid", default="")
     ap.add_argument("--select-columns", default="")
+    ap.add_argument("--print-columns", default="",
+                    help="CSV of columns to print (reference flag name)")
     ap.add_argument("--rank", default="")
+    ap.add_argument("--rank-file-type", type=int, default=0,
+                    help="reads above --rank: 0 drop, 1 keep, 2 separate file")
     ap.add_argument("--report", type=int, default=0)
     args = ap.parse_args(argv)
     from .tools.refiner import refine
@@ -285,9 +318,10 @@ def _refiner(argv):
         remove_unclassified=bool(args.remove_unclassified),
         select_taxids=args.select_taxid,
         exclude_taxids=args.exclude_taxid,
-        select_columns=args.select_columns,
+        select_columns=args.select_columns or args.print_columns,
         rank=args.rank,
         report=bool(args.report),
+        rank_file_type=args.rank_file_type,
     )
     print(out)
     return 0
@@ -380,10 +414,13 @@ def _print_delta_idx(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu printDeltaIdx")
     ap.add_argument("diffidx")
     ap.add_argument("n", nargs="?", type=int, default=20)
+    ap.add_argument("--kmer-begin", type=int, default=0)
+    ap.add_argument("--kmer-end", type=int, default=0)
     args = ap.parse_args(argv)
     from .tools.misc import print_delta_idx
 
-    for v in print_delta_idx(args.diffidx, args.n):
+    for v in print_delta_idx(args.diffidx, args.n,
+                             begin=args.kmer_begin, end=args.kmer_end):
         print(v)
     return 0
 
@@ -394,12 +431,15 @@ def _grade_by_clade_size(argv):
     ap.add_argument("answer_sheet")
     ap.add_argument("dbdir")
     ap.add_argument("--rank", default="species")
+    ap.add_argument("--clade-rank", default="",
+                    help="rank whose clade sizes bucket the reads")
     args = ap.parse_args(argv)
     from .tools.misc import grade_by_clade_size
 
     print(json.dumps(
         grade_by_clade_size(args.classifications, args.answer_sheet,
-                            args.dbdir, args.rank), indent=2))
+                            args.dbdir, args.rank,
+                            clade_rank=args.clade_rank), indent=2))
     return 0
 
 
@@ -419,9 +459,16 @@ def _query2reference(argv):
 def _uniref(argv, mode):
     if mode == "db":
         ap = argparse.ArgumentParser(prog="metabuli_tpu create-uniref-db")
-        ap.add_argument("xml")
-        ap.add_argument("dbdir")
+        ap.add_argument("xml", nargs="?", default="")
+        ap.add_argument("dbdir", nargs="?", default="")
+        ap.add_argument("--uniref-xml", default="",
+                        help="UniRef XML path (reference flag name)")
         args = ap.parse_args(argv)
+        if args.uniref_xml and not args.dbdir:
+            args.dbdir = args.xml
+            args.xml = args.uniref_xml
+        if not args.xml or not args.dbdir:
+            ap.error("need <xml> <dbdir> (or --uniref-xml <xml> <dbdir>)")
         from .uniref.classifier import create_uniref_db
 
         print(json.dumps(create_uniref_db(args.xml, args.dbdir)))
@@ -430,6 +477,9 @@ def _uniref(argv, mode):
         ap = argparse.ArgumentParser(prog="metabuli_tpu create-uniref-tree")
         ap.add_argument("xml")
         ap.add_argument("out")
+        ap.add_argument("--uniref-size", default="",
+                        help="CSV of UniRef 100/90/50 cluster counts "
+                             "(pre-sizes hash reservations; optional here)")
         args = ap.parse_args(argv)
         from .uniref.tree import build_tree
 
@@ -499,14 +549,27 @@ def _maketestsets(argv):
     ap.add_argument("--paired", type=int, default=0)
     ap.add_argument("--exclusion-fraction", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--virus-taxid", type=int, default=0,
+                    help="restrict to assemblies under this taxon (NCBI 10239)")
+    ap.add_argument("--bacteria-taxid", type=int, default=0,
+                    help="restrict to assemblies under this taxon (NCBI 2)")
+    ap.add_argument("--archaea-taxid", type=int, default=0,
+                    help="restrict to assemblies under this taxon (NCBI 2157)")
+    ap.add_argument("--taxonomy-path", default="",
+                    help="dir with names/nodes/merged.dmp (needed for "
+                         "--virus/--bacteria/--archaea-taxid)")
     args = ap.parse_args(argv)
     from .tools.benchmark import make_test_set
 
+    restrict = [t for t in (args.virus_taxid, args.bacteria_taxid,
+                            args.archaea_taxid) if t]
     print(json.dumps(make_test_set(
         args.assembly_list, args.acc2taxid, args.out_prefix,
         reads_per_assembly=args.reads_per_assembly, read_len=args.read_len,
         error_rate=args.error_rate, paired=bool(args.paired),
-        exclusion_fraction=args.exclusion_fraction, seed=args.seed)))
+        exclusion_fraction=args.exclusion_fraction, seed=args.seed,
+        restrict_taxids=restrict or None,
+        taxonomy_dir=args.taxonomy_path)))
     return 0
 
 
@@ -515,13 +578,36 @@ def _grouping(argv):
     ap.add_argument("query")
     ap.add_argument("classifications")
     ap.add_argument("outdir")
-    ap.add_argument("--min-shared-kmers", type=int, default=2)
+    ap.add_argument("--min-shared-kmers", type=int, default=None)
+    ap.add_argument("--min-edge", type=int, default=None,
+                    help="min edge weight (shared k-mers); reference flag name")
+    ap.add_argument("--weight-mode", type=int, default=0,
+                    help="vote weights: 0 uniform, 1 score, 2 score squared")
+    ap.add_argument("--min-vote-score", type=float, default=0.0)
+    ap.add_argument("--score-col", type=int, default=5)
+    ap.add_argument("--majority-thr", type=float, default=0.5)
+    ap.add_argument("--neighbor-kmers", type=int, default=0,
+                    help="accepted for reference compatibility; the direct "
+                         "read-overlap design has no common-kmer position "
+                         "window to relax")
+    ap.add_argument("--dbdir", default="",
+                    help="database dir (for taxonomy-aware majority LCA)")
     args = ap.parse_args(argv)
     from .readgroup.group import group_reads_file
 
+    min_edge = args.min_shared_kmers
+    if min_edge is None:
+        min_edge = args.min_edge if args.min_edge is not None else 2
+    taxonomy = None
+    if args.dbdir:
+        from .db.index import load_db_taxonomy
+
+        taxonomy = load_db_taxonomy(args.dbdir)
     print(json.dumps(group_reads_file(
-        args.query, args.classifications, args.outdir,
-        args.min_shared_kmers)))
+        args.query, args.classifications, args.outdir, min_edge,
+        weight_mode=args.weight_mode, min_vote_score=args.min_vote_score,
+        score_col=args.score_col, taxonomy=taxonomy,
+        majority_thr=args.majority_thr)))
     return 0
 
 

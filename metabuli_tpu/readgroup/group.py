@@ -102,27 +102,84 @@ def build_read_groups(
     return ds.labels()
 
 
+def weighted_majority_lca(
+    votes: list[tuple[int, float]], taxonomy, majority_thr: float = 0.5
+) -> int:
+    """Weighted-majority LCA over (internal taxid, weight) votes: weights
+    accumulate along each vote's ancestor chain; the deepest node whose
+    accumulated weight reaches ``majority_thr`` of the total wins
+    (NcbiTaxonomy::weightedMajorityLCA semantics, used by
+    `GroupGenerator.cpp:1012`)."""
+    if not votes:
+        return 0
+    acc: dict[int, float] = {}
+    depth_of: dict[int, int] = {}
+    total = 0.0
+    for tax, w in votes:
+        total += w
+        node, d = int(tax), 0
+        chain = []
+        while node > 0:
+            chain.append(node)
+            parent = int(taxonomy.parent[node])
+            if parent == node:
+                break
+            node = parent
+        for i, n in enumerate(chain):
+            acc[n] = acc.get(n, 0.0) + w
+            depth_of.setdefault(n, len(chain) - i)
+    # strictly greater: an even split falls through to the common ancestor
+    need = majority_thr * total
+    best, best_key = 0, (-1, -1.0)
+    for n, w in acc.items():
+        if w > need:
+            key = (depth_of[n], w)
+            if key > best_key:
+                best_key, best = key, n
+    return best
+
+
 def propagate_labels(
     group_labels: np.ndarray,
     classifications: list[int],
-    min_votes: int = 1,
+    scores: list[float] | None = None,
+    weight_mode: int = 0,
+    min_vote_score: float = 0.0,
+    taxonomy=None,
+    majority_thr: float = 0.5,
 ) -> list[int]:
-    """Assign each unclassified read the majority classification of its
-    group (0 stays if the group has no classified member)."""
-    votes: dict[int, dict[int, int]] = {}
+    """Assign each unclassified read its group's representative label.
+
+    weight_mode (`GroupGenerator.cpp:995-1010`): 0 = uniform votes,
+    1 = score-weighted, 2 = score²-weighted; modes 1/2 drop votes whose
+    score is below ``min_vote_score``. With a taxonomy the representative
+    is the weighted-majority LCA; without one, a plain weighted argmax."""
+    votes: dict[int, list[tuple[int, float]]] = {}
     for rid, g in enumerate(group_labels):
         t = classifications[rid]
-        if t > 0:
-            votes.setdefault(int(g), {}).setdefault(t, 0)
-            votes[int(g)][t] += 1
+        if t <= 0:
+            continue
+        if weight_mode == 0:
+            w = 1.0
+        else:
+            s = scores[rid] if scores else 0.0
+            if s < min_vote_score:
+                continue
+            w = s if weight_mode == 1 else s * s
+        votes.setdefault(int(g), []).append((t, w))
+    rep: dict[int, int] = {}
+    for g, vs in votes.items():
+        if taxonomy is not None:
+            rep[g] = weighted_majority_lca(vs, taxonomy, majority_thr)
+        else:
+            agg: dict[int, float] = {}
+            for t, w in vs:
+                agg[t] = agg.get(t, 0.0) + w
+            rep[g] = max(agg.items(), key=lambda kv: kv[1])[0]
     out = list(classifications)
     for rid, g in enumerate(group_labels):
         if out[rid] == 0:
-            v = votes.get(int(g))
-            if v:
-                best = max(v.items(), key=lambda kv: kv[1])
-                if best[1] >= min_votes:
-                    out[rid] = best[0]
+            out[rid] = rep.get(int(g), 0)
     return out
 
 
@@ -131,8 +188,15 @@ def group_reads_file(
     classifications_path: str,
     out_dir: str,
     min_shared_kmers: int = 2,
+    weight_mode: int = 0,
+    min_vote_score: float = 0.0,
+    score_col: int = 5,
+    taxonomy=None,
+    majority_thr: float = 0.5,
 ) -> dict:
-    """`grouping` workflow: read groups + propagated classifications."""
+    """`grouping` workflow: read groups + propagated classifications.
+    ``min_shared_kmers`` is the reference's --min-edge (edge weight =
+    shared-k-mer count); ``score_col`` is 1-based like --score-col."""
     os.makedirs(out_dir, exist_ok=True)
     reads = []
     names = []
@@ -142,6 +206,7 @@ def group_reads_file(
     labels = build_read_groups(reads, min_shared_kmers)
 
     cls = [0] * len(reads)
+    scores = [0.0] * len(reads)
     rows = []
     with open(classifications_path) as fh:
         idx = 0
@@ -151,9 +216,24 @@ def group_reads_file(
             cols = line.rstrip("\n").split("\t")
             if idx < len(cls) and len(cols) >= 3:
                 cls[idx] = int(cols[2]) if cols[0] == "1" else 0
+                if len(cols) >= score_col:
+                    try:
+                        scores[idx] = float(cols[score_col - 1])
+                    except ValueError:
+                        pass
                 rows.append(cols)
             idx += 1
-    propagated = propagate_labels(labels, cls)
+    if taxonomy is not None:
+        internal = [taxonomy.to_internal(t) if t > 0 else 0 for t in cls]
+        prop_int = propagate_labels(
+            labels, internal, scores, weight_mode, min_vote_score,
+            taxonomy, majority_thr)
+        propagated = [
+            taxonomy.to_original(t) if t > 0 else 0 for t in prop_int
+        ]
+    else:
+        propagated = propagate_labels(
+            labels, cls, scores, weight_mode, min_vote_score)
 
     groups_path = os.path.join(out_dir, "read_groups.tsv")
     with open(groups_path, "w") as fh:

@@ -42,13 +42,43 @@ def make_test_set(
     insert_len: int = 400,
     exclusion_fraction: float = 0.0,
     seed: int = 42,
+    restrict_taxids: list[int] | None = None,
+    taxonomy_dir: str = "",
 ) -> dict:
     """Write <prefix>.fna (or _1/_2.fna when paired), <prefix>_answers.tsv
-    and, with exclusion_fraction > 0, <prefix>_excluded_assemblies.txt."""
+    and, with exclusion_fraction > 0, <prefix>_excluded_assemblies.txt.
+
+    ``restrict_taxids`` keeps only assemblies whose taxon sits under one of
+    the given (external) taxids — the reference's --virus-taxid /
+    --bacteria-taxid / --archaea-taxid domain selectors
+    (`makeVirusBenchmarkSet.cpp`, `makeBenchmarkSet.cpp`); needs
+    ``taxonomy_dir`` (names/nodes/merged.dmp) for the ancestry test."""
     rng = np.random.default_rng(seed)
     acc2taxid = read_acc2taxid(acc2taxid_path)
     with open(assembly_list) as fh:
         files = [line.strip() for line in fh if line.strip()]
+
+    if restrict_taxids:
+        from ..db.taxonomy import Taxonomy
+
+        tax = Taxonomy.from_dmp(
+            os.path.join(taxonomy_dir, "names.dmp"),
+            os.path.join(taxonomy_dir, "nodes.dmp"),
+            os.path.join(taxonomy_dir, "merged.dmp"),
+        )
+        anchors = [tax.to_internal(t) for t in restrict_taxids]
+
+        def _under(path: str) -> bool:
+            for rec in fasta.read_records(path):
+                org = acc2taxid.get(rec.name.split()[0])
+                if org:
+                    t = tax.to_internal(org)
+                    return t > 0 and any(
+                        a > 0 and tax.is_ancestor(a, t) for a in anchors
+                    )
+            return False
+
+        files = [f for f in files if _under(f)]
 
     n_excl = int(len(files) * exclusion_fraction)
     perm = rng.permutation(len(files))

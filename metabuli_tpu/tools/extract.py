@@ -53,6 +53,8 @@ def extract_reads(
     idxs = set(classified_read_indices(classifications, target, tax))
 
     base = fasta.query_base_name(query)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     out_base = os.path.join(out_dir or os.path.dirname(query) or ".",
                             f"{base}_{external_taxid}")
     selected = [

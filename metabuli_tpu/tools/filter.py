@@ -35,9 +35,11 @@ def filter_reads(
     os.makedirs(out_dir, exist_ok=True)
     removed: set[int] = set()
     for contam in contams:
+        # a contam entry may name a sub-DB under db_dir, or be a DB path
+        # (absolute or cwd-relative) in its own right
         sub_db = os.path.join(db_dir, contam) if not os.path.isabs(contam) else contam
-        if not os.path.isdir(sub_db):
-            sub_db = db_dir if contam == "" else sub_db
+        if not os.path.isdir(sub_db) and os.path.isdir(contam):
+            sub_db = contam
         clf = Classifier(sub_db, par)
         tmp_dir = os.path.join(out_dir, f".filter_{contam.replace('/', '_')}")
         clf.classify_file(q1, q2, tmp_dir, job_id)

@@ -34,15 +34,57 @@ def read_answer_sheet(path: str, read_col: int = 0, taxid_col: int = 1) -> dict[
     return out
 
 
-def read_classifications(path: str) -> dict[str, int]:
+_ACC_RE = None
+
+
+def _mangle_read_id(read_id: str, test_type: str) -> str:
+    """Read-id -> answer-sheet key per --test-type (`grade.cpp:231-248`)."""
+    global _ACC_RE
+    if test_type in ("gtdb", "over"):
+        import re
+
+        if _ACC_RE is None:
+            _ACC_RE = re.compile(r"(GC[AF]_[0-9]+\.?[0-9]*)")
+        m = _ACC_RE.search(read_id)
+        rid = m.group(0) if m else read_id
+        if test_type == "gtdb":
+            rid = rid.split(".")[0]
+        return rid
+    if test_type in ("hiv", "hiv-ex"):
+        return read_id.split("_")[0]
+    if test_type in ("cami", "cami-long", "cami-euk"):
+        return read_id.split("/")[0]
+    return read_id
+
+
+def read_classifications(
+    path: str, test_type: str = "", skip_secondary: bool = False
+) -> dict[str, int]:
+    """``skip_secondary`` keeps only the first classified observation per
+    read (id before '/'), GTDB paired-read convention (`grade.cpp:252-272`)."""
     out = {}
+    observed: dict[str, int] = {}
     with open(path) as fh:
         for line in fh:
             if line.startswith("#"):
                 continue
             cols = line.rstrip("\n").split("\t")
-            if len(cols) >= 3:
-                out[cols[1]] = int(cols[2])
+            if len(cols) < 3 or not cols[2][:1].isdigit():
+                continue
+            full_id = cols[1]
+            taxid = int(cols[2])
+            if skip_secondary:
+                key = full_id.split("/")[0]
+                if key not in observed:
+                    observed[key] = 1 if taxid != 0 else 0
+                    if taxid == 0:
+                        continue
+                elif observed[key] == 1:
+                    continue
+            rid = _mangle_read_id(full_id, test_type) if test_type else full_id
+            # mangled ids can collide (paired mates); keep the classified one
+            if taxid != 0 or rid not in out:
+                out[rid] = taxid
     return out
 
 
@@ -53,12 +95,14 @@ def grade(
     ranks: str | list[str] = "",
     readid_col: int = 0,
     taxid_col: int = 1,
+    test_type: str = "",
+    skip_secondary: bool = False,
 ) -> dict:
     tax = load_db_taxonomy(db_dir)
     if isinstance(ranks, str):
         ranks = [r for r in ranks.split(",") if r] or DEFAULT_RANKS
     answers = read_answer_sheet(answer_sheet, readid_col, taxid_col)
-    shots = read_classifications(classifications)
+    shots = read_classifications(classifications, test_type, skip_secondary)
 
     result = {}
     for rank in ranks:

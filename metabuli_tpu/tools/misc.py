@@ -63,9 +63,14 @@ def create_new_taxa_list(library_dir: str, taxid_map: str, out_path: str = "") -
     return out_path
 
 
-def print_delta_idx(diff_idx_path: str, n: int = 20) -> list[int]:
+def print_delta_idx(
+    diff_idx_path: str, n: int = 20, begin: int = 0, end: int = 0
+) -> list[int]:
+    """--kmer-begin/--kmer-end select a value range (`printDeltaIdx` flags)."""
     stream = np.fromfile(diff_idx_path, dtype=np.uint16)
     values = delta_decode(stream)
+    if begin or end:
+        return [int(v) for v in values[begin : end or len(values)]]
     return [int(v) for v in values[:n]]
 
 
@@ -98,24 +103,31 @@ def grade_by_clade_size(
     db_dir: str,
     rank: str = "species",
     bins=(1, 2, 5, 10, 100),
+    clade_rank: str = "",
 ) -> dict:
     """Accuracy stratified by how many answer-sheet reads each true clade
-    has (`/root/reference/src/util/gradeByCladeSize.cpp` capability)."""
+    has (`/root/reference/src/util/gradeByCladeSize.cpp` capability).
+    ``clade_rank`` (--clade-rank) sets the rank whose clade sizes bucket
+    the reads; defaults to the test rank."""
     from ..db.taxonomy import rank_index
 
     tax = load_db_taxonomy(db_dir)
     answers = read_answer_sheet(answer_sheet)
     shots = read_classifications(classifications)
 
+    bucket_rank = clade_rank or rank
     clade_sizes: dict[int, int] = {}
     target_at: dict[str, int] = {}
+    bucket_of: dict[str, int] = {}
     for read, target_org in answers.items():
         t = tax.to_internal(target_org)
         if t < 0:
             continue
         at = tax.at_rank(t, rank)
         target_at[read] = at
-        clade_sizes[at] = clade_sizes.get(at, 0) + 1
+        b = at if bucket_rank == rank else tax.at_rank(t, bucket_rank)
+        bucket_of[read] = b
+        clade_sizes[b] = clade_sizes.get(b, 0) + 1
 
     r_idx = rank_index(rank)
     result = {}
@@ -123,7 +135,7 @@ def grade_by_clade_size(
     for lo, hi in zip(edges[:-1], edges[1:]):
         tp = fp = fn = total = 0
         for read, at in target_at.items():
-            size = clade_sizes.get(at, 0)
+            size = clade_sizes.get(bucket_of.get(read, at), 0)
             if not (lo <= size < hi):
                 continue
             if rank_index(tax.rank_of(at)) > r_idx:

@@ -25,7 +25,12 @@ def refine(
     select_columns: str = "",
     rank: str = "",
     report: bool = False,
+    rank_file_type: int = 0,
 ) -> str:
+    """``rank_file_type`` mirrors --rank-file-type (`classifiedRefiner.cpp:177`,
+    higherRankFile): what to do with reads classified *above* --rank —
+    0: exclude, 1: keep in the main output, 2: write to a separate
+    ``*_higherRanks.tsv`` file."""
     tax = load_db_taxonomy(db_dir)
     targets = [tax.to_internal(int(t)) for t in select_taxids.split(",") if t]
     contams = [tax.to_internal(int(t)) for t in exclude_taxids.split(",") if t]
@@ -33,6 +38,8 @@ def refine(
     out_file = out_file or (
         os.path.splitext(classified_file)[0] + "_refined.tsv"
     )
+    higher_path = os.path.splitext(out_file)[0] + "_higherRanks.tsv"
+    higher_fh = open(higher_path, "w") if rank_file_type == 2 else None
 
     tax_counts: dict[int, int] = {}
     total = 0
@@ -63,16 +70,23 @@ def refine(
             if rank and taxid > 0:
                 at = tax.at_rank(taxid, rank)
                 if rank_index(tax.rank_of(at)) > rank_index(rank):
-                    continue  # node above the requested rank
-                taxid = at
-                cols[2] = str(tax.to_original(taxid))
-                cols[5] = tax.rank_of(taxid)
+                    # classified above the requested rank
+                    if rank_file_type == 2 and higher_fh is not None:
+                        higher_fh.write("\t".join(cols) + "\n")
+                    if rank_file_type != 1:
+                        continue
+                else:
+                    taxid = at
+                    cols[2] = str(tax.to_original(taxid))
+                    cols[5] = tax.rank_of(taxid)
             if columns:
                 cols = [cols[c] for c in columns if c < len(cols)]
             out.write("\t".join(cols) + "\n")
             tax_counts[taxid if is_classified else 0] = (
                 tax_counts.get(taxid if is_classified else 0, 0) + 1
             )
+    if higher_fh is not None:
+        higher_fh.close()
 
     if report:
         rep_path = os.path.splitext(out_file)[0] + "_report.tsv"

@@ -385,3 +385,62 @@ def test_ictv_and_aa_offset_and_genus_filter(world, tmp_path, capsys):
     body = [ln for ln in open(tmp_path / "bygenus.tsv").read().splitlines()
             if not ln.startswith("#")]
     assert len(body) >= 9
+
+
+def test_grade_test_type_and_skip_secondary(tmp_path):
+    from metabuli_tpu.tools.grade import read_classifications
+
+    p = tmp_path / "cls.tsv"
+    p.write_text(
+        "#is_classified\tname\ttaxid\tlen\tscore\trank\ttaxcnt\n"
+        "1\tGCA_000123.1_r0/1\t4\t150\t0.9\tspecies\t-\n"
+        "0\tGCA_000123.1_r0/2\t0\t150\t0\t-\t-\n"
+        "1\tGCA_000456.2_r1/1\t8\t150\t0.8\tspecies\t-\n"
+    )
+    # gtdb mangling: accession without version
+    shots = read_classifications(str(p), test_type="gtdb")
+    assert shots == {"GCA_000123": 4, "GCA_000456": 8}
+    # skip-secondary: second observation of a classified read is dropped
+    shots = read_classifications(str(p), skip_secondary=True)
+    assert "GCA_000123.1_r0/2" not in shots
+    # cami mangling: prefix before '/'
+    shots = read_classifications(str(p), test_type="cami")
+    assert shots["GCA_000123.1_r0"] == 4
+
+
+def test_refiner_rank_file_type(world, tmp_path, capsys):
+    # classification at genus level (above species) must be routed per flag
+    cls = tmp_path / "c.tsv"
+    cls.write_text(
+        "#is_classified\tname\ttaxid\tlen\tscore\trank\ttaxcnt\n"
+        "1\tr0\t4\t150\t0.9\tspecies\t-\n"
+        "1\tr1\t3\t150\t0.5\tgenus\t-\n"
+    )
+    from metabuli_tpu.tools.refiner import refine
+
+    # 0: drop rows above the rank
+    out0 = refine(str(cls), world["db"], str(tmp_path / "r0.tsv"),
+                  rank="species", rank_file_type=0)
+    body = [l for l in open(out0).read().splitlines() if not l.startswith("#")]
+    assert len(body) == 1 and "\tr0\t" in body[0]
+    # 1: keep them in the main file
+    out1 = refine(str(cls), world["db"], str(tmp_path / "r1.tsv"),
+                  rank="species", rank_file_type=1)
+    body = [l for l in open(out1).read().splitlines() if not l.startswith("#")]
+    assert len(body) == 2
+    # 2: separate higherRanks file
+    out2 = refine(str(cls), world["db"], str(tmp_path / "r2.tsv"),
+                  rank="species", rank_file_type=2)
+    body = [l for l in open(out2).read().splitlines() if not l.startswith("#")]
+    assert len(body) == 1
+    higher = open(str(tmp_path / "r2_higherRanks.tsv")).read()
+    assert "\tr1\t" in higher
+
+
+def test_cli_flag_aliases(world, tmp_path, capsys):
+    # --lineage alias, --kmer-begin/--kmer-end on printDeltaIdx
+    rc = cli.main(["printDeltaIdx", os.path.join(world["db"], "diffIdx"),
+                   "--kmer-begin", "5", "--kmer-end", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3

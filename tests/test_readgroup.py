@@ -41,3 +41,33 @@ def test_propagation():
     cls = [101, 101, 0, 0, 202, 0]
     out = propagate_labels(labels, cls)
     assert out == [101, 101, 101, 202, 202, 0]
+
+
+def test_weighted_propagation():
+    from metabuli_tpu.readgroup.group import propagate_labels
+
+    labels = np.array([0, 0, 0, 0])
+    cls = [101, 202, 202, 0]
+    scores = [0.9, 0.3, 0.3, 0.0]
+    # uniform: 202 wins 2:1
+    assert propagate_labels(labels, cls)[3] == 202
+    # score-weighted: 101 (0.9) beats 202 (0.6)
+    assert propagate_labels(labels, cls, scores, weight_mode=1)[3] == 101
+    # min-vote-score gates out the 0.3 votes entirely
+    assert propagate_labels(labels, cls, scores, weight_mode=1,
+                            min_vote_score=0.5)[3] == 101
+    # score^2: 101 (0.81) beats 202 (0.18)
+    assert propagate_labels(labels, cls, scores, weight_mode=2)[3] == 101
+
+
+def test_weighted_majority_lca():
+    from metabuli_tpu.readgroup.group import weighted_majority_lca
+
+    class FakeTax:
+        # 1 <- 2 <- {3, 4}
+        parent = np.array([0, 1, 1, 2, 2])
+
+    # split vote between siblings: LCA (2) reaches majority, neither leaf does
+    assert weighted_majority_lca([(3, 1.0), (4, 1.0)], FakeTax()) == 2
+    # dominant leaf wins outright
+    assert weighted_majority_lca([(3, 3.0), (4, 1.0)], FakeTax()) == 3
