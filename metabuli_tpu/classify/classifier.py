@@ -183,9 +183,22 @@ class Classifier:
         budget = max(1024, n_windows * par.match_per_kmer)
         args = (codes, lens, pos_offsets, qid_offsets)
         if self.chunked_index is not None:
-            return (args, None, budget)  # chunked path runs at drain time
+            return ("chunked", args, None, budget)  # runs at drain time
+        if self.device_taxonomer is not None:
+            # fused classify+taxonomer program: matches never leave HBM
+            n_reads = int(qid_offsets.max()) + 1 if len(rows) else 0
+            read_lens = np.zeros(max(n_reads, 1), np.int32)
+            for seq, qid, _ in rows:
+                read_lens[qid] += _used_len(len(seq))
+            # paired mates share a (read, frame) block; columns span both
+            max_read_len = int(read_lens.max()) if n_reads else L
+            handle = self._launch_fused(
+                args, self.cap, budget, n_reads, max_read_len, read_lens
+            )
+            return ("fused", args, handle, budget,
+                    n_reads, max_read_len, read_lens)
         bm = self._launch(args, self.cap, budget)
-        return (args, bm, budget)
+        return ("plain", args, bm, budget)
 
     def _launch(self, args, cap, budget):
         par = self.par
@@ -198,10 +211,53 @@ class Classifier:
             kmer_format=par.kmer_format,
         )
 
+    def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
+                      read_lens, p_max=8):
+        par = self.par
+        return self.device_taxonomer.dispatch_fused(
+            self.dev_index, self.d_species, *args,
+            n_reads=n_reads, max_read_len=max_read_len,
+            cap=cap, max_matches=budget,
+            reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
+            smer_len=par.smer_len, kmer_format=par.kmer_format,
+            read_lens_by_qid=read_lens, p_max=p_max,
+        )
+
+    def _drain_fused(self, ctx):
+        """Drain the fused program; returns (results, info) with the same
+        cap/budget retry semantics as the match path. results is None when
+        the taxonomer grids overflowed (host fallback)."""
+        _, args, handle, budget, n_reads, max_read_len, read_lens = ctx
+        t0 = time.time()
+        results, info = self.device_taxonomer.drain_fused(
+            handle, read_lens, n_reads
+        )
+        p_max = 8
+        while True:
+            if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
+                self.cap = min(self.index.max_group, self.cap * 4)
+            elif info["n_matches"] > budget:
+                budget = int(info["n_matches"] * 1.2) + 1024
+            elif results is None and p_max < 64:
+                p_max = 64
+            else:
+                break
+            handle = self._launch_fused(
+                args, self.cap, budget, n_reads, max_read_len, read_lens,
+                p_max=p_max,
+            )
+            results, info = self.device_taxonomer.drain_fused(
+                handle, read_lens, n_reads
+            )
+        self.stats["device_s"] += time.time() - t0
+        self.stats["kmers"] += info["total_kmers"]
+        self.stats["matches"] += info["n_matches"]
+        return results, (args, budget)
+
     def _drain_device(self, ctx):
         """Fetch results; retry with larger cap/budget on overflow
         (`Classifier.cpp:127-131`)."""
-        args, bm, budget = ctx
+        _, args, bm, budget = ctx[:4]
         t0 = time.time()
         if self.chunked_index is not None:
             from .chunked import classify_batch_chunked
@@ -241,13 +297,15 @@ class Classifier:
         return m
 
     # --------------------------------------------------------------- taxonomy
-    def _assign_batch(self, metas, m) -> list[ReadClassification]:
+    def _assign_batch(self, metas, m, force_host=False) -> list[ReadClassification]:
         t0 = time.time()
         qid = m["qid"]
         starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
         ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
         read_lens = np.array([meta.read_len for meta in metas], np.int32)
-        if self.device_taxonomer is not None:
+        if self.device_taxonomer is not None and not force_host:
+            # only reachable on the chunked-index path: the single-index
+            # path runs the fused program instead
             try:
                 out = self.device_taxonomer.assign_batch(
                     m, read_lens, len(metas)
@@ -325,8 +383,22 @@ class Classifier:
                     continue
                 metas, dev_ctx = pending
                 pending = nxt_ctx
-                m = self._drain_device(dev_ctx)
-                results = self._assign_batch(metas, m)
+                if dev_ctx[0] == "fused":
+                    results, fallback = self._drain_fused(dev_ctx)
+                    if results is None:
+                        # taxonomer grid overflow: host fallback through the
+                        # match path (rare; pathological match density)
+                        f_args, f_budget = fallback
+                        t0 = time.time()
+                        bm = self._launch(f_args, self.cap, f_budget)
+                        m = matches_to_host(bm, self._species_np)
+                        self.stats["device_s"] += time.time() - t0
+                        results = self._assign_batch(
+                            metas, m, force_host=True
+                        )
+                else:
+                    m = self._drain_device(dev_ctx)
+                    results = self._assign_batch(metas, m)
                 self.stats["reads"] += len(metas)
                 rows_out = [
                     (meta.name, rc, meta.read_len)

@@ -76,6 +76,113 @@ from .device_combine import combine_paths
 from .device_redundancy import device_taxonomy, quotient_best
 from .taxonomer import ReadClassification, TaxonomerParams
 
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        # classify statics
+        "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
+        "smer_len", "kmer_format",
+        # taxonomer statics
+        "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
+        "p_max", "n_blocks", "w", "k", "max_shift",
+    ),
+)
+def _fused_classify_tax(
+    db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+    dt, min_depth, rl,
+    codes, lens, pos_offsets, qid_offsets,
+    *,
+    n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
+    kmer_format, path_budget, g_budget, max_rows, taxcnt_budget, dna_shift,
+    p_max, n_blocks, w, k, max_shift,
+):
+    """One device program: encoded reads -> per-(read, species) combined
+    scores + per-(read, species, taxid) quotient-count rows.
+
+    Fuses the match pipeline (`pipeline._classify_core`) with the device
+    taxonomer blocks so the 20-byte-per-match tensors never leave HBM —
+    only the tiny group/taxcount tensors transfer (the full-device analogue
+    of `Classifier::assignTaxonomy`, `Classifier.cpp:166-208`)."""
+    from .device_compact import compact_groups, compact_paths
+    from .pipeline import _classify_core
+
+    s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts = (
+        _classify_core(
+            db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+            codes, lens, pos_offsets, qid_offsets,
+            n_db=n_db, search_iters=search_iters, cap=cap,
+            max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+            smer_len=smer_len, kmer_format=kmer_format,
+        )
+    )
+    valid = s_qid != INT32_MAX
+    s_frame = jnp.where(valid, s_packed & 7, 0)
+    s_ham = jnp.where(valid, (s_packed >> 3) & 0xFF, 0)
+    s_h16 = jnp.where(valid, (s_packed >> 11) & 0xFFFF, 0)
+
+    chain_res = chain_matches(
+        s_qid, s_species, s_frame, s_pos, s_ham, s_dna, s_h16, valid,
+        min_depth, n_blocks=n_blocks, w=w, k=k, max_shift=max_shift,
+        kmer_format=kmer_format,
+    )
+    flat = compact_paths(chain_res, budget=path_budget)
+    comb = combine_paths(
+        flat.read, flat.species, flat.start, flat.end, flat.score,
+        flat.ham, flat.sh16, flat.eh16, flat.valid, rl,
+        n_groups=g_budget, p_max=p_max,
+    )
+    groups = compact_groups(comb, budget=g_budget)
+    qres = quotient_best(
+        dt, s_qid, s_species, s_pos, s_ham, s_taxid, valid,
+        dna_shift=dna_shift, max_rows=max_rows,
+    )
+
+    # aggregate quotient rows to (read, species, taxid, count) on device:
+    # the host only ever needs per-taxid quotient counts (taxCnt,
+    # `Taxonomer.cpp:160-171`), which is a far smaller tensor
+    rr, rs, rt = jax.lax.sort(
+        (qres.row_read, qres.row_species, qres.row_taxid), num_keys=3
+    )
+    vrow = rr != INT32_MAX
+    new = jnp.ones(rr.shape, bool)
+    new = new.at[1:].set(
+        (rr[1:] != rr[:-1]) | (rs[1:] != rs[:-1]) | (rt[1:] != rt[:-1])
+    )
+    new = new & vrow
+    run_id = jnp.cumsum(new.astype(jnp.int32)) - 1
+    R = rr.shape[0]
+    run_counts = (
+        jnp.zeros(R + 1, jnp.int32)
+        .at[jnp.where(vrow, run_id, R)].add(1, mode="drop")
+    )
+    n_taxcnt = jnp.sum(new.astype(jnp.int32))
+    (firsts,) = jnp.nonzero(new, size=taxcnt_budget, fill_value=R)
+    tpad = firsts >= R
+    tsafe = jnp.minimum(firsts, R - 1)
+    t_read = jnp.where(tpad, INT32_MAX, rr[tsafe])
+    t_species = jnp.where(tpad, INT32_MAX, rs[tsafe])
+    t_taxid = jnp.where(tpad, 0, rt[tsafe])
+    t_count = jnp.where(tpad, 0, run_counts[jnp.where(tpad, 0, run_id[tsafe])])
+
+    tax_overflow = (
+        chain_res.fallback.any().astype(jnp.int32)
+        + (flat.n_paths > path_budget).astype(jnp.int32)
+        + comb.fallback.any().astype(jnp.int32)
+        + (groups.n_groups > g_budget).astype(jnp.int32)
+        + (qres.n_rows > max_rows).astype(jnp.int32)
+        + (n_taxcnt > taxcnt_budget).astype(jnp.int32)
+    )
+    counts = jnp.stack([
+        groups.n_groups, n_taxcnt, tax_overflow,
+        cls_counts[0], cls_counts[1], cls_counts[2],
+    ])
+    taxcnt = jnp.stack([t_read, t_species, t_taxid, t_count], axis=0)
+    gdata = (groups.read, groups.species, groups.score)
+    return gdata, taxcnt, counts
+
 
 class DeviceTaxonomer:
     """Batch taxonomer using the device blocks; host finishes per read."""
@@ -95,6 +202,92 @@ class DeviceTaxonomer:
             euk, params.min_cons_cnt_euk, params.min_cons_cnt
         ).astype(np.int32)
 
+    # ------------------------------------------------------------- fused path
+    def fused_sizes(self, n_reads: int, max_matches: int,
+                    max_read_len: int, p_max: int = 8) -> dict:
+        """Static grid sizes for the fused program, derived from the batch
+        shape only (so programs cache across batches)."""
+        w = 16
+        max_q = max_read_len // 3 + 4
+        while w < min(max_q, 2048):
+            w *= 2
+        n_blocks = 1024
+        while n_blocks < min(8 * n_reads, max(max_matches, 2), 1 << 20):
+            n_blocks *= 2
+        path_budget = 1024
+        while path_budget < min(max(max_matches, 2), 1 << 22):
+            path_budget *= 2
+        g_budget = 1024
+        while g_budget < 8 * n_reads:
+            g_budget *= 2
+        max_rows = 1024
+        while max_rows < max(max_matches, 2):
+            max_rows *= 2
+        return dict(
+            path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
+            taxcnt_budget=4 * g_budget, dna_shift=self.p.dna_shift,
+            p_max=p_max, n_blocks=n_blocks, w=w, k=4,
+            max_shift=self.p.max_codon_shift,
+        )
+
+    def dispatch_fused(self, index, d_species, codes, lens, pos_offsets,
+                       qid_offsets, n_reads: int, max_read_len: int, *,
+                       cap: int, max_matches: int, reduced: bool,
+                       syncmer: bool, smer_len: int, kmer_format: int,
+                       read_lens_by_qid: np.ndarray, p_max: int = 8):
+        """Launch the fused classify+taxonomer program (async)."""
+        sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max)
+        rl = np.zeros(max(n_reads, 1), np.int32)
+        rl[: len(read_lens_by_qid)] = read_lens_by_qid
+        gdata, taxcnt, counts = _fused_classify_tax(
+            index.hi32, index.lo32, index.d48lo, index.d48hi, index.taxids,
+            index.prefix, d_species, self.dt, self.min_depth, rl,
+            codes, lens, pos_offsets, qid_offsets,
+            n_db=index.n, search_iters=index.search_iters, cap=cap,
+            max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+            smer_len=smer_len, kmer_format=kmer_format, **sizes,
+        )
+        return (gdata, taxcnt, counts, sizes)
+
+    def drain_fused(self, handle, read_lens_by_qid: np.ndarray,
+                    n_reads: int):
+        """Fetch the small tensors; returns (results | None, info).
+
+        results is None when the device grids overflowed (caller falls back
+        to the host taxonomer); info carries the classify counters for the
+        cap/budget retry logic (`Classifier.cpp:127-131`)."""
+        gdata, taxcnt, counts, sizes = handle
+        counts = np.asarray(counts)
+        info = {
+            "n_groups": int(counts[0]),
+            "n_taxcnt": int(counts[1]),
+            "tax_overflow": int(counts[2]),
+            "n_matches": int(counts[3]),
+            "n_over_cap": int(counts[4]),
+            "total_kmers": int(counts[5]),
+        }
+        if info["tax_overflow"]:
+            return None, info
+        results = [ReadClassification() for _ in range(n_reads)]
+        n_g = info["n_groups"]
+        if n_g == 0:
+            return results, info
+        g_budget = sizes["g_budget"]
+        gp = _pow2(n_g, g_budget)
+        g_read = np.asarray(gdata[0][:gp])[:n_g]
+        g_sp = np.asarray(gdata[1][:gp])[:n_g]
+        g_score = np.asarray(gdata[2][:gp])[:n_g].astype(np.float32)
+        n_t = info["n_taxcnt"]
+        tp = _pow2(max(n_t, 1), sizes["taxcnt_budget"])
+        trows = np.asarray(taxcnt[:, :tp])[:, :n_t]
+        results = self._finish(
+            g_read, g_sp, g_score,
+            trows[0], trows[1], trows[2], trows[3],
+            read_lens_by_qid, n_reads, results,
+        )
+        return results, info
+
+    # ---------------------------------------------------------- legacy path
     def assign_batch(self, m: dict, read_lens_by_qid: np.ndarray,
                      n_reads: int, valid=None,
                      n_blocks: int | None = None,
@@ -175,7 +368,28 @@ class DeviceTaxonomer:
         r_sp = np.asarray(qres.row_species[:np_pad])[:n_rows]
         r_tax = np.asarray(qres.row_taxid[:np_pad])[:n_rows]
 
-        # --- host: vectorized per-read selection, python only for the rare
+        # aggregate quotient rows to (read, species, taxid, count) runs
+        q_order = np.lexsort((r_tax, r_sp, r_read))
+        rr, rs, rt = r_read[q_order], r_sp[q_order], r_tax[q_order]
+        run_new = np.ones(len(rr), bool)
+        run_new[1:] = (
+            (rr[1:] != rr[:-1]) | (rs[1:] != rs[:-1]) | (rt[1:] != rt[:-1])
+        )
+        run_ids = np.cumsum(run_new) - 1
+        run_cnt = np.bincount(run_ids) if len(rr) else np.zeros(0, np.int64)
+        return self._finish(
+            g_read, g_sp, g_score,
+            rr[run_new], rs[run_new], rt[run_new], run_cnt,
+            read_lens_by_qid, n_reads, results,
+        )
+
+    def _finish(self, g_read, g_sp, g_score, run_read, run_sp, run_tax,
+                run_cnt, read_lens_by_qid, n_reads, results):
+        """Host finish: per-read species selection (ties -> LCA), min-score
+        branches, below-species BFS — from the small group/taxcount tensors
+        (`chooseBestTaxon`, `Taxonomer.cpp:130-202`)."""
+        p = self.p
+        # vectorized per-read selection, python only for the rare
         # tie/LCA and below-species BFS cases
         order = np.lexsort((g_sp, g_read))
         g_read, g_sp, g_score = g_read[order], g_sp[order], g_score[order]
@@ -210,22 +424,14 @@ class DeviceTaxonomer:
         w_idx = is_tied & single[gk_read]
         winner[gk_read[w_idx]] = gk_sp[w_idx]
 
-        # winner tax counts from the quotient rows, vectorized
-        q_order = np.lexsort((r_tax, r_sp, r_read))
-        r_read, r_sp, r_tax = r_read[q_order], r_sp[q_order], r_tax[q_order]
-        r_ok = (r_read < n_reads) & (r_sp == winner[np.clip(r_read, 0, n_reads - 1)])
-        rr, rs, rt = r_read[r_ok], r_sp[r_ok], r_tax[r_ok]
-        run_new = np.ones(len(rr), bool)
-        run_new[1:] = (rr[1:] != rr[:-1]) | (rt[1:] != rt[:-1])
-        run_ids = np.cumsum(run_new) - 1
-        run_counts = np.bincount(run_ids) if len(rr) else np.zeros(0, np.int64)
-        run_read = rr[run_new]
-        run_tax = rt[run_new]
-
+        # winner tax counts from the aggregated runs
+        r_ok = (run_read < n_reads) & (
+            run_sp == winner[np.clip(run_read, 0, n_reads - 1)]
+        )
         tax_counts_per_read: list[dict] = [dict() for _ in range(n_reads)]
-        for i in range(len(run_read)):
+        for i in np.nonzero(r_ok)[0]:
             tax_counts_per_read[int(run_read[i])][int(run_tax[i])] = int(
-                run_counts[i]
+                run_cnt[i]
             )
 
         em_lists = None

@@ -180,14 +180,7 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
     return (a ^ flip) < (b ^ flip)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
-        "smer_len", "kmer_format",
-    ),
-)
-def _classify_batch_impl(
+def _classify_core(
     db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
@@ -200,7 +193,13 @@ def _classify_batch_impl(
     syncmer: bool,
     smer_len: int,
     kmer_format: int,
-) -> BatchMatches:
+):
+    """Traceable core: encoded reads -> sorted match columns (on device).
+
+    Returns (m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, counts)
+    where padding rows have qid == INT32_MAX and packed holds
+    frame | hamming << 3 | h16 << 11. Shared by the transfer-packed
+    ``_classify_batch_impl`` and the fused device-taxonomer program."""
     B, L = codes.shape
     mm = encode.extract_metamers(
         codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
@@ -343,11 +342,8 @@ def _classify_batch_impl(
         sorted_ops = jax.lax.sort(
             keys + (m_dna, m_taxid, m_packed), num_keys=6
         )
-        data = jnp.stack(
-            (sorted_ops[0], sorted_ops[3], sorted_ops[6], sorted_ops[7],
-             sorted_ops[8]),
-            axis=0,
-        )
+        s_qid, s_species, s_pos = sorted_ops[0], sorted_ops[1], sorted_ops[3]
+        s_dna, s_taxid, s_packed = sorted_ops[6], sorted_ops[7], sorted_ops[8]
     else:
         # hamming<=56 and dna<2^24 pack into one key
         k_hamdna = jnp.where(is_pad, INT32_MAX, (m_ham << 24) | m_dna)
@@ -356,14 +352,43 @@ def _classify_batch_impl(
              m_dna, m_taxid, m_packed),
             num_keys=5,
         )
-        data = jnp.stack(
-            (sorted_ops[0], sorted_ops[3], sorted_ops[5], sorted_ops[6],
-             sorted_ops[7]),
-            axis=0,
-        )
+        s_qid, s_species, s_pos = sorted_ops[0], sorted_ops[1], sorted_ops[3]
+        s_dna, s_taxid, s_packed = sorted_ops[5], sorted_ops[6], sorted_ops[7]
     counts = jnp.stack(
         (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
     ).astype(jnp.int32)
+    return s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
+        "smer_len", "kmer_format",
+    ),
+)
+def _classify_batch_impl(
+    db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
+    tax2species,
+    codes, lens, pos_offsets, qid_offsets,
+    *,
+    n_db: int,
+    search_iters: int,
+    cap: int,
+    max_matches: int,
+    reduced: bool,
+    syncmer: bool,
+    smer_len: int,
+    kmer_format: int,
+) -> BatchMatches:
+    s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
+        db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+        codes, lens, pos_offsets, qid_offsets,
+        n_db=n_db, search_iters=search_iters, cap=cap,
+        max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+        smer_len=smer_len, kmer_format=kmer_format,
+    )
+    data = jnp.stack((s_qid, s_pos, s_dna, s_taxid, s_packed), axis=0)
     return BatchMatches(data=data, counts=counts)
 
 
