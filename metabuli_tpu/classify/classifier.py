@@ -212,7 +212,7 @@ class Classifier:
         )
 
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
-                      read_lens, p_max=8):
+                      read_lens, p_max=8, scale=1):
         par = self.par
         return self.device_taxonomer.dispatch_fused(
             self.dev_index, self.d_species, *args,
@@ -220,31 +220,38 @@ class Classifier:
             cap=cap, max_matches=budget,
             reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
             smer_len=par.smer_len, kmer_format=par.kmer_format,
-            read_lens_by_qid=read_lens, p_max=p_max,
+            read_lens_by_qid=read_lens, p_max=p_max, scale=scale,
         )
 
     def _drain_fused(self, ctx):
         """Drain the fused program; returns (results, info) with the same
         cap/budget retry semantics as the match path. results is None when
-        the taxonomer grids overflowed (host fallback)."""
+        the taxonomer grids overflowed after the retry ladder (host
+        fallback)."""
         _, args, handle, budget, n_reads, max_read_len, read_lens = ctx
         t0 = time.time()
         results, info = self.device_taxonomer.drain_fused(
             handle, read_lens, n_reads
         )
-        p_max = 8
+        p_max, scale = 8, 1
         while True:
             if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
-            elif results is None and p_max < 64:
+            elif results is None and scale < 4:
+                # a taxonomer grid overflowed: widen everything once, and
+                # give path combination more slots (comb overflow = bit 2)
+                scale = 4
+                if info["tax_overflow"] & 0b100:
+                    p_max = 64
+            elif results is None and info["tax_overflow"] & 0b100 and p_max < 64:
                 p_max = 64
             else:
                 break
             handle = self._launch_fused(
                 args, self.cap, budget, n_reads, max_read_len, read_lens,
-                p_max=p_max,
+                p_max=p_max, scale=scale,
             )
             results, info = self.device_taxonomer.drain_fused(
                 handle, read_lens, n_reads

@@ -167,13 +167,14 @@ def _fused_classify_tax(
     t_taxid = jnp.where(tpad, 0, rt[tsafe])
     t_count = jnp.where(tpad, 0, run_counts[jnp.where(tpad, 0, run_id[tsafe])])
 
+    # bit flags so the retry ladder can target the exhausted resource
     tax_overflow = (
         chain_res.fallback.any().astype(jnp.int32)
-        + (flat.n_paths > path_budget).astype(jnp.int32)
-        + comb.fallback.any().astype(jnp.int32)
-        + (groups.n_groups > g_budget).astype(jnp.int32)
-        + (qres.n_rows > max_rows).astype(jnp.int32)
-        + (n_taxcnt > taxcnt_budget).astype(jnp.int32)
+        | ((flat.n_paths > path_budget).astype(jnp.int32) << 1)
+        | (comb.fallback.any().astype(jnp.int32) << 2)
+        | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
+        | ((qres.n_rows > max_rows).astype(jnp.int32) << 4)
+        | ((n_taxcnt > taxcnt_budget).astype(jnp.int32) << 5)
     )
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
@@ -204,29 +205,34 @@ class DeviceTaxonomer:
 
     # ------------------------------------------------------------- fused path
     def fused_sizes(self, n_reads: int, max_matches: int,
-                    max_read_len: int, p_max: int = 8) -> dict:
+                    max_read_len: int, p_max: int = 8,
+                    scale: int = 1) -> dict:
         """Static grid sizes for the fused program, derived from the batch
-        shape only (so programs cache across batches)."""
+        shape only (so programs cache across batches). ``scale`` widens
+        every data-dependent grid (overflow retries)."""
         w = 16
         max_q = max_read_len // 3 + 4
         while w < min(max_q, 2048):
             w *= 2
+        # blocks = (read, species, frame) runs; typical reads hit 1-2
+        # species across 6 frames
         n_blocks = 1024
-        while n_blocks < min(8 * n_reads, max(max_matches, 2), 1 << 20):
+        while n_blocks < min(16 * n_reads * scale,
+                             max(max_matches, 2), 1 << 21):
             n_blocks *= 2
         path_budget = 1024
-        while path_budget < min(max(max_matches, 2), 1 << 22):
+        while path_budget < min(max(max_matches, 2) * scale, 1 << 23):
             path_budget *= 2
         g_budget = 1024
-        while g_budget < 8 * n_reads:
+        while g_budget < 8 * n_reads * scale:
             g_budget *= 2
         max_rows = 1024
-        while max_rows < max(max_matches, 2):
+        while max_rows < max(max_matches, 2) * scale:
             max_rows *= 2
         return dict(
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
             taxcnt_budget=4 * g_budget, dna_shift=self.p.dna_shift,
-            p_max=p_max, n_blocks=n_blocks, w=w, k=4,
+            p_max=p_max, n_blocks=n_blocks, w=w, k=4 * scale,
             max_shift=self.p.max_codon_shift,
         )
 
@@ -234,9 +240,11 @@ class DeviceTaxonomer:
                        qid_offsets, n_reads: int, max_read_len: int, *,
                        cap: int, max_matches: int, reduced: bool,
                        syncmer: bool, smer_len: int, kmer_format: int,
-                       read_lens_by_qid: np.ndarray, p_max: int = 8):
+                       read_lens_by_qid: np.ndarray, p_max: int = 8,
+                       scale: int = 1):
         """Launch the fused classify+taxonomer program (async)."""
-        sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max)
+        sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max,
+                                 scale)
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
         gdata, taxcnt, counts = _fused_classify_tax(

@@ -120,11 +120,18 @@ class IndexBuilder:
         par = self.par
         # bucket the padded length and batch size so only a few device
         # program shapes ever compile
-        max_len = max(len(t.seq) for t in batch)
+        max_len = max(len(t.seq) for t in batch) + 2
         bucket = 3072
         while bucket < max_len:
             bucket *= 2
         codes, lens = encode_seqs_padded([t.seq for t in batch], max_len=bucket)
+        if batch[0].single_frame:
+            # target-block scans cover floor(L/3) codons (initScanner sets
+            # aaLen = seqLen/3, `KmerScanner.h:74-77`), not the query-side
+            # maxCoveredLength; bump lens so (len-2)//3 == L//3 (the padded
+            # tail reads INVALID codes and can't form extra valid codons)
+            real = np.array([len(t.seq) for t in batch], np.int64)
+            lens = (3 * (real // 3) + 2).astype(np.int32)
         if par.mask_mode:
             from ..ops.mask import mask_codes
 
@@ -267,6 +274,54 @@ class IndexBuilder:
         }
 
 
+def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy) -> list[SeqTask]:
+    """Replace whole-sequence tasks with predicted coding blocks.
+
+    Per species (mirrors `IndexCreator::fillTargetKmerBuffer`,
+    `IndexCreator.cpp:1128-1218`): train the gene predictor on the species'
+    longest sequence, min-hash-compare every sequence against it and
+    reverse-complement opposite-strand ones (`SeqIterator.cpp:65-112`),
+    predict genes, and extract the extended-ORF blocks
+    (`ProdigalWrapper.cpp:344-560`) as single-frame tasks (reverse-strand
+    blocks are reverse-complemented so every block scans forward frame 0,
+    equivalent to `extractTargetKmers`' strand-aware scan,
+    `KmerExtractor.cpp:407-426`). CDS-derived tasks pass through untouched.
+    The predictor is a self-training reimplementation, not a bit-exact
+    Prodigal port (its metagenomic models are absent from the reference
+    checkout); it also self-trains where the reference would use meta mode
+    (training sequence < 100 kb or Eukaryota)."""
+    from .genes import GenePredictor, revcomp
+
+    out: list[SeqTask] = []
+    by_sp: dict[int, list[SeqTask]] = {}
+    for t in tasks:
+        if t.single_frame:
+            out.append(t)
+        else:
+            by_sp.setdefault(t.species, []).append(t)
+    for sp in sorted(by_sp):
+        ts = by_sp[sp]
+        gp = GenePredictor()
+        train_seq = max(ts, key=lambda t: len(t.seq)).seq
+        gp.train(train_seq)
+        for t in ts:
+            seq = t.seq
+            if not gp.same_strand(seq):
+                seq = revcomp(seq)
+            bs, be, bt = gp.extended_orfs(seq)
+            for i in range(len(bs)):
+                s = max(0, int(bs[i]))
+                e = min(len(seq) - 1, int(be[i]))
+                if e - s + 1 < 24:
+                    continue
+                block = seq[s : e + 1]
+                if int(bt[i]) == -1:
+                    block = revcomp(block)
+                out.append(SeqTask(block, t.taxid, t.species,
+                                   single_frame=True))
+    return out
+
+
 def build_database(
     db_dir: str,
     fasta_list: str,
@@ -344,9 +399,12 @@ def build_database(
             species = int(tax.species_of[internal])
             tasks.append(SeqTask(seq, internal, species))
             acc_rows.append((acc, org_taxid, acc_org))
+    n_input_seqs = len(tasks)
+    if params.gene_prediction:
+        tasks = predict_gene_blocks(tasks, tax)
     builder.add_sequences(tasks)
     stats = builder.finalize(db_dir, params.db_name)
-    stats["sequences"] = len(tasks)
+    stats["sequences"] = n_input_seqs
     stats["skipped_accessions"] = skipped
     with open(os.path.join(db_dir, "acc2taxid.map"), "w") as fh:
         # 3 columns in accession-level DBs (`IndexCreator.cpp:708-719`)

@@ -1,0 +1,124 @@
+"""Gene prediction for database construction (ctypes bridge).
+
+Drives the native module (`native/genepred.cpp`) that stands in for the
+reference's vendored Prodigal during `build` (`IndexCreator.cpp:1128-1218`):
+per-species training on the longest sequence, min-hash strandedness check,
+gene prediction, and extended-ORF block computation. The predictor is a
+self-training reimplementation (long-ORF seeding -> hexamer log-odds ->
+overlap-resolving DP), not a bit-exact Prodigal port (Prodigal's
+metagenomic training data is not vendored in the reference checkout); the
+min-hash / intergenic-kmer / extended-ORF machinery follows the reference
+semantics exactly (`SeqIterator.cpp:65-152`, `ProdigalWrapper.cpp:344-560`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native import get_lib
+
+MINHASH_CAP = 3000
+INTER_CAP = 1 << 16
+
+
+class GenePredictor:
+    """Per-species trained predictor with the reference's build protocol."""
+
+    def __init__(self):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib.gp_train.restype = ctypes.c_int64
+        self.lib.gp_predict.restype = ctypes.c_int64
+        self.lib.gp_minhash.restype = ctypes.c_int64
+        self.lib.gp_minhash_same_strand.restype = ctypes.c_int32
+        self.lib.gp_intergenic_kmers.restype = ctypes.c_int64
+        self.lib.gp_extended_orfs.restype = ctypes.c_int64
+        self.lib.gp_xxh64.restype = ctypes.c_uint64
+        self._model = 0
+        self._train_len = 0
+        self._train_sketch = None
+        self._inter = np.zeros(INTER_CAP, np.uint64)
+        self._n_inter = ctypes.c_int64(0)
+
+    def __del__(self):
+        if getattr(self, "_model", 0) and self.lib is not None:
+            try:
+                self.lib.gp_free(ctypes.c_int64(self._model))
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------- training
+    def train(self, seq: bytes):
+        """Train on the species' longest sequence; seeds the intergenic
+        23-mer list and the strandedness sketch (`IndexCreator.cpp:1130-1166`)."""
+        if self._model:
+            self.lib.gp_free(ctypes.c_int64(self._model))
+        self._model = int(self.lib.gp_train(seq, ctypes.c_int64(len(seq))))
+        self._train_len = len(seq)
+        self._train_sketch = self.minhash(seq)
+        self._n_inter = ctypes.c_int64(0)
+        genes = self.predict(seq)
+        if len(genes[0]):
+            n = self.lib.gp_intergenic_kmers(
+                seq, ctypes.c_int64(len(seq)),
+                genes[0].ctypes, genes[1].ctypes, genes[2].ctypes,
+                ctypes.c_int64(len(genes[0])),
+                self._inter.ctypes, ctypes.c_int64(INTER_CAP),
+            )
+            self._n_inter = ctypes.c_int64(int(n))
+
+    def minhash(self, seq: bytes) -> np.ndarray:
+        out = np.zeros(MINHASH_CAP + 1, np.uint64)
+        n = self.lib.gp_minhash(
+            seq, ctypes.c_int64(len(seq)), out.ctypes,
+            ctypes.c_int64(MINHASH_CAP),
+        )
+        return out[: int(n)]
+
+    def same_strand(self, seq: bytes) -> bool:
+        """compareMinHashList vs the training sketch (`SeqIterator.cpp:65-86`)."""
+        sk = self.minhash(seq)
+        return bool(self.lib.gp_minhash_same_strand(
+            self._train_sketch.ctypes, ctypes.c_int64(len(self._train_sketch)),
+            sk.ctypes, ctypes.c_int64(len(sk)),
+            ctypes.c_int64(self._train_len), ctypes.c_int64(len(seq)),
+        ))
+
+    # ------------------------------------------------------------ prediction
+    def predict(self, seq: bytes):
+        cap = max(64, len(seq) // 200)
+        while True:
+            b = np.zeros(cap, np.int32)
+            e = np.zeros(cap, np.int32)
+            s = np.zeros(cap, np.int32)
+            n = int(self.lib.gp_predict(
+                ctypes.c_int64(self._model), seq, ctypes.c_int64(len(seq)),
+                b.ctypes, e.ctypes, s.ctypes, ctypes.c_int64(cap),
+            ))
+            if n <= cap:
+                return b[:n], e[:n], s[:n]
+            cap = n
+
+    def extended_orfs(self, seq: bytes):
+        """Predicted genes -> extended-ORF SequenceBlocks (start, end,
+        strand; 0-based inclusive), updating the intergenic 23-mer list."""
+        gb, ge, gs = self.predict(seq)
+        cap = max(16, 2 * len(gb) + 4)
+        bs = np.zeros(cap, np.int32)
+        be = np.zeros(cap, np.int32)
+        bt = np.zeros(cap, np.int32)
+        n = int(self.lib.gp_extended_orfs(
+            seq, ctypes.c_int64(len(seq)),
+            gb.ctypes, ge.ctypes, gs.ctypes, ctypes.c_int64(len(gb)),
+            self._inter.ctypes, ctypes.byref(self._n_inter),
+            ctypes.c_int64(INTER_CAP),
+            bs.ctypes, be.ctypes, bt.ctypes, ctypes.c_int64(cap),
+        ))
+        return bs[:n], be[:n], bt[:n]
+
+
+def revcomp(seq: bytes) -> bytes:
+    return seq.translate(bytes.maketrans(b"ACGTacgt", b"TGCAtgca"))[::-1]

@@ -18,6 +18,7 @@ _TRIED = False
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "taxonomer.cpp"),
     os.path.join(os.path.dirname(__file__), "masker.cpp"),
+    os.path.join(os.path.dirname(__file__), "genepred.cpp"),
 ]
 _SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
 

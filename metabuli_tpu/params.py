@@ -113,3 +113,9 @@ class BuildParams:
         metadata={"help": "k-mers per out-of-core flush file "
                           "(0 = derive from --max-ram)"},
     )
+    gene_prediction: int = field(
+        default=0,
+        metadata={"help": "restrict extraction to predicted coding frames "
+                          "+ extended ORFs (native gene predictor; the "
+                          "reference's Prodigal stage). 0 = all 6 frames"},
+    )

@@ -387,3 +387,72 @@ def test_out_of_core_build_matches_in_memory(tiny_world, tmp_path):
         clf.classify_file(str(q), None, od, "j")
         outs.append(open(os.path.join(od, "j_classifications.tsv")).read())
     assert outs[0] == outs[1]
+
+
+def test_gene_prediction_build(tmp_path):
+    """--gene-prediction 1: coding-frame-restricted DB (native predictor +
+    extended ORFs) classifies gene-region reads and is smaller than the
+    6-frame superset DB."""
+    from metabuli_tpu.db.genes import revcomp
+
+    rng = np.random.default_rng(777)
+
+    def make_genome(n_genes):
+        aa_codons = [b"GCT", b"GAA", b"AAA", b"CTG", b"GAT", b"ATT",
+                     b"GGT", b"CGT", b"TTC", b"CAG"]
+        parts = []
+        for i in range(n_genes):
+            parts.append(bytes(rng.choice(
+                np.array(list(b"ACGT"), np.uint8), 120)))
+            gene = b"ATG" + b"".join(
+                aa_codons[int(rng.integers(0, len(aa_codons)))]
+                for _ in range(180)) + b"TAA"
+            parts.append(revcomp(gene) if i % 3 == 2 else gene)
+        parts.append(bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 120)))
+        return b"".join(parts)
+
+    genomes = {"GP_A.1": (make_genome(8), 4), "GP_B.1": (make_genome(8), 8)}
+    taxdir = tmp_path / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n"
+        "4\t|\t2\t|\tspecies\t|\n8\t|\t2\t|\tspecies\t|\n")
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\tN{t}\t|\t\t|\tscientific name\t|\n"
+                for t in (1, 2, 4, 8)))
+    (taxdir / "merged.dmp").write_text("")
+    paths = []
+    for acc, (seq, _) in genomes.items():
+        fp = tmp_path / f"{acc}.fna"
+        fp.write_text(f">{acc}\n{seq.decode()}\n")
+        paths.append(str(fp))
+    (tmp_path / "lib.txt").write_text("\n".join(paths) + "\n")
+    (tmp_path / "map.tsv").write_text(
+        "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
+
+    stats = {}
+    for gp_flag in (0, 1):
+        db = str(tmp_path / f"db{gp_flag}")
+        stats[gp_flag] = build_database(
+            db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
+            str(taxdir), BuildParams(mask_mode=0, gene_prediction=gp_flag))
+    assert stats[1]["unique_kmers"] < stats[0]["unique_kmers"]
+
+    reads, truth = [], []
+    for acc, (g, taxid) in genomes.items():
+        rs = _sample_reads(rng, g, 15, 150)
+        reads += rs
+        truth += [taxid] * len(rs)
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    clf = Classifier(str(tmp_path / "db1"),
+                     ClassifyParams(seq_mode=1, batch_reads=32))
+    out = str(tmp_path / "out")
+    summary = clf.classify_file(str(q), None, out, "gp")
+    lines = open(os.path.join(out, "gp_classifications.tsv")).read().splitlines()
+    correct = sum(
+        1 for ln in lines[1:]
+        if ln.split("\t")[0] == "1"
+        and int(ln.split("\t")[2]) == truth[int(ln.split("\t")[1][1:])]
+    )
+    assert correct >= 0.8 * len(reads)
