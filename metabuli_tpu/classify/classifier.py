@@ -212,7 +212,7 @@ class Classifier:
         )
 
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
-                      read_lens, p_max=8, scale=1):
+                      read_lens, p_max=16, scale=1):
         par = self.par
         return self.device_taxonomer.dispatch_fused(
             self.dev_index, self.d_species, *args,
@@ -233,7 +233,7 @@ class Classifier:
         results, info = self.device_taxonomer.drain_fused(
             handle, read_lens, n_reads
         )
-        p_max, scale = 8, 1
+        p_max, scale = 16, 1
         while True:
             if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)

@@ -205,7 +205,7 @@ class DeviceTaxonomer:
 
     # ------------------------------------------------------------- fused path
     def fused_sizes(self, n_reads: int, max_matches: int,
-                    max_read_len: int, p_max: int = 8,
+                    max_read_len: int, p_max: int = 16,
                     scale: int = 1) -> dict:
         """Static grid sizes for the fused program, derived from the batch
         shape only (so programs cache across batches). ``scale`` widens
@@ -240,7 +240,7 @@ class DeviceTaxonomer:
                        qid_offsets, n_reads: int, max_read_len: int, *,
                        cap: int, max_matches: int, reduced: bool,
                        syncmer: bool, smer_len: int, kmer_format: int,
-                       read_lens_by_qid: np.ndarray, p_max: int = 8,
+                       read_lens_by_qid: np.ndarray, p_max: int = 16,
                        scale: int = 1):
         """Launch the fused classify+taxonomer program (async)."""
         sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max,

@@ -40,6 +40,13 @@ def _classify(argv):
                     help="write a jax.profiler trace of the run here")
     ap.add_argument("--lineage", type=int, default=None,
                     help="print lineage information (reference flag name)")
+    ap.add_argument("--coordinator", default="",
+                    help="jax.distributed coordinator host:port (multi-host)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--db-shards", type=int, default=0,
+                    help="db-axis size of the (data, db) mesh "
+                         "(0 = auto; >1 shards the metamer table)")
     add_to_parser(ap, ClassifyParams)
     args = ap.parse_args(argv)
     par = from_args(ClassifyParams, args)
@@ -74,6 +81,16 @@ def _classify(argv):
             for p in problems:
                 print(f"  {p}", file=sys.stderr)
             return 1
+    if args.num_processes > 1 or args.db_shards > 1:
+        from .parallel.dist_classify import classify_distributed
+
+        summary = classify_distributed(
+            db_dir, q1, q2, out_dir, job_id, par,
+            args.coordinator or None, args.num_processes, args.process_id,
+            n_db=args.db_shards or None,
+        )
+        print(json.dumps(summary))
+        return 0
     from .classify.classifier import Classifier
 
     clf = Classifier(db_dir, par)

@@ -33,32 +33,35 @@ class Reporter:
         self.print_lineage = print_lineage
 
     # ------------------------------------------------------- classifications
+    def classification_header(self) -> str:
+        h = "#is_classified\tname\ttaxID\tquery_length\tscore\trank"
+        if self.print_lineage:
+            h += "\tlineage"
+        return h + "\ttaxID:match_count\n"
+
+    def classification_row(self, name, rc, read_len) -> str:
+        tax = self.tax
+        if rc.is_classified:
+            row = (
+                f"1\t{name}\t{tax.to_original(rc.taxid)}\t{read_len}\t"
+                f"{format_float(rc.score)}\t{tax.rank_of(rc.taxid)}\t"
+            )
+            if self.print_lineage:
+                row += f"{tax.lineage(rc.taxid)}\t"
+            for t in sorted(rc.tax_counts):
+                row += f"{tax.to_original(t)}:{rc.tax_counts[t]} "
+            return row + "\n"
+        row = f"0\t{name}\t0\t{read_len}\t{format_float(rc.score)}\t-\t"
+        if self.print_lineage:
+            row += "-\t"
+        return row + "-\t\n"
+
     def write_classifications(self, fh, results, first: bool = True):
         """``results``: iterable of (name, ReadClassification, read_len)."""
         if first:
-            fh.write("#is_classified\tname\ttaxID\tquery_length\tscore\trank")
-            if self.print_lineage:
-                fh.write("\tlineage")
-            fh.write("\ttaxID:match_count\n")
-        tax = self.tax
+            fh.write(self.classification_header())
         for name, rc, read_len in results:
-            if rc.is_classified:
-                fh.write(
-                    f"1\t{name}\t{tax.to_original(rc.taxid)}\t{read_len}\t"
-                    f"{format_float(rc.score)}\t{tax.rank_of(rc.taxid)}\t"
-                )
-                if self.print_lineage:
-                    fh.write(f"{tax.lineage(rc.taxid)}\t")
-                for t in sorted(rc.tax_counts):
-                    fh.write(f"{tax.to_original(t)}:{rc.tax_counts[t]} ")
-                fh.write("\n")
-            else:
-                fh.write(
-                    f"0\t{name}\t0\t{read_len}\t{format_float(rc.score)}\t-\t"
-                )
-                if self.print_lineage:
-                    fh.write("-\t")
-                fh.write("-\t\n")
+            fh.write(self.classification_row(name, rc, read_len))
 
     # ----------------------------------------------------------------- report
     def write_report(self, fh, tax_counts: dict[int, int], total_reads: int):
