@@ -117,10 +117,46 @@ class Classifier:
             )
         self._species_np = self.index.species_table().astype(np.int32)
         self.d_species = jax.device_put(self._species_np)
+        if params.batch_reads == 0:
+            params.batch_reads = self._auto_batch_reads()
         # cap = the DB's true max AA-group size (no silent drop possible);
         # clamped by --max-cap for pathological low-complexity groups
         self.cap = int(min(max(1, self.index.max_group), params.max_cap))
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
+        # sticky fused-taxonomer grid escalation (applies to later batches)
+        self._fused_pmax = 16
+        self._fused_scale = 1
+
+    def _auto_batch_reads(self) -> int:
+        """Derive reads-per-batch from device memory — the HBM analogue of
+        the reference's byte-budget planning (`QueryIndexer.cpp:24-28`,
+        availableRam / (bytesPerKmer*kmerCnt + 200/read)).
+
+        Uses live ``memory_stats`` when the platform reports them,
+        otherwise a device-kind HBM table. The per-read footprint covers
+        the match tensors plus (for the fused taxonomer) the chain grids."""
+        from .chunked import BYTES_PER_ENTRY
+
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        hbm = stats.get("bytes_limit")
+        if not hbm:
+            kind = getattr(dev, "device_kind", "").lower()
+            if "v5p" in kind or "v4" in kind:
+                hbm = 90 << 30
+            elif "tpu" in kind:
+                hbm = 15 << 30  # v5e / v5 lite / v6e-class floor
+            else:
+                hbm = 4 << 30  # CPU & unknown platforms: stay modest
+        index_bytes = len(self.index.values) * BYTES_PER_ENTRY
+        avail = max(hbm - index_bytes - (1 << 30), 1 << 28)
+        # measured footprints at L=160: ~300 KB/read fused (chain grids
+        # dominate), ~120 KB/read match-only
+        per_read = 300_000 if self.device_taxonomer is not None else 120_000
+        b = 512
+        while b * 2 * per_read <= avail // 2 and b < 16384:
+            b *= 2
+        return b
 
     # ---------------------------------------------------------------- batches
     def _iter_batches(self, q1: str, q2: str | None, skip: int = 0):
@@ -193,7 +229,8 @@ class Classifier:
             # paired mates share a (read, frame) block; columns span both
             max_read_len = int(read_lens.max()) if n_reads else L
             handle = self._launch_fused(
-                args, self.cap, budget, n_reads, max_read_len, read_lens
+                args, self.cap, budget, n_reads, max_read_len, read_lens,
+                p_max=self._fused_pmax, scale=self._fused_scale,
             )
             return ("fused", args, handle, budget,
                     n_reads, max_read_len, read_lens)
@@ -233,7 +270,7 @@ class Classifier:
         results, info = self.device_taxonomer.drain_fused(
             handle, read_lens, n_reads
         )
-        p_max, scale = 16, 1
+        p_max, scale = self._fused_pmax, self._fused_scale
         while True:
             if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
@@ -256,6 +293,8 @@ class Classifier:
             results, info = self.device_taxonomer.drain_fused(
                 handle, read_lens, n_reads
             )
+        if results is not None:
+            self._fused_pmax, self._fused_scale = p_max, scale
         self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += info["total_kmers"]
         self.stats["matches"] += info["n_matches"]

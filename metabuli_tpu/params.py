@@ -73,7 +73,10 @@ class ClassifyParams:
     buffer_size: int = 16777216
     random_seed: int = 42
     # TPU-specific execution knobs
-    batch_reads: int = field(default=2048, metadata={"help": "reads per device batch"})
+    batch_reads: int = field(
+        default=2048,
+        metadata={"help": "reads per device batch (0 = derive from device "
+                          "memory, the QueryIndexer byte-budget analogue)"})
     max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
     device_tax: int = field(default=0, metadata={"help": "experimental: run the taxonomer stages on device"})
 

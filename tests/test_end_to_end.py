@@ -456,3 +456,19 @@ def test_gene_prediction_build(tmp_path):
         and int(ln.split("\t")[2]) == truth[int(ln.split("\t")[1][1:])]
     )
     assert correct >= 0.8 * len(reads)
+
+
+def test_auto_batch_reads(tiny_world, tmp_path):
+    """--batch-reads 0 derives the batch size from device memory and
+    still classifies correctly."""
+    rng = np.random.default_rng(31)
+    genome, taxid = tiny_world["genomes"]["ACC_A.1"]
+    reads = _sample_reads(rng, genome, 8, 150)
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    par = ClassifyParams(seq_mode=1, batch_reads=0)
+    clf = Classifier(tiny_world["db"], par)
+    assert par.batch_reads >= 512 and par.batch_reads & (par.batch_reads - 1) == 0
+    out = str(tmp_path / "out")
+    summary = clf.classify_file(str(q), None, out, "ab")
+    assert summary["classified"] >= 7
