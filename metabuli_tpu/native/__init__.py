@@ -19,6 +19,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "taxonomer.cpp"),
     os.path.join(os.path.dirname(__file__), "masker.cpp"),
     os.path.join(os.path.dirname(__file__), "genepred.cpp"),
+    os.path.join(os.path.dirname(__file__), "fastx.cpp"),
 ]
 _SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
 
@@ -29,7 +30,7 @@ def _build() -> str | None:
         return _SO
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", *_SRCS, "-o", _SO + ".tmp",
+        "-std=c++17", *_SRCS, "-o", _SO + ".tmp", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

@@ -117,3 +117,35 @@ def test_predictor_finds_implanted_genes():
                 hits += 1
                 break
     assert hits >= 8, hits
+
+
+def test_native_fastx_parity(tmp_path):
+    """Native block reader == Python parser on FASTA/FASTQ/gzip."""
+    import gzip
+
+    from metabuli_tpu.io import fasta
+
+    rng = np.random.default_rng(9)
+    fa = tmp_path / "t.fna"
+    with open(fa, "w") as fh:
+        for i in range(500):
+            seq = "".join(rng.choice(list("ACGT"), int(rng.integers(50, 300))))
+            fh.write(f">r{i} comment {i}\n")
+            for j in range(0, len(seq), 60):
+                fh.write(seq[j : j + 60] + "\n")
+    fq = tmp_path / "t.fq"
+    with open(fq, "w") as fh:
+        for i in range(500):
+            seq = "".join(rng.choice(list("ACGT"), 150))
+            fh.write(f"@q{i}/1\n{seq}\n+\n{'I' * 150}\n")
+    fagz = tmp_path / "t.fna.gz"
+    with open(fa, "rb") as src, gzip.open(fagz, "wb") as dst:
+        dst.write(src.read())
+
+    for path in (fa, fq, fagz):
+        nat = list(fasta._read_records_native(str(path)))
+        py = list(fasta._read_records_py(str(path)))
+        assert len(nat) == len(py)
+        for a, b in zip(nat, py):
+            assert (a.name, a.comment, a.seq, a.qual) == \
+                (b.name, b.comment, b.seq, b.qual)
