@@ -232,8 +232,11 @@ class IndexBuilder:
                 split_num=par.split_num, reduced=bool(par.reduced_aa),
             )
             for d, i in self._flush_pairs:
-                os.remove(d)
-                os.remove(i)
+                # only remove our own temporaries, not external inputs
+                # (updateDB feeds the old DB's diffIdx/info as one more pair)
+                if self._flush_dir and os.path.dirname(d) == self._flush_dir:
+                    os.remove(d)
+                    os.remove(i)
             self._flush_pairs = []
             # unique taxids from the merged info file, streamed in chunks
             uniq: np.ndarray = np.zeros(0, np.uint32)

@@ -84,19 +84,41 @@ def update_database(
     new_taxa: str = "",
 ) -> dict:
     params = params or BuildParams()
-    old = MetamerIndex.load(old_db_dir)
-    tax = old.taxonomy
+    # the old DB can stream through the k-way merge without ever being
+    # decompressed in full (`updateDB.cpp:139-142` feeds the old
+    # diffIdx/info as one more merge input) when its info entries carry no
+    # redundancy bit and it uses the classic diffIdx layout
+    old_diff = os.path.join(old_db_dir, "diffIdx")
+    old_params_path = os.path.join(old_db_dir, "db.parameters")
+    from .formats import DbParameters
+    from .index import load_db_taxonomy
+
+    old_params = (DbParameters.read(old_params_path)
+                  if os.path.exists(old_params_path) else DbParameters())
+    streaming = (
+        os.path.exists(old_diff)
+        and old_params.skip_redundancy == 1
+        and os.path.abspath(old_db_dir) != os.path.abspath(db_dir)
+    )
+    if streaming:
+        old = None
+        tax = load_db_taxonomy(old_db_dir)
+    else:
+        old = MetamerIndex.load(old_db_dir)
+        old_params = old.params
+        tax = old.taxonomy
     if new_taxa:
         tax = extend_taxonomy(tax, parse_new_taxa(new_taxa))
 
     # carry DB-defining parameters over from the old DB
-    params.syncmer = old.params.syncmer
-    params.smer_len = old.params.smer_len
-    params.kmer_format = old.params.kmer_format
-    params.reduced_aa = old.params.reduced_aa
+    params.syncmer = old_params.syncmer
+    params.smer_len = old_params.smer_len
+    params.kmer_format = old_params.kmer_format
+    params.reduced_aa = old_params.reduced_aa
 
     acc2taxid = read_acc2taxid(acc2taxid_path)
-    builder = IndexBuilder(params, tax)
+    builder = IndexBuilder(params, tax,
+                           flush_dir=os.path.join(db_dir, "flush"))
     with open(fasta_list) as fh:
         files = [line.strip() for line in fh if line.strip()]
     tasks = []
@@ -115,12 +137,21 @@ def update_database(
     builder.add_sequences(tasks)
 
     # merge: feed the old DB's entries through the same dedup machinery
-    old_species = tax.species_of[old.taxids.astype(np.int64)].astype(np.uint32)
-    builder._values.append(old.values)
-    builder._taxids.append(old.taxids)
-    builder._species.append(old_species)
+    if streaming:
+        # flush the new k-mers, then k-way merge with the old DB stream
+        if builder._pending:
+            builder._flush()
+        builder._flush_pairs.append(
+            (old_diff, os.path.join(old_db_dir, "info"))
+        )
+    else:
+        old_species = tax.species_of[
+            old.taxids.astype(np.int64)].astype(np.uint32)
+        builder._values.append(old.values)
+        builder._taxids.append(old.taxids)
+        builder._species.append(old_species)
 
-    stats = builder.finalize(db_dir, params.db_name or old.params.db_name)
+    stats = builder.finalize(db_dir, params.db_name or old_params.db_name)
     stats["sequences"] = len(tasks)
     stats["skipped_accessions"] = skipped
     # merge acc2taxid maps

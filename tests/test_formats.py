@@ -242,3 +242,61 @@ def test_merge_flush_files_equals_in_memory():
         assert n == len(want_v)
         assert np.array_equal(got_v, want_v)
         assert np.array_equal(got_t, want_t)
+
+
+def test_update_streaming_equals_in_memory(tmp_path, monkeypatch):
+    """updateDB's streaming old-DB merge == the in-memory merge path."""
+    import os
+
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.db.update import update_database
+    from metabuli_tpu.params import BuildParams
+
+    rng = np.random.default_rng(41)
+    taxdir = tmp_path / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n"
+        "4\t|\t2\t|\tspecies\t|\n8\t|\t2\t|\tspecies\t|\n")
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\tN{t}\t|\t\t|\tscientific name\t|\n"
+                for t in (1, 2, 4, 8)))
+    (taxdir / "merged.dmp").write_text("")
+    g = lambda n: bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), n))
+    # overlapping content so cross-merge dedup+LCA actually triggers
+    shared = g(1500)
+    (tmp_path / "a.fna").write_text(f">U_A.1\n{(shared + g(1500)).decode()}\n")
+    (tmp_path / "b.fna").write_text(f">U_B.1\n{(shared + g(1500)).decode()}\n")
+    (tmp_path / "lib1.txt").write_text(str(tmp_path / "a.fna") + "\n")
+    (tmp_path / "lib2.txt").write_text(str(tmp_path / "b.fna") + "\n")
+    (tmp_path / "map.tsv").write_text("U_A.1\t4\nU_B.1\t8\n")
+    old_db = str(tmp_path / "old")
+    build_database(old_db, str(tmp_path / "lib1.txt"),
+                   str(tmp_path / "map.tsv"), str(taxdir),
+                   BuildParams(mask_mode=0))
+
+    new_s = str(tmp_path / "new_stream")
+    update_database(new_s, old_db, str(tmp_path / "lib2.txt"),
+                    str(tmp_path / "map.tsv"), BuildParams(mask_mode=0))
+
+    # force the in-memory path by making the streaming predicate fail
+    import metabuli_tpu.db.update as upd
+
+    real_abspath = os.path.abspath
+    monkeypatch.setattr(
+        upd.os.path, "abspath", lambda p: "SAME"
+    )
+    new_m = str(tmp_path / "new_mem")
+    update_database(new_m, old_db, str(tmp_path / "lib2.txt"),
+                    str(tmp_path / "map.tsv"), BuildParams(mask_mode=0))
+    monkeypatch.setattr(upd.os.path, "abspath", real_abspath)
+
+    for f in ("diffIdx", "info"):
+        a = open(os.path.join(new_s, f), "rb").read()
+        b = open(os.path.join(new_m, f), "rb").read()
+        assert a == b, f
+
+    from metabuli_tpu.db.index import MetamerIndex
+
+    assert len(MetamerIndex.load(new_s).values) > \
+        len(MetamerIndex.load(old_db).values)
