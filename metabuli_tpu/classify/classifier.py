@@ -277,13 +277,10 @@ class Classifier:
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
             elif results is None and scale < 4:
-                # a taxonomer grid overflowed: widen everything once, and
-                # give path combination more slots (comb overflow = bit 2)
+                # a taxonomer grid overflowed: widen every grid once
+                # (path-heavy groups already re-combine on the host, so no
+                # p_max escalation is needed)
                 scale = 4
-                if info["tax_overflow"] & 0b100:
-                    p_max = 64
-            elif results is None and info["tax_overflow"] & 0b100 and p_max < 64:
-                p_max = 64
             else:
                 break
             handle = self._launch_fused(

@@ -29,6 +29,17 @@ class CombineResult(NamedTuple):
     score: jax.Array          # [G] float32 combined species score (capped)
     group_valid: jax.Array    # [G] bool
     fallback: jax.Array       # [G] bool (path capacity exceeded)
+    # paths of fallback groups, compacted to ov_budget rows so the host can
+    # re-combine just those groups exactly (padding read == INT32_MAX)
+    ov_read: jax.Array        # [OV] int32
+    ov_species: jax.Array     # [OV] int32
+    ov_start: jax.Array       # [OV] int32
+    ov_end: jax.Array         # [OV] int32
+    ov_score: jax.Array       # [OV] float32
+    ov_ham: jax.Array         # [OV] int32
+    ov_sh16: jax.Array        # [OV] int32
+    ov_eh16: jax.Array        # [OV] int32
+    n_ov: jax.Array           # [] int32 (may exceed OV: overflow signal)
 
 
 def _part_score(h16, rng, from_right):
@@ -50,7 +61,7 @@ def _part_score(h16, rng, from_right):
     return s, hd
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "p_max"))
+@functools.partial(jax.jit, static_argnames=("n_groups", "p_max", "ov_budget"))
 def combine_paths(
     p_read, p_species, p_start, p_end, p_score, p_ham, p_sh16, p_eh16,
     p_valid,
@@ -58,6 +69,7 @@ def combine_paths(
     *,
     n_groups: int,
     p_max: int,
+    ov_budget: int = 1,
 ) -> CombineResult:
     """Flat path arrays -> per-(read, species) combined scores."""
     # sort paths into (read, species, score desc, ham asc, start desc) order
@@ -200,10 +212,35 @@ def combine_paths(
         st.total / jnp.maximum(rl, 1).astype(jnp.float32), 1.0
     )
     score = jnp.where(group_valid, score, 0.0)
+
+    # compact the paths of fallback groups so the host can redo exactly
+    # those groups (cumsum + scatter, same pattern as compact_paths)
+    in_ov = s_valid & fallback[jnp.minimum(gid, n_groups - 1)] \
+        & (gid < n_groups)
+    pos_ov = jnp.cumsum(in_ov.astype(jnp.int32)) - 1
+    n_ov = pos_ov[-1] + 1
+    scatter = jnp.where(in_ov & (pos_ov < ov_budget), pos_ov,
+                        jnp.int32(ov_budget))
+    rows = (
+        jnp.full(ov_budget, M, jnp.int32)
+        .at[scatter].set(idx, mode="drop")
+    )
+    pad = rows >= M
+    safe = jnp.minimum(rows, M - 1)
+    take = lambda a, fill: jnp.where(pad, fill, a[safe])
     return CombineResult(
         group_read=group_read,
         group_species=group_species,
         score=score,
         group_valid=group_valid,
         fallback=fallback,
+        ov_read=take(s_read, jnp.int32(big)),
+        ov_species=take(s_species, jnp.int32(0)),
+        ov_start=take(s_start, jnp.int32(0)),
+        ov_end=take(s_end, jnp.int32(-1)),
+        ov_score=take(s_score, jnp.float32(0)),
+        ov_ham=take(s_ham, jnp.int32(0)),
+        ov_sh16=take(s_sh16, jnp.int32(0)),
+        ov_eh16=take(s_eh16, jnp.int32(0)),
+        n_ov=n_ov,
     )

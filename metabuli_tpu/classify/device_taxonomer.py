@@ -87,7 +87,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         "smer_len", "kmer_format",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
-        "p_max", "n_blocks", "w", "k", "max_shift",
+        "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
     ),
 )
 def _fused_classify_tax(
@@ -97,7 +97,7 @@ def _fused_classify_tax(
     *,
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
     kmer_format, path_budget, g_budget, max_rows, taxcnt_budget, dna_shift,
-    p_max, n_blocks, w, k, max_shift,
+    p_max, n_blocks, w, k, max_shift, ov_budget,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -132,7 +132,7 @@ def _fused_classify_tax(
     comb = combine_paths(
         flat.read, flat.species, flat.start, flat.end, flat.score,
         flat.ham, flat.sh16, flat.eh16, flat.valid, rl,
-        n_groups=g_budget, p_max=p_max,
+        n_groups=g_budget, p_max=p_max, ov_budget=ov_budget,
     )
     groups = compact_groups(comb, budget=g_budget)
     qres = quotient_best(
@@ -167,22 +167,26 @@ def _fused_classify_tax(
     t_taxid = jnp.where(tpad, 0, rt[tsafe])
     t_count = jnp.where(tpad, 0, run_counts[jnp.where(tpad, 0, run_id[tsafe])])
 
-    # bit flags so the retry ladder can target the exhausted resource
+    # bit flags so the retry ladder can target the exhausted resource;
+    # path-slot (p_max) overflow is NOT fatal — those groups' paths ship to
+    # the host for an exact re-combine (bit 2 = the shipment overflowed)
     tax_overflow = (
         chain_res.fallback.any().astype(jnp.int32)
         | ((flat.n_paths > path_budget).astype(jnp.int32) << 1)
-        | (comb.fallback.any().astype(jnp.int32) << 2)
+        | ((comb.n_ov > ov_budget).astype(jnp.int32) << 2)
         | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
         | ((qres.n_rows > max_rows).astype(jnp.int32) << 4)
         | ((n_taxcnt > taxcnt_budget).astype(jnp.int32) << 5)
     )
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
-        cls_counts[0], cls_counts[1], cls_counts[2],
+        cls_counts[0], cls_counts[1], cls_counts[2], comb.n_ov,
     ])
     taxcnt = jnp.stack([t_read, t_species, t_taxid, t_count], axis=0)
     gdata = (groups.read, groups.species, groups.score)
-    return gdata, taxcnt, counts
+    ovp = (comb.ov_read, comb.ov_species, comb.ov_start, comb.ov_end,
+           comb.ov_score, comb.ov_ham, comb.ov_sh16, comb.ov_eh16)
+    return gdata, taxcnt, counts, ovp
 
 
 class DeviceTaxonomer:
@@ -233,7 +237,7 @@ class DeviceTaxonomer:
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
             taxcnt_budget=4 * g_budget, dna_shift=self.p.dna_shift,
             p_max=p_max, n_blocks=n_blocks, w=w, k=4 * scale,
-            max_shift=self.p.max_codon_shift,
+            max_shift=self.p.max_codon_shift, ov_budget=16384 * scale,
         )
 
     def dispatch_fused(self, index, d_species, codes, lens, pos_offsets,
@@ -247,7 +251,7 @@ class DeviceTaxonomer:
                                  scale)
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
-        gdata, taxcnt, counts = _fused_classify_tax(
+        gdata, taxcnt, counts, ovp = _fused_classify_tax(
             index.hi32, index.lo32, index.d48lo, index.d48hi, index.taxids,
             index.prefix, d_species, self.dt, self.min_depth, rl,
             codes, lens, pos_offsets, qid_offsets,
@@ -255,7 +259,7 @@ class DeviceTaxonomer:
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format, **sizes,
         )
-        return (gdata, taxcnt, counts, sizes)
+        return (gdata, taxcnt, counts, ovp, sizes)
 
     def drain_fused(self, handle, read_lens_by_qid: np.ndarray,
                     n_reads: int):
@@ -263,8 +267,10 @@ class DeviceTaxonomer:
 
         results is None when the device grids overflowed (caller falls back
         to the host taxonomer); info carries the classify counters for the
-        cap/budget retry logic (`Classifier.cpp:127-131`)."""
-        gdata, taxcnt, counts, sizes = handle
+        cap/budget retry logic (`Classifier.cpp:127-131`). Groups whose
+        path count exceeded the device slot capacity arrive as raw path
+        rows and are re-combined exactly on the host."""
+        gdata, taxcnt, counts, ovp, sizes = handle
         counts = np.asarray(counts)
         info = {
             "n_groups": int(counts[0]),
@@ -273,6 +279,7 @@ class DeviceTaxonomer:
             "n_matches": int(counts[3]),
             "n_over_cap": int(counts[4]),
             "total_kmers": int(counts[5]),
+            "n_ov_paths": int(counts[6]),
         }
         if info["tax_overflow"]:
             return None, info
@@ -285,6 +292,11 @@ class DeviceTaxonomer:
         g_read = np.asarray(gdata[0][:gp])[:n_g]
         g_sp = np.asarray(gdata[1][:gp])[:n_g]
         g_score = np.asarray(gdata[2][:gp])[:n_g].astype(np.float32)
+        if info["n_ov_paths"]:
+            g_score = self._recombine_overflow_groups(
+                ovp, sizes, info["n_ov_paths"], g_read, g_sp, g_score,
+                read_lens_by_qid, n_reads,
+            )
         n_t = info["n_taxcnt"]
         tp = _pow2(max(n_t, 1), sizes["taxcnt_budget"])
         trows = np.asarray(taxcnt[:, :tp])[:, :n_t]
@@ -294,6 +306,73 @@ class DeviceTaxonomer:
             read_lens_by_qid, n_reads, results,
         )
         return results, info
+
+    def _recombine_overflow_groups(self, ovp, sizes, n_ov, g_read, g_sp,
+                                   g_score, read_lens_by_qid, n_reads):
+        """Exact host re-combine (combineMatchPaths,
+        `Taxonomer.cpp:410-468`) for groups whose path count exceeded the
+        device slot capacity; patches their scores in g_score."""
+        F32 = np.float32
+        op = _pow2(max(n_ov, 1), sizes["ov_budget"])
+        cols = [np.asarray(a[:op])[:n_ov] for a in ovp]
+        o_read, o_sp, o_start, o_end, o_score, o_ham, o_sh16, o_eh16 = cols
+
+        def part(h16, rng, from_right):
+            s = F32(0)
+            hd = 0
+            for i in range(rng):
+                h = (h16 >> (2 * i)) & 3 if from_right else \
+                    (h16 >> (14 - 2 * i)) & 3
+                s = F32(s + (F32(3.0) if h == 0
+                             else F32(2.0) - F32(0.5) * F32(h)))
+                hd += h
+            return s, hd
+
+        # paths arrive already in (read, species, score desc, ham, -start)
+        # order (combine_paths sorts before compacting)
+        new_scores: dict[tuple[int, int], np.float32] = {}
+        i = 0
+        while i < n_ov:
+            j = i
+            while (j < n_ov and o_read[j] == o_read[i]
+                   and o_sp[j] == o_sp[i]):
+                j += 1
+            accepted: list[list[int]] = []  # [start, end]
+            total = F32(0)
+            for p_i in range(i, j):
+                start, end = int(o_start[p_i]), int(o_end[p_i])
+                score = F32(o_score[p_i])
+                rejected = False
+                for a_s, a_e in accepted:
+                    if end < a_s or a_e < start:
+                        continue
+                    ov = min(end, a_e) - max(start, a_s) + 1
+                    if ov == end - start + 1 or ov >= 24:
+                        rejected = True
+                        break
+                    rng = min(max(ov // 3, 0), 8)
+                    if start < a_s:  # trim right side
+                        r_s, _ = part(int(o_eh16[p_i]), rng, True)
+                        end = a_s - 1
+                        score = F32(score - r_s - F32(ov % 3))
+                    else:  # trim left side
+                        l_s, _ = part(int(o_sh16[p_i]), rng, False)
+                        start = a_e + 1
+                        score = F32(score - l_s - F32(ov % 3))
+                if not rejected:
+                    accepted.append([start, end])
+                    total = F32(total + score)
+            rl = int(read_lens_by_qid[int(o_read[i])]) \
+                if int(o_read[i]) < len(read_lens_by_qid) else 1
+            new_scores[(int(o_read[i]), int(o_sp[i]))] = min(
+                F32(total / F32(max(rl, 1))), F32(1.0))
+            i = j
+
+        for idx in range(len(g_read)):
+            key = (int(g_read[idx]), int(g_sp[idx]))
+            if key in new_scores:
+                g_score[idx] = new_scores[key]
+        return g_score
 
     # ---------------------------------------------------------- legacy path
     def assign_batch(self, m: dict, read_lens_by_qid: np.ndarray,

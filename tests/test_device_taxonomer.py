@@ -166,3 +166,68 @@ def test_classifier_with_device_tax(tmp_path):
         clf.classify_file(str(q), None, out, "dt")
         outs[flag] = open(os.path.join(out, "dt_classifications.tsv")).read()
     assert outs[0] == outs[1]
+
+
+def test_fused_path_overflow_host_recombine(tmp_path):
+    """Groups exceeding the device path-slot capacity re-combine exactly on
+    the host: force tiny p_max and compare byte-identical output."""
+    import os
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.params import BuildParams, ClassifyParams
+
+    rng = np.random.default_rng(61)
+    genomes = {
+        "OV_A.1": (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 6000)), 4),
+        "OV_B.1": (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 6000)), 8),
+    }
+    taxdir = tmp_path / "taxonomy"
+    taxdir.mkdir()
+    (taxdir / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tgenus\t|\n"
+        "4\t|\t2\t|\tspecies\t|\n8\t|\t2\t|\tspecies\t|\n")
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\tN{t}\t|\t\t|\tscientific name\t|\n" for t in (1, 2, 4, 8)))
+    (taxdir / "merged.dmp").write_text("")
+    paths = []
+    for acc, (seq, _) in genomes.items():
+        fp = tmp_path / f"{acc}.fna"
+        fp.write_text(f">{acc}\n{seq.decode()}\n")
+        paths.append(str(fp))
+    (tmp_path / "lib.txt").write_text("\n".join(paths) + "\n")
+    (tmp_path / "map.tsv").write_text(
+        "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
+    db = str(tmp_path / "db")
+    build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
+                   str(taxdir), BuildParams(mask_mode=0))
+
+    # scattered mutations give many short disjoint paths per (read, species)
+    reads = []
+    for acc, (g, _) in genomes.items():
+        for i in range(6):
+            r = bytearray(g[i * 900 : i * 900 + 600])
+            for p in range(40, 600, 80):
+                r[p] = ord("A") if r[p] != ord("A") else ord("T")
+            reads.append(bytes(r))
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+
+    outs = {}
+    recombines = []
+    for flag in (0, 1):
+        par = ClassifyParams(seq_mode=3, batch_reads=16, device_tax=flag)
+        clf = Classifier(db, par)
+        if flag:
+            clf._fused_pmax = 2  # force path-slot overflow -> host recombine
+            orig = clf.device_taxonomer._recombine_overflow_groups
+
+            def spy(*a, **kw):
+                recombines.append(1)
+                return orig(*a, **kw)
+
+            clf.device_taxonomer._recombine_overflow_groups = spy
+        out = str(tmp_path / f"out{flag}")
+        clf.classify_file(str(q), None, out, "ov")
+        outs[flag] = open(os.path.join(out, "ov_classifications.tsv")).read()
+    assert outs[0] == outs[1]
+    assert recombines, "host recombine path was not exercised"
