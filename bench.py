@@ -156,7 +156,10 @@ def main():
             )
 
         max_matches = BATCH * 300
-        kw = dict(cap=max(1, cap), max_matches=max_matches)
+        # fast host-taxonomer path: no device-wide sort (native per-read
+        # sort instead), 4-word packed transfer
+        kw = dict(cap=max(1, cap), max_matches=max_matches,
+                  sort_device=False, pack4=True)
 
         def dispatch(codes, lens, offs, qids, n_chunk):
             return classify_batch_indexed(
@@ -164,7 +167,7 @@ def main():
             ), n_chunk
 
         def drain(bm, n_chunk):
-            m = matches_to_host(bm, t2s)
+            m = matches_to_host(bm, t2s, sorted_rows=False)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
             res, _ = taxonomer.assign_batch(

@@ -17,7 +17,7 @@ import numpy as np
 
 from .pipeline import build_dev_index, classify_batch_indexed, matches_to_host
 
-BYTES_PER_ENTRY = 24  # hi32 + lo32 + d48lo + d48hi + taxid + prefix share
+BYTES_PER_ENTRY = 20  # rest + lo32 + d48lo + d48hi + taxid (+ prefix table)
 
 
 def chunk_bounds(

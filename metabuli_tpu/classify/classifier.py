@@ -119,6 +119,18 @@ class Classifier:
         self.d_species = jax.device_put(self._species_np)
         if params.batch_reads == 0:
             params.batch_reads = self._auto_batch_reads()
+        # host-taxonomer path: skip the device-wide match sort (the native
+        # taxonomer sorts per read, reads are independent) and use the
+        # 4-word packed transfer (hamming re-derived from h16 on the host;
+        # only exact for the standard-alphabet XOR hamming path)
+        self._sort_device = not (
+            self.native_taxonomer is not None
+            and self.device_taxonomer is None
+        )
+        self._pack4 = (
+            not params.reduced_aa and params.batch_reads <= 16384
+            and self.device_taxonomer is None
+        )
         # cap = the DB's true max AA-group size (no silent drop possible);
         # clamped by --max-cap for pathological low-complexity groups
         self.cap = int(min(max(1, self.index.max_group), params.max_cap))
@@ -246,6 +258,8 @@ class Classifier:
             syncmer=bool(par.syncmer),
             smer_len=par.smer_len,
             kmer_format=par.kmer_format,
+            sort_device=self._sort_device,
+            pack4=self._pack4,
         )
 
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
@@ -313,7 +327,8 @@ class Classifier:
                 smer_len=par.smer_len, kmer_format=par.kmer_format,
             )
         else:
-            m = matches_to_host(bm, self._species_np)
+            m = matches_to_host(bm, self._species_np,
+                                sorted_rows=self._sort_device)
         while True:
             if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
@@ -333,7 +348,8 @@ class Classifier:
                 )
             else:
                 bm = self._launch(args, self.cap, budget)
-                m = matches_to_host(bm, self._species_np)
+                m = matches_to_host(bm, self._species_np,
+                                    sorted_rows=self._sort_device)
         self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += m["total_kmers"]
         self.stats["matches"] += m["n_matches"]
@@ -363,6 +379,15 @@ class Classifier:
             return out
         from .pipeline import FIELDS
 
+        if not m.get("sorted", True):
+            # pure-Python fallback needs the reference match order
+            order = np.lexsort((
+                m["dna"].view(np.uint32), m["hamming"], m["pos"],
+                m["frame"], m["species"], m["qid"],
+            ))
+            for k in FIELDS:
+                m[k] = m[k][order]
+            m["sorted"] = True
         out: list[ReadClassification] = []
         for i, meta in enumerate(metas):
             lo, hi = int(starts[i]), int(ends[i])

@@ -97,6 +97,7 @@ class NativeTaxonomer:
             ctypes.c_int32(p.accession_level), ctypes.c_int32(1 if p.em else 0),
             ctypes.c_int32(p.bits_per_codon),
             ctypes.c_int32(self.threads),
+            ctypes.c_int32(0 if m.get("sorted", True) else 1),
             out_taxid.ctypes, out_score.ctypes, out_cls.ctypes,
             ctypes.c_int64(taxcnt_cap), tc_read.ctypes, tc_tax.ctypes,
             tc_cnt.ctypes, ctypes.byref(tc_used),

@@ -13,8 +13,9 @@ program; the host only sees the compacted, sorted match tensors.
 
 TPU-tuned representation (everything on the hot path is 32-bit):
 
-  * the sorted u64 metamer table is split into ``hi32`` (bits 63..32) and
-    ``lo32`` (bits 31..0) columns; amino-acid identity is (hi32, lo32>>24);
+  * the sorted u64 metamer table is split into 32-bit columns; amino-acid
+    identity is (prefix bucket, ``rest``), so the binary search compares a
+    single int32 gather per step (HBM gathers are the bottleneck);
   * a 2^20-entry prefix table over the top 20 value bits narrows each
     query's binary search to a handful of steps (the HBM-resident, massively
     wider analogue of the reference's 4096-entry ``split`` file);
@@ -78,16 +79,29 @@ def hamming_dna48_split(q_lo, q_hi, t_lo, t_hi):
 
 
 class DevIndex(NamedTuple):
-    """Device-side representation of the sorted metamer table."""
+    """Device-side representation of the sorted metamer table.
 
-    hi32: jax.Array     # [N] int32 (bits 63..32, bit-cast)
-    lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast)
-    d48lo: jax.Array    # [N] int32 expanded-base bits 0..31
-    d48hi: jax.Array    # [N] int32 expanded-base bits 32..47
+    The amino-acid identity of an entry is (bucket, rest): the top
+    PREFIX_BITS bits select a prefix bucket and ``rest`` holds the
+    remaining AA bits below them (20 bits for the standard layout,
+    12 for reduced). Within a bucket the table is sorted by ``rest``,
+    so the per-query binary search costs ONE int32 gather per step —
+    TPU HBM gathers are the hot path's bottleneck, so the u64 compare
+    is folded into this single word."""
+
+    rest: jax.Array     # [N] int32 AA bits below the bucket prefix
+    lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast; dna part)
+    d48lo: jax.Array    # [N] int32 expanded-base bits 0..31 ((1,) if reduced)
+    d48hi: jax.Array    # [N] int32 expanded-base bits 32..47 ((1,) if reduced)
     taxids: jax.Array   # [N] int32
     prefix: jax.Array   # [2^PREFIX_BITS + 1] int32 bucket start offsets
     n: int
     search_iters: int   # static binary-search depth within a bucket
+
+
+def rest_bits(reduced: bool) -> int:
+    """AA bits below the PREFIX_BITS bucket prefix (aa_shift = 32/24)."""
+    return (64 - PREFIX_BITS) - (32 if reduced else 24)
 
 
 def _expansion_table() -> np.ndarray:
@@ -140,7 +154,10 @@ def build_dev_index(
 ) -> DevIndex:
     """Split + bucket the sorted u64 table for the 32-bit search path."""
     n = len(values)
-    hi32 = (values >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    aa_shift = 32 if reduced else 24
+    rb = rest_bits(reduced)
+    rest = ((values >> np.uint64(aa_shift))
+            & np.uint64((1 << rb) - 1)).astype(np.int32)
     lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
     prefixes = (values >> np.uint64(64 - PREFIX_BITS)).astype(np.int64)
     counts = np.bincount(prefixes, minlength=1 << PREFIX_BITS)
@@ -149,14 +166,19 @@ def build_dev_index(
     max_bucket = int(counts.max()) if n else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
     # reduced mode scores via the 11x11 LUT on codon-number fields, not the
-    # expanded-base XOR path; d48 columns stay zero there.
-    d48 = (np.zeros(n, np.uint64) if reduced
-           else expand_db_dna48(values, kmer_format))
+    # expanded-base XOR path; d48 columns collapse to (1,) dummies there.
+    if reduced:
+        d48lo = np.zeros(1, np.int32)
+        d48hi = np.zeros(1, np.int32)
+    else:
+        d48 = expand_db_dna48(values, kmer_format)
+        d48lo = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        d48hi = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
     return DevIndex(
-        hi32=jax.device_put(hi32),
+        rest=jax.device_put(rest),
         lo32=jax.device_put(lo32),
-        d48lo=jax.device_put((d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)),
-        d48hi=jax.device_put((d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)),
+        d48lo=jax.device_put(d48lo),
+        d48hi=jax.device_put(d48hi),
         taxids=jax.device_put(np.ascontiguousarray(taxids, np.int32)),
         prefix=jax.device_put(prefix.astype(np.int32)),
         n=n,
@@ -181,7 +203,7 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _classify_core(
-    db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
+    db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -193,13 +215,20 @@ def _classify_core(
     syncmer: bool,
     smer_len: int,
     kmer_format: int,
+    sort_device: bool = True,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
 
     Returns (m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, counts)
     where padding rows have qid == INT32_MAX and packed holds
     frame | hamming << 3 | h16 << 11. Shared by the transfer-packed
-    ``_classify_batch_impl`` and the fused device-taxonomer program."""
+    ``_classify_batch_impl`` and the fused device-taxonomer program.
+
+    With ``sort_device=False`` the final multi-key sort is skipped: rows
+    come back in compaction (query-major) order — already grouped by read
+    with padding at the tail — and the host taxonomer performs the cheap
+    per-read sort instead (its reads are independent, so a global device
+    sort is wasted work on the host path)."""
     B, L = codes.shape
     mm = encode.extract_metamers(
         codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
@@ -208,80 +237,68 @@ def _classify_core(
     W = mm.value.shape[2]
     q_values = mm.value.reshape(-1)
     q_valid = mm.valid.reshape(-1)
-    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)
     q_frame = jnp.broadcast_to(
         jnp.arange(6, dtype=jnp.int32)[None, :, None], (B, 6, W)
     ).reshape(-1)
-    q_read = jnp.broadcast_to(qid_offsets[:, None, None], (B, 6, W)).reshape(-1)
     Q = q_values.shape[0]
 
     bc32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     )
-    q_hi = bc32(q_values >> jnp.uint64(32))
-    q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
-    if reduced:
-        # reduced layout: AA part == hi32 exactly, DNA part == lo32 exactly
-        q_dna = q_lo
-        q_aa8 = jnp.zeros_like(q_lo)
-    else:
-        q_dna = q_lo & jnp.int32(0xFFFFFF)
-        q_aa8 = q_lo & jnp.int32(-16777216)  # top 8 bits of lo32 = low AA bits
-
-    # ---- bucketed lower-bound search for (q_hi, q_aa8, dna=0)
-    bucket = (
-        jax.lax.bitcast_convert_type(q_hi, jnp.uint32)
-        >> jnp.uint32(32 - PREFIX_BITS)
+    # amino-acid identity: (bucket = top PREFIX_BITS bits, rest = AA bits
+    # below them). The whole u64 lower-bound compare reduces to ONE int32
+    # gather per search step because entries within a bucket are sorted by
+    # rest, and AA-equal candidates never cross a bucket boundary.
+    rb = rest_bits(reduced)
+    q_rest = (
+        (q_values >> jnp.uint64(32 if reduced else 24))
+        & jnp.uint64((1 << rb) - 1)
     ).astype(jnp.int32)
+    bucket = (q_values >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+
+    # ---- bucketed lower-bound search for (bucket, rest, dna=0)
     lo = db_prefix[bucket]
     hi = db_prefix[bucket + 1]
     for _ in range(search_iters):
         active = lo < hi
         mid = (lo + hi) >> 1
         mid_c = jnp.minimum(mid, jnp.int32(max(n_db - 1, 0)))
-        mh = db_hi[mid_c]
-        ml = db_lo[mid_c]
-        less = _unsigned_less(mh, q_hi) | (
-            (mh == q_hi) & _unsigned_less(ml, q_aa8)
-        )
+        less = db_rest[mid_c] < q_rest
         lo = jnp.where(active & less, mid + 1, lo)
         hi = jnp.where(active & ~less, mid, hi)
     start = lo
+    bucket_end = db_prefix[bucket + 1]
 
     # ---- candidate gather with AA-equality mask
     idx = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     idx_c = jnp.minimum(idx, jnp.int32(max(n_db - 1, 0)))
-    c_hi = db_hi[idx_c]
-    c_lo = db_lo[idx_c]
-    c_d48lo = db_d48lo[idx_c]
-    c_d48hi = db_d48hi[idx_c]
-    in_range = idx < jnp.int32(n_db)
-    aa_lo_mask = jnp.int32(0) if reduced else jnp.int32(-16777216)
+    c_rest = db_rest[idx_c]
     same_aa = (
-        in_range
-        & (c_hi == q_hi[:, None])
-        & ((c_lo & aa_lo_mask) == q_aa8[:, None])
+        (idx < bucket_end[:, None])
+        & (c_rest == q_rest[:, None])
         & q_valid[:, None]
     )
     # overflow: the entry just past the cap window still shares the AA
     over_idx = jnp.minimum(start + cap, jnp.int32(max(n_db - 1, 0)))
     over = (
         q_valid
-        & (start + cap < jnp.int32(n_db))
-        & (db_hi[over_idx] == q_hi)
-        & ((db_lo[over_idx] & aa_lo_mask) == q_aa8)
+        & (start + cap < bucket_end)
+        & (db_rest[over_idx] == q_rest)
     )
     n_over_cap = jnp.sum(over.astype(jnp.int32))
 
     if reduced:
         # LUT-based per-codon distances over 4-bit codon-number fields
         # (the 11x11 table is NOT base-level Hamming, so no XOR trick).
+        # reduced layout: DNA part == lo32 exactly.
         from ..ops.hamming import hamming_all_reduced
 
-        t_dna = c_lo
-        hsum, h_fwd, h_rev = hamming_all_reduced(q_dna[:, None], t_dna)
+        q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
+        t_dna = db_lo[idx_c]
+        hsum, h_fwd, h_rev = hamming_all_reduced(q_lo[:, None], t_dna)
     else:
-        t_dna = c_lo & jnp.int32(0xFFFFFF)
+        c_d48lo = db_d48lo[idx_c]
+        c_d48hi = db_d48hi[idx_c]
         q_d48 = mm.dna48.reshape(-1)
         q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
         q_d48hi = bc32(q_d48 >> jnp.uint64(32))
@@ -317,23 +334,48 @@ def _classify_core(
     qi = (safe // cap).astype(jnp.int32)
     ci = (safe % cap).astype(jnp.int32)
 
-    m_qid = jnp.where(is_pad, INT32_MAX, q_read[qi])
-    m_frame = jnp.where(is_pad, INT32_MAX, q_frame[qi])
-    m_pos = jnp.where(is_pad, INT32_MAX, q_pos[qi])
-    m_taxid = db_tax[idx_c[qi, ci]]
-    m_species = jnp.where(is_pad, INT32_MAX, tax2species[m_taxid])
-    m_taxid = jnp.where(is_pad, INT32_MAX, m_taxid)
-    m_dna = jnp.where(is_pad, INT32_MAX, t_dna[qi, ci])
+    # qid/frame/pos derive from the flat index arithmetically (gathers only
+    # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts)
+    w_s = max(W, 1)  # W==0 never yields matches; avoid div-by-zero tracing
+    m_row = qi // (6 * w_s)
+    m_frame_raw = (qi // w_s) % 6
+    m_w = qi % w_s
+    pos0 = mm.pos[:, :, 0] + pos_offsets[:, None]  # [B, 6]
+    sign = jnp.array([1, 1, 1, -1, -1, -1], jnp.int32)
+    m_qid = jnp.where(is_pad, INT32_MAX, qid_offsets[m_row])
+    m_frame = jnp.where(is_pad, INT32_MAX, m_frame_raw)
+    m_pos = jnp.where(
+        is_pad, INT32_MAX,
+        pos0[m_row, m_frame_raw] + sign[m_frame_raw] * 3 * m_w,
+    )
+    # dna/taxid gathers run AFTER compaction (budget rows, not Q*cap)
+    midx = idx_c[qi, ci]
+    m_taxid = db_tax[midx]
+    if reduced:
+        m_dna = jnp.where(is_pad, INT32_MAX, t_dna[qi, ci])
+    else:
+        m_dna = jnp.where(is_pad, INT32_MAX, db_lo[midx] & jnp.int32(0xFFFFFF))
     m_ham = jnp.where(is_pad, INT32_MAX, hsum[qi, ci])
     m_h16 = jnp.where(is_pad, 0, h16[qi, ci])
 
-    # reference match order (`KmerMatcher.cpp:1149-1166`); padding sorts
-    # last via INT32_MAX keys (the qid key alone already orders padding).
     # frame (3b) | hamming (8b, <=7 post-cutoff) | h16 (16b) pack into one
     # payload word.
     m_packed = jnp.where(
         is_pad, INT32_MAX, m_frame | (m_ham << 3) | (m_h16 << 11)
     )
+    counts = jnp.stack(
+        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
+    ).astype(jnp.int32)
+    if not sort_device:
+        # compaction order is already read-grouped with padding at the
+        # tail; the host performs the per-read sort.
+        m_taxid = jnp.where(is_pad, INT32_MAX, m_taxid)
+        return m_qid, None, m_pos, m_dna, m_taxid, m_packed, counts
+
+    m_species = jnp.where(is_pad, INT32_MAX, tax2species[m_taxid])
+    m_taxid = jnp.where(is_pad, INT32_MAX, m_taxid)
+    # reference match order (`KmerMatcher.cpp:1149-1166`); padding sorts
+    # last via INT32_MAX keys (the qid key alone already orders padding).
     if reduced:
         # 32-bit dna doesn't pack with hamming; sort on (ham, dna) with the
         # dna compared unsigned (sign-bit flip).
@@ -354,9 +396,6 @@ def _classify_core(
         )
         s_qid, s_species, s_pos = sorted_ops[0], sorted_ops[1], sorted_ops[3]
         s_dna, s_taxid, s_packed = sorted_ops[5], sorted_ops[6], sorted_ops[7]
-    counts = jnp.stack(
-        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
-    ).astype(jnp.int32)
     return s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, counts
 
 
@@ -364,11 +403,11 @@ def _classify_core(
     jax.jit,
     static_argnames=(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
-        "smer_len", "kmer_format",
+        "smer_len", "kmer_format", "sort_device", "pack4",
     ),
 )
 def _classify_batch_impl(
-    db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
+    db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -380,15 +419,29 @@ def _classify_batch_impl(
     syncmer: bool,
     smer_len: int,
     kmer_format: int,
+    sort_device: bool = True,
+    pack4: bool = False,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
-        db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+        db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=n_db, search_iters=search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
-        smer_len=smer_len, kmer_format=kmer_format,
+        smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
     )
-    data = jnp.stack((s_qid, s_pos, s_dna, s_taxid, s_packed), axis=0)
+    if pack4:
+        # 4-word transfer layout (standard alphabet, qid < 2^14):
+        #   w0 = qid | h16 << 14, w1 = pos, w2 = dna | frame << 24,
+        #   w3 = taxid; hamming is re-derived on the host as the sum of
+        #   h16's 2-bit per-codon fields (exact for the XOR hamming path).
+        is_pad = s_qid == INT32_MAX
+        h16 = (s_packed >> 11) & 0xFFFF
+        frame = s_packed & 7
+        w0 = jnp.where(is_pad, INT32_MAX, s_qid | (h16 << 14))
+        w2 = jnp.where(is_pad, INT32_MAX, s_dna | (frame << 24))
+        data = jnp.stack((w0, s_pos, w2, s_taxid), axis=0)
+    else:
+        data = jnp.stack((s_qid, s_pos, s_dna, s_taxid, s_packed), axis=0)
     return BatchMatches(data=data, counts=counts)
 
 
@@ -403,14 +456,17 @@ def classify_batch_indexed(
     syncmer: bool = False,
     smer_len: int = 5,
     kmer_format: int = 2,
+    sort_device: bool = True,
+    pack4: bool = False,
 ) -> BatchMatches:
     return _classify_batch_impl(
-        index.hi32, index.lo32, index.d48lo, index.d48hi, index.taxids,
+        index.rest, index.lo32, index.d48lo, index.d48hi, index.taxids,
         index.prefix, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
-        smer_len=smer_len, kmer_format=kmer_format,
+        smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
+        pack4=pack4,
     )
 
 
@@ -424,6 +480,8 @@ def classify_batch(
     syncmer: bool = False,
     smer_len: int = 5,
     kmer_format: int = 2,
+    sort_device: bool = True,
+    pack4: bool = False,
 ):
     """Convenience wrapper taking a raw u64 table (tests, graft entry,
     sharded path). Builds the split/bucketed DevIndex on the host."""
@@ -435,40 +493,60 @@ def classify_batch(
         index, jnp.asarray(np.asarray(tax2species, np.int32)),
         codes, lens, pos_offsets, qid_offsets,
         cap=cap, max_matches=max_matches, reduced=reduced, syncmer=syncmer,
-        smer_len=smer_len, kmer_format=kmer_format,
+        smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
+        pack4=pack4,
     )
 
 
-def matches_to_host(bm: BatchMatches, species_table: np.ndarray = None) -> dict:
+def matches_to_host(
+    bm: BatchMatches, species_table: np.ndarray = None,
+    sorted_rows: bool = True,
+) -> dict:
     """One stacked transfer -> host match dict (trimmed to real rows).
 
     The device-side slice length is rounded up to a power of two so only
     O(log M) distinct slice programs ever compile (remote compiles are
     expensive on tunneled TPU platforms). frame/hamming/h16 are unpacked
     and species re-derived from the dense taxid table on the host, cutting
-    transfer volume by ~40%.
+    transfer volume by ~40% (4-word layout: by 50%, with hamming re-derived
+    from h16's per-codon fields).
     """
     counts = np.asarray(bm.counts)
     n = int(counts[0])
-    M = bm.data.shape[1]
+    W, M = bm.data.shape
     if n == 0:
-        data = np.zeros((5, 0), np.int32)
+        data = np.zeros((W, 0), np.int32)
     else:
         n_pad = 1024
         while n_pad < n:
             n_pad *= 2
         n_pad = min(n_pad, M)
         data = np.asarray(bm.data[:, :n_pad])[:, :n]
-    packed = data[4]
-    out = {
-        "qid": data[0],
-        "pos": data[1],
-        "dna": data[2],
-        "taxid": data[3],
-        "frame": packed & 7,
-        "hamming": (packed >> 3) & 0xFF,
-        "h16": (packed >> 11) & 0xFFFF,
-    }
+    if W == 4:  # pack4 layout
+        h16 = (data[0] >> 14) & 0xFFFF
+        ham = np.zeros(n, np.int32)
+        for i in range(8):
+            ham += (h16 >> (2 * i)) & 3
+        out = {
+            "qid": data[0] & 0x3FFF,
+            "pos": data[1],
+            "dna": data[2] & 0xFFFFFF,
+            "taxid": data[3],
+            "frame": (data[2] >> 24) & 7,
+            "hamming": ham,
+            "h16": h16,
+        }
+    else:
+        packed = data[4]
+        out = {
+            "qid": data[0],
+            "pos": data[1],
+            "dna": data[2],
+            "taxid": data[3],
+            "frame": packed & 7,
+            "hamming": (packed >> 3) & 0xFF,
+            "h16": (packed >> 11) & 0xFFFF,
+        }
     if species_table is not None:
         out["species"] = species_table[out["taxid"]].astype(np.int32)
     else:
@@ -476,4 +554,5 @@ def matches_to_host(bm: BatchMatches, species_table: np.ndarray = None) -> dict:
     out["n_matches"] = n
     out["n_over_cap"] = int(counts[1])
     out["total_kmers"] = int(counts[2])
+    out["sorted"] = sorted_rows
     return out

@@ -495,6 +495,7 @@ int64_t taxonomer_assign(
     int32_t min_cons_cnt_euk, float tie_ratio, int32_t dna_shift,
     int32_t max_codon_shift, int32_t denominator, int32_t accession_level,
     int32_t em_mode, int32_t bits_per_codon, int32_t n_threads,
+    int32_t need_sort,
     // outputs
     int32_t* out_taxid, float* out_score, uint8_t* out_classified,
     int64_t taxcnt_capacity, int64_t* taxcnt_read, int32_t* taxcnt_taxid,
@@ -518,6 +519,51 @@ int64_t taxonomer_assign(
 #ifdef _OPENMP
   if (n_threads > 0) omp_set_num_threads(n_threads);
 #endif
+
+  // Per-read sort into the reference match order (KmerMatcher.cpp:1149-1166)
+  // when the device pipeline skipped its global sort (rows arrive grouped by
+  // read in query order). Reads are independent, so this is a cheap
+  // parallel pass over ~read-sized slices instead of a device-wide sort.
+  std::vector<int32_t> s_sp, s_f, s_pos, s_h, s_d, s_t, s_h16;
+  if (need_sort && n_matches > 0) {
+    s_sp.resize(n_matches);
+    s_f.resize(n_matches);
+    s_pos.resize(n_matches);
+    s_h.resize(n_matches);
+    s_d.resize(n_matches);
+    s_t.resize(n_matches);
+    s_h16.resize(n_matches);
+#pragma omp parallel
+    {
+      std::vector<int64_t> idx;
+#pragma omp for schedule(dynamic, 64)
+      for (int64_t r = 0; r < n_reads; ++r) {
+        int64_t lo = read_start[r], hi = read_end[r];
+        if (lo >= hi) continue;
+        idx.resize(hi - lo);
+        for (int64_t j = lo; j < hi; ++j) idx[j - lo] = j;
+        std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+          if (species[a] != species[b]) return species[a] < species[b];
+          if (frame[a] != frame[b]) return frame[a] < frame[b];
+          if (pos[a] != pos[b]) return pos[a] < pos[b];
+          if (hamming[a] != hamming[b]) return hamming[a] < hamming[b];
+          return (uint32_t)dna[a] < (uint32_t)dna[b];
+        });
+        for (int64_t k = 0; k < hi - lo; ++k) {
+          int64_t j = idx[k];
+          s_sp[lo + k] = species[j];
+          s_f[lo + k] = frame[j];
+          s_pos[lo + k] = pos[j];
+          s_h[lo + k] = hamming[j];
+          s_d[lo + k] = dna[j];
+          s_t[lo + k] = taxid[j];
+          s_h16[lo + k] = h16[j];
+        }
+      }
+    }
+    m = MatchView{qid,          s_sp.data(), s_f.data(), s_pos.data(),
+                  s_h.data(),   s_d.data(),  s_t.data(), s_h16.data()};
+  }
 
 #pragma omp parallel
   {

@@ -50,12 +50,16 @@ def shard_index_aa_aligned(
     """Split the sorted table into AA-aligned, equal-padded shards in the
     32-bit split representation used by the device pipeline.
 
-    Returns (hi32, lo32, d48lo, d48hi, tax [S, Npad] each,
+    Returns (rest, lo32, d48lo, d48hi, tax [S, Npad] each,
     prefix [S, 2^PREFIX_BITS+1], n_pad, search_iters). Padding uses
-    all-ones values whose AA part no real metamer can produce.
+    all-ones rest words no real metamer can produce (and the prefix table
+    only covers real rows, so searches never reach padding).
     """
+    from ..classify.pipeline import rest_bits
+
     n = len(values)
-    aa = values >> np.uint64(32 if reduced else 24)
+    aa_shift = 32 if reduced else 24
+    aa = values >> np.uint64(aa_shift)
     bounds = [0]
     for s in range(1, n_shards):
         target = s * n // n_shards
@@ -65,15 +69,18 @@ def shard_index_aa_aligned(
     bounds.append(n)
     chunks = [(values[a:b], taxids[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
     pad = max(max((len(c[0]) for c in chunks), default=1), 1)
-    out_hi = np.full((n_shards, pad), -1, np.int32)
+    out_rest = np.full((n_shards, pad), -1, np.int32)
     out_lo = np.full((n_shards, pad), -1, np.int32)
     out_d48lo = np.zeros((n_shards, pad), np.int32)
     out_d48hi = np.zeros((n_shards, pad), np.int32)
     out_t = np.zeros((n_shards, pad), np.int32)
     prefix = np.zeros((n_shards, (1 << PREFIX_BITS) + 1), np.int32)
     iters = 1
+    rb = rest_bits(reduced)
     for i, (v, t) in enumerate(chunks):
-        out_hi[i, : len(v)] = (v >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        out_rest[i, : len(v)] = (
+            (v >> np.uint64(aa_shift)) & np.uint64((1 << rb) - 1)
+        ).astype(np.int32)
         out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         d48 = (np.zeros(len(v), np.uint64) if reduced
                else expand_db_dna48(v, kmer_format))
@@ -89,7 +96,7 @@ def shard_index_aa_aligned(
         np.cumsum(counts, out=prefix[i, 1:])
         if len(v):
             iters = max(iters, int(np.ceil(np.log2(max(2, counts.max() + 1)))))
-    return out_hi, out_lo, out_d48lo, out_d48hi, out_t, prefix, pad, iters
+    return out_rest, out_lo, out_d48lo, out_d48hi, out_t, prefix, pad, iters
 
 
 def build_sharded_classify(
@@ -106,10 +113,10 @@ def build_sharded_classify(
 ):
     """shard_map'd classify step over (data, db)."""
 
-    def local_step(db_hi, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, t2s,
+    def local_step(db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, t2s,
                    codes, lens, pos_off, qid_off):
         bm = _classify_batch_impl(
-            db_hi[0], db_lo[0], db_d48lo[0], db_d48hi[0], db_tax[0],
+            db_rest[0], db_lo[0], db_d48lo[0], db_d48hi[0], db_tax[0],
             db_prefix[0], t2s,
             codes, lens, pos_off, qid_off,
             n_db=n_pad, search_iters=search_iters, cap=cap,
