@@ -120,6 +120,7 @@ def main():
         build_dev_index,
         classify_batch_indexed,
         matches_to_host,
+        prefetch_matches,
     )
     from metabuli_tpu.classify.taxonomer import TaxonomerParams
     from metabuli_tpu.ops.genetic_code import encode_seqs_padded
@@ -162,12 +163,14 @@ def main():
                   sort_device=False, pack4=True)
 
         def dispatch(codes, lens, offs, qids, n_chunk):
-            return classify_batch_indexed(
+            bm = classify_batch_indexed(
                 index, d_t2s, codes, lens, offs, qids, **kw
-            ), n_chunk
+            )
+            prefetch_matches(bm)
+            return bm, n_chunk
 
         def drain(bm, n_chunk):
-            m = matches_to_host(bm, t2s, sorted_rows=False)
+            m = matches_to_host(bm, t2s, sorted_rows=False, prefetched=True)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
             res, _ = taxonomer.assign_batch(

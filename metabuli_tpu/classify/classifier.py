@@ -29,6 +29,13 @@ def _used_len(length: int) -> int:
     return max(0, 3 * ((length - 2) // 3))
 
 
+def _pow2_round(n: int) -> int:
+    v = 1024
+    while v < n:
+        v *= 2
+    return v
+
+
 def _bucket_len(length: int) -> int:
     """Pad lengths to coarse buckets to bound the number of jit compiles."""
     if length <= 64:
@@ -138,6 +145,8 @@ class Classifier:
         # sticky fused-taxonomer grid escalation (applies to later batches)
         self._fused_pmax = 16
         self._fused_scale = 1
+        # sticky matches-per-kmer density for tight transfer budgets
+        self._obs_ratio: float | None = None
 
     def _auto_batch_reads(self) -> int:
         """Derive reads-per-batch from device memory — the HBM analogue of
@@ -227,8 +236,16 @@ class Classifier:
         qid_offsets = np.array([r[1] for r in rows], np.int32)
 
         # match budget: kmer capacity * matchPerKmer (QueryIndexer.h:72-74)
+        # as the first-batch prior; after that a sticky pow2 budget sized to
+        # the observed match density (the whole compaction buffer is what
+        # leaves the device, so a tight budget is the transfer volume)
         n_windows = len(rows) * 6 * max(0, (L - 2) // 3 - 7)
         budget = max(1024, n_windows * par.match_per_kmer)
+        if self._obs_ratio is not None:
+            budget = min(
+                budget, int(n_windows * self._obs_ratio * 1.3) + 4096
+            )
+        budget = _pow2_round(budget)
         args = (codes, lens, pos_offsets, qid_offsets)
         if self.chunked_index is not None:
             return ("chunked", args, None, budget)  # runs at drain time
@@ -247,6 +264,9 @@ class Classifier:
             return ("fused", args, handle, budget,
                     n_reads, max_read_len, read_lens)
         bm = self._launch(args, self.cap, budget)
+        from .pipeline import prefetch_matches
+
+        prefetch_matches(bm)
         return ("plain", args, bm, budget)
 
     def _launch(self, args, cap, budget):
@@ -328,7 +348,8 @@ class Classifier:
             )
         else:
             m = matches_to_host(bm, self._species_np,
-                                sorted_rows=self._sort_device)
+                                sorted_rows=self._sort_device,
+                                prefetched=True)
         while True:
             if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
@@ -350,9 +371,12 @@ class Classifier:
                 bm = self._launch(args, self.cap, budget)
                 m = matches_to_host(bm, self._species_np,
                                     sorted_rows=self._sort_device)
+                # retry path: no prefetch needed (we block right here)
         self.stats["device_s"] += time.time() - t0
         self.stats["kmers"] += m["total_kmers"]
         self.stats["matches"] += m["n_matches"]
+        ratio = m["n_matches"] / max(m["total_kmers"], 1)
+        self._obs_ratio = max(self._obs_ratio or 0.0, ratio)
         return m
 
     # --------------------------------------------------------------- taxonomy

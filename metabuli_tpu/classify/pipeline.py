@@ -498,9 +498,24 @@ def classify_batch(
     )
 
 
+def prefetch_matches(bm: BatchMatches) -> None:
+    """Start async D2H copies of the batch outputs (call right after
+    dispatch). Overlaps the transfer with the NEXT batch's device compute;
+    a later ``matches_to_host(..., prefetched=True)`` then reads the
+    already-local buffers instead of enqueueing a device-side slice that
+    would serialize behind the next program."""
+    for arr in (bm.data, bm.counts):
+        fn = getattr(arr, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:  # platform without async copies
+                return
+
+
 def matches_to_host(
     bm: BatchMatches, species_table: np.ndarray = None,
-    sorted_rows: bool = True,
+    sorted_rows: bool = True, prefetched: bool = False,
 ) -> dict:
     """One stacked transfer -> host match dict (trimmed to real rows).
 
@@ -516,6 +531,13 @@ def matches_to_host(
     W, M = bm.data.shape
     if n == 0:
         data = np.zeros((W, 0), np.int32)
+    elif isinstance(bm.data, np.ndarray):
+        data = bm.data[:, :n]
+    elif prefetched or n >= M // 2:
+        # fetch the whole buffer (an async copy started at dispatch time
+        # overlaps it with the next batch's compute; a device-side slice
+        # would instead queue BEHIND that batch's program on the stream)
+        data = np.asarray(bm.data)[:, :n]
     else:
         n_pad = 1024
         while n_pad < n:
