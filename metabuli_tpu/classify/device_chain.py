@@ -1,10 +1,10 @@
-"""Device-side match chaining (prototype for the on-device taxonomer).
+"""Device-side match chaining (the on-device taxonomer's DP stage).
 
 Re-expresses the reference's per-read chain DP (`getMatchPaths`,
 `/root/reference/src/commons/Taxonomer.cpp:487-648`) as a fixed-shape scan:
 
   * matches (already sorted by read, species, frame, pos) are scattered into
-    a dense grid [block, column, slot] where a block is one
+    a dense grid [column, slot, block] where a block is one
     (read, species, frame) run, a column is the position quotient pos//3
     relative to the block start, and slots hold position-group ties;
   * one `lax.scan` over columns carries the previous non-empty position
@@ -16,10 +16,13 @@ Re-expresses the reference's per-read chain DP (`getMatchPaths`,
     depth >= minConsCnt, and emit the final group unconditionally
     (depth-gated).
 
-This module is validated against the annotated Python taxonomer; wiring it
-into the production classifier (with per-quotient reduction on device) is
-the headline ROADMAP item. Scope: one static grid shape; blocks exceeding
-the column/slot capacity are flagged for host fallback.
+TPU layout note: every hot tensor keeps the BLOCK axis minor ([k, NB], grids
+[w, k, NB]) and the tiny slot axis k is unrolled into Python loops of
+[NB]-wide ops. TPU tiles the last two dims to (8, 128); a minor dim of
+k=4 would be lane-padded 32x (measured: the [NB, w, k] layout ran the scan
+at ~10ms/step vs sub-ms for [*, NB]).
+
+Blocks exceeding the column/slot capacity are flagged for host fallback.
 """
 
 from __future__ import annotations
@@ -35,14 +38,14 @@ NEG = jnp.float32(-1e30)
 
 class ChainResult(NamedTuple):
     # stacked emissions: step axis = W columns + 1 final flush
-    emit_mask: jax.Array    # [W+1, NB, K] bool
-    start: jax.Array        # [W+1, NB, K] int32 query coordinate
-    end: jax.Array          # [W+1, NB, K] int32
-    score: jax.Array        # [W+1, NB, K] float32
-    hamming: jax.Array      # [W+1, NB, K] int32
-    depth: jax.Array        # [W+1, NB, K] int32
-    start_h16: jax.Array    # [W+1, NB, K] int32 (startMatch rightEndHamming)
-    end_h16: jax.Array     # [W+1, NB, K] int32 (endMatch rightEndHamming)
+    emit_mask: jax.Array    # [W+1, K, NB] bool
+    start: jax.Array        # [W+1, K, NB] int32 query coordinate
+    end: jax.Array          # [W+1, K, NB] int32
+    score: jax.Array        # [W+1, K, NB] float32
+    hamming: jax.Array      # [W+1, K, NB] int32
+    depth: jax.Array        # [W+1, K, NB] int32
+    start_h16: jax.Array    # [W+1, K, NB] int32 (startMatch rightEndHamming)
+    end_h16: jax.Array      # [W+1, K, NB] int32 (endMatch rightEndHamming)
     block_read: jax.Array   # [NB] int32 qid per block
     block_species: jax.Array  # [NB] int32
     fallback: jax.Array     # [NB] bool: block exceeded grid capacity
@@ -130,8 +133,10 @@ def chain_matches(
     s_i = jnp.where(ok, slot, 0)
 
     def grid(x, fill, dtype):
-        g = jnp.full((n_blocks + 1, w, k), fill, dtype)
-        return g.at[b_i, c_i, s_i].set(x.astype(dtype), mode="drop")[:n_blocks]
+        g = jnp.full((w, k, n_blocks + 1), fill, dtype)
+        return g.at[c_i, s_i, b_i].set(x.astype(dtype), mode="drop")[
+            :, :, :n_blocks
+        ]
 
     g_occ = grid(ok, False, bool)
     g_pos = grid(pos, 0, jnp.int32)
@@ -161,83 +166,104 @@ def chain_matches(
     base_score = jnp.where(g_occ, _match_score(g_h16), 0.0)
 
     class Carry(NamedTuple):
-        col: jax.Array        # [NB] last non-empty column (-big if none)
         n_groups: jax.Array   # [NB] distinct non-empty columns so far
-        occ: jax.Array        # [NB, K]
-        dna: jax.Array        # [NB, K]
-        h16: jax.Array        # [NB, K] endMatch h16 (the group's own match)
-        pos: jax.Array        # [NB, K]
-        p_score: jax.Array    # [NB, K] path score
-        p_start: jax.Array    # [NB, K]
-        p_ham: jax.Array      # [NB, K]
-        p_depth: jax.Array    # [NB, K]
-        p_sh16: jax.Array     # [NB, K] startMatch h16
+        occ: jax.Array        # [K, NB]
+        dna: jax.Array        # [K, NB]
+        h16: jax.Array        # [K, NB] endMatch h16 (the group's own match)
+        pos: jax.Array        # [K, NB]
+        p_score: jax.Array    # [K, NB] path score
+        p_start: jax.Array    # [K, NB]
+        p_ham: jax.Array      # [K, NB]
+        p_depth: jax.Array    # [K, NB]
+        p_sh16: jax.Array     # [K, NB]
 
     nb = n_blocks
     init = Carry(
-        col=jnp.full(nb, -(2**30), jnp.int32),
         n_groups=jnp.zeros(nb, jnp.int32),
-        occ=jnp.zeros((nb, k), bool),
-        dna=jnp.zeros((nb, k), jnp.int32),
-        h16=jnp.zeros((nb, k), jnp.int32),
-        pos=jnp.zeros((nb, k), jnp.int32),
-        p_score=jnp.zeros((nb, k), jnp.float32),
-        p_start=jnp.zeros((nb, k), jnp.int32),
-        p_ham=jnp.zeros((nb, k), jnp.int32),
-        p_depth=jnp.zeros((nb, k), jnp.int32),
-        p_sh16=jnp.zeros((nb, k), jnp.int32),
+        occ=jnp.zeros((k, nb), bool),
+        dna=jnp.zeros((k, nb), jnp.int32),
+        h16=jnp.zeros((k, nb), jnp.int32),
+        pos=jnp.zeros((k, nb), jnp.int32),
+        p_score=jnp.zeros((k, nb), jnp.float32),
+        p_start=jnp.zeros((k, nb), jnp.int32),
+        p_ham=jnp.zeros((k, nb), jnp.int32),
+        p_depth=jnp.zeros((k, nb), jnp.int32),
+        p_sh16=jnp.zeros((k, nb), jnp.int32),
     )
 
     def step(carry: Carry, xs):
-        occ_c, pos_c, dna_c, h16_c, ham_c, score_c = xs
-        has_cur = occ_c.any(axis=1)                      # [NB]
-        # shift between consecutive DISTINCT position groups, from the pos
-        # quotients (columns are implicit scan steps; quotients stay exact)
-        cur_col_q = jnp.where(occ_c, (pos_c // 3), 0).max(axis=1)
-        prev_q = jnp.where(carry.occ, (carry.pos // 3), 0).max(axis=1)
-        shift = jnp.where(carry.n_groups > 0, cur_col_q - prev_q, jnp.int32(2**30))
+        occ_c, pos_c, dna_c, h16_c, ham_c, score_c = xs    # [K, NB] each
+        has_cur = occ_c[0]
+        cur_col_q = jnp.where(occ_c[0], pos_c[0] // 3, 0)
+        prev_q = jnp.where(carry.occ[0], carry.pos[0] // 3, 0)
+        for i in range(1, k):
+            has_cur = has_cur | occ_c[i]
+            cur_col_q = jnp.maximum(
+                cur_col_q, jnp.where(occ_c[i], pos_c[i] // 3, 0)
+            )
+            prev_q = jnp.maximum(
+                prev_q, jnp.where(carry.occ[i], carry.pos[i] // 3, 0)
+            )
+        shift = jnp.where(carry.n_groups > 0, cur_col_q - prev_q,
+                          jnp.int32(2**30))
         connectable = has_cur & (shift >= 1) & (shift <= max_shift)
 
-        # pairwise connectivity prev slot i x cur slot j
-        sh = jnp.clip(shift, 1, 8)[:, None, None]
+        # pairwise connectivity prev slot i x cur slot j, unrolled ([NB] ops)
+        sh = jnp.clip(shift, 1, 8)
         mask_bits = (jnp.int32(1) << (24 - 3 * sh)) - 1
-        prev_d = carry.dna[:, :, None]
-        cur_d = dna_c[:, None, :]
-        conn_fwd = (prev_d & mask_bits) == (cur_d >> (3 * sh))
-        conn_rev = (cur_d & mask_bits) == (prev_d >> (3 * sh))
-        conn = jnp.where(block_forward[:, None, None], conn_fwd, conn_rev)
-        conn = (
-            conn
-            & carry.occ[:, :, None]
-            & occ_c[:, None, :]
-            & connectable[:, None, None]
-        )
+        sh3 = 3 * sh
+        conn = [[None] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(k):
+                c_fwd = (carry.dna[i] & mask_bits) == (dna_c[j] >> sh3)
+                c_rev = (dna_c[j] & mask_bits) == (carry.dna[i] >> sh3)
+                conn[i][j] = (
+                    jnp.where(block_forward, c_fwd, c_rev)
+                    & carry.occ[i] & occ_c[j] & connectable
+                )
 
-        # best predecessor per cur slot (strictly-greater-than-0, first wins)
-        cand = jnp.where(conn, carry.p_score[:, :, None], NEG)
-        best_i = jnp.argmax(cand, axis=1)                        # [NB, K]
-        best_score = jnp.max(cand, axis=1)
-        has_pred = best_score > 0.0
-        take = lambda g: jnp.take_along_axis(g, best_i, axis=1)
-        inc_s, inc_h = _increment(h16_c, jnp.clip(shift, 0, 8)[:, None])
-        new_score = jnp.where(has_pred, take(carry.p_score) + inc_s, score_c)
-        new_start = jnp.where(has_pred, take(carry.p_start), pos_c)
-        new_ham = jnp.where(has_pred, take(carry.p_ham) + inc_h, ham_c)
-        new_depth = jnp.where(
-            has_pred, take(carry.p_depth) + jnp.clip(shift, 0, 8)[:, None], 1
-        )
-        new_sh16 = jnp.where(has_pred, take(carry.p_sh16), h16_c)
+        inc_s, inc_h = _increment(h16_c, jnp.minimum(sh, jnp.int32(8))[None, :])
+        sh_clip = jnp.clip(shift, 0, 8)
+
+        new_score, new_start, new_ham, new_depth, new_sh16 = [], [], [], [], []
+        for j in range(k):
+            # best predecessor (strictly-greater, first/lowest-i wins ties)
+            bs = jnp.full(nb, NEG)
+            sel_score = jnp.zeros(nb, jnp.float32)
+            sel_start = jnp.zeros(nb, jnp.int32)
+            sel_ham = jnp.zeros(nb, jnp.int32)
+            sel_depth = jnp.zeros(nb, jnp.int32)
+            sel_sh16 = jnp.zeros(nb, jnp.int32)
+            for i in range(k):
+                cand = jnp.where(conn[i][j], carry.p_score[i], NEG)
+                better = cand > bs
+                bs = jnp.where(better, cand, bs)
+                sel_score = jnp.where(better, carry.p_score[i], sel_score)
+                sel_start = jnp.where(better, carry.p_start[i], sel_start)
+                sel_ham = jnp.where(better, carry.p_ham[i], sel_ham)
+                sel_depth = jnp.where(better, carry.p_depth[i], sel_depth)
+                sel_sh16 = jnp.where(better, carry.p_sh16[i], sel_sh16)
+            has_pred = bs > 0.0
+            new_score.append(jnp.where(has_pred, sel_score + inc_s[j], score_c[j]))
+            new_start.append(jnp.where(has_pred, sel_start, pos_c[j]))
+            new_ham.append(jnp.where(has_pred, sel_ham + inc_h[j], ham_c[j]))
+            new_depth.append(jnp.where(has_pred, sel_depth + sh_clip, 1))
+            new_sh16.append(jnp.where(has_pred, sel_sh16, h16_c[j]))
 
         # emissions: prev slots not connected to ANY cur slot, depth gate
-        connected_prev = conn.any(axis=2)
-        emit = (
-            carry.occ
-            & has_cur[:, None]
-            & ~connected_prev
-            & (carry.p_depth >= block_min_depth[:, None])
-        )
+        emit = []
+        for i in range(k):
+            connected_prev = conn[i][0]
+            for j in range(1, k):
+                connected_prev = connected_prev | conn[i][j]
+            emit.append(
+                carry.occ[i]
+                & has_cur
+                & ~connected_prev
+                & (carry.p_depth[i] >= block_min_depth)
+            )
         out = (
-            emit,
+            jnp.stack(emit),
             carry.p_start,
             carry.pos + 23,
             carry.p_score,
@@ -247,37 +273,30 @@ def chain_matches(
             carry.h16,
         )
 
-        sel = has_cur[:, None]
+        sel = has_cur
+        pick = lambda new_kb, old_kb: jnp.where(sel[None, :], new_kb, old_kb)
         new_carry = Carry(
-            col=carry.col,  # informational only
             n_groups=carry.n_groups + has_cur.astype(jnp.int32),
-            occ=jnp.where(sel, occ_c, carry.occ),
-            dna=jnp.where(sel, dna_c, carry.dna),
-            h16=jnp.where(sel, h16_c, carry.h16),
-            pos=jnp.where(sel, pos_c, carry.pos),
-            p_score=jnp.where(sel, new_score, carry.p_score),
-            p_start=jnp.where(sel, new_start, carry.p_start),
-            p_ham=jnp.where(sel, new_ham, carry.p_ham),
-            p_depth=jnp.where(sel, new_depth, carry.p_depth),
-            p_sh16=jnp.where(sel, new_sh16, carry.p_sh16),
+            occ=pick(occ_c, carry.occ),
+            dna=pick(dna_c, carry.dna),
+            h16=pick(h16_c, carry.h16),
+            pos=pick(pos_c, carry.pos),
+            p_score=pick(jnp.stack(new_score), carry.p_score),
+            p_start=pick(jnp.stack(new_start), carry.p_start),
+            p_ham=pick(jnp.stack(new_ham), carry.p_ham),
+            p_depth=pick(jnp.stack(new_depth), carry.p_depth),
+            p_sh16=pick(jnp.stack(new_sh16), carry.p_sh16),
         )
         return new_carry, out
 
-    xs = (
-        g_occ.transpose(1, 0, 2),
-        g_pos.transpose(1, 0, 2),
-        g_dna.transpose(1, 0, 2),
-        g_h16.transpose(1, 0, 2),
-        g_ham.transpose(1, 0, 2),
-        base_score.transpose(1, 0, 2),
-    )
+    xs = (g_occ, g_pos, g_dna, g_h16, g_ham, base_score)
     final, outs = jax.lax.scan(step, init, xs)
 
     # final flush: last group, depth-gated, needs >= 2 distinct groups
     f_emit = (
         final.occ
-        & (final.p_depth >= block_min_depth[:, None])
-        & (final.n_groups >= 2)[:, None]
+        & (final.p_depth >= block_min_depth[None, :])
+        & (final.n_groups >= 2)[None, :]
     )
     f_out = (
         f_emit, final.p_start, final.pos + 23, final.p_score,

@@ -9,7 +9,8 @@ per-codon hammings (`trimMatchPath`, `:475-485`). The final species score
 is min(1, sum of accepted scores / read length)
 (`getBestSpeciesMatches`, `:354-356`).
 
-Shapes: [G, P] path grids (G = (read, species) groups, P = path capacity;
+Shapes: [P, G] path grids (G = (read, species) groups kept minor for TPU
+lanes, P = path capacity;
 groups with more paths are flagged for host fallback). The inner greedy is
 two static fori loops (P^2 tiny steps, vectorized over groups).
 """
@@ -111,8 +112,9 @@ def combine_paths(
     s_i = jnp.where(ok, slot, 0)
 
     def grid(x, fill, dtype):
-        g = jnp.full((n_groups + 1, p_max), fill, dtype)
-        return g.at[g_i, s_i].set(x.astype(dtype), mode="drop")[:n_groups]
+        # [P, G] layout: the big group axis stays minor (TPU lanes)
+        g = jnp.full((p_max, n_groups + 1), fill, dtype)
+        return g.at[s_i, g_i].set(x.astype(dtype), mode="drop")[:, :n_groups]
 
     G_occ = grid(ok, False, bool)
     G_start = grid(s_start, 0, jnp.int32)
@@ -121,32 +123,32 @@ def combine_paths(
     G_ham = grid(s_ham, 0, jnp.int32)
     G_sh16 = grid(s_sh16, 0, jnp.int32)
     G_eh16 = grid(s_eh16, 0, jnp.int32)
-    group_read = grid(s_read, big, jnp.int32).min(axis=1)
-    group_species = grid(s_species, 0, jnp.int32).max(axis=1)
-    group_valid = G_occ.any(axis=1)
+    group_read = grid(s_read, big, jnp.int32).min(axis=0)
+    group_species = grid(s_species, 0, jnp.int32).max(axis=0)
+    group_valid = G_occ.any(axis=0)
 
     nb = n_groups
 
     class St(NamedTuple):
-        acc_start: jax.Array  # [G, P] accepted extents (frozen)
+        acc_start: jax.Array  # [P, G] accepted extents (frozen)
         acc_end: jax.Array
         acc_n: jax.Array      # [G] accepted count
         total: jax.Array      # [G] float32
 
     st0 = St(
-        acc_start=jnp.zeros((nb, p_max), jnp.int32),
-        acc_end=jnp.full((nb, p_max), -(2**30), jnp.int32),
+        acc_start=jnp.zeros((p_max, nb), jnp.int32),
+        acc_end=jnp.full((p_max, nb), -(2**30), jnp.int32),
         acc_n=jnp.zeros(nb, jnp.int32),
         total=jnp.zeros(nb, jnp.float32),
     )
 
     def outer(p, st: St):
-        occ = G_occ[:, p]
-        start0 = G_start[:, p]
-        end0 = G_end[:, p]
-        score0 = G_score[:, p]
-        sh16 = G_sh16[:, p]
-        eh16 = G_eh16[:, p]
+        occ = G_occ[p]
+        start0 = G_start[p]
+        end0 = G_end[p]
+        score0 = G_score[p]
+        sh16 = G_sh16[p]
+        eh16 = G_eh16[p]
 
         class Cur(NamedTuple):
             start: jax.Array
@@ -155,12 +157,12 @@ def combine_paths(
             ham: jax.Array
             rejected: jax.Array
 
-        cur0 = Cur(start0, end0, score0, G_ham[:, p], ~occ)
+        cur0 = Cur(start0, end0, score0, G_ham[p], ~occ)
 
         def inner(j, cur: Cur):
             has_j = j < st.acc_n
-            a_s = st.acc_start[:, j]
-            a_e = st.acc_end[:, j]
+            a_s = st.acc_start[j]
+            a_e = st.acc_end[j]
             disjoint = (cur.end < a_s) | (a_e < cur.start)
             ov = jnp.minimum(cur.end, a_e) - jnp.maximum(cur.start, a_s) + 1
             full_cover = ov == cur.end - cur.start + 1
@@ -191,17 +193,12 @@ def combine_paths(
         cur = jax.lax.fori_loop(0, p_max, inner, cur0)
         accept = occ & ~cur.rejected
         n = st.acc_n
-        new_start = jnp.where(
-            jnp.arange(p_max)[None, :] == n[:, None],
-            cur.start[:, None], st.acc_start,
-        )
-        new_end = jnp.where(
-            jnp.arange(p_max)[None, :] == n[:, None],
-            cur.end[:, None], st.acc_end,
-        )
+        at_n = jnp.arange(p_max)[:, None] == n[None, :]
+        new_start = jnp.where(at_n, cur.start[None, :], st.acc_start)
+        new_end = jnp.where(at_n, cur.end[None, :], st.acc_end)
         return St(
-            acc_start=jnp.where(accept[:, None], new_start, st.acc_start),
-            acc_end=jnp.where(accept[:, None], new_end, st.acc_end),
+            acc_start=jnp.where(accept[None, :], new_start, st.acc_start),
+            acc_end=jnp.where(accept[None, :], new_end, st.acc_end),
             acc_n=n + accept.astype(jnp.int32),
             total=st.total + jnp.where(accept, cur.score, 0.0),
         )

@@ -34,8 +34,8 @@ class FlatPaths(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("budget",))
 def compact_paths(chain_result, *, budget: int) -> FlatPaths:
     res = chain_result
-    em = res.emit_mask  # [W1, NB, K]
-    w1, nb, k = em.shape
+    em = res.emit_mask  # [W1, K, NB] (block axis minor: TPU lane-friendly)
+    w1, k, nb = em.shape
     flat = em.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     n_paths = pos[-1] + 1
@@ -49,7 +49,7 @@ def compact_paths(chain_result, *, budget: int) -> FlatPaths:
     )
     pad = rows >= w1 * nb * k
     safe = jnp.minimum(rows, w1 * nb * k - 1)
-    b_idx = (safe // k) % nb
+    b_idx = safe % nb
 
     def take(grid, fill):
         v = grid.reshape(-1)[safe]

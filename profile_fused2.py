@@ -70,15 +70,19 @@ def main():
         sizes = dtx.fused_sizes(B.BATCH, max_matches, read_len)
         print(f"sizes: {sizes}", flush=True)
 
+        def sync(r):
+            leaf = jax.tree.leaves(r)[0]
+            np.asarray(jax.numpy.ravel(leaf)[:1])
+
         def timeit(label, fn, n=3):
             t0 = time.time()
             r = fn()
-            jax.block_until_ready(jax.tree.leaves(r))
+            sync(r)
             print(f"{label}: compile+run {time.time()-t0:.1f}s", flush=True)
             t0 = time.time()
             for _ in range(n):
                 r = fn()
-            jax.block_until_ready(jax.tree.leaves(r))
+                sync(r)
             print(f"{label}: {(time.time()-t0)/n*1000:.0f} ms", flush=True)
             return r
 

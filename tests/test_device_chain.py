@@ -106,8 +106,9 @@ def test_device_chain_matches_python(tmp_path, seed, max_shift):
     scores = np.asarray(res.score); hams = np.asarray(res.hamming)
     depths = np.asarray(res.depth)
     b_read = np.asarray(res.block_read); b_sp = np.asarray(res.block_species)
-    for (w_i, b, s) in zip(*np.nonzero(em)):
-        got.append((int(b_read[b]), int(b_sp[b]), int(starts[w_i, b, s]),
-                    int(ends[w_i, b, s]), round(float(scores[w_i, b, s]), 3),
-                    int(hams[w_i, b, s]), int(depths[w_i, b, s])))
+    # emission grids are [W+1, K, NB] (block axis minor for TPU lanes)
+    for (w_i, s, b) in zip(*np.nonzero(em)):
+        got.append((int(b_read[b]), int(b_sp[b]), int(starts[w_i, s, b]),
+                    int(ends[w_i, s, b]), round(float(scores[w_i, s, b]), 3),
+                    int(hams[w_i, s, b]), int(depths[w_i, s, b])))
     assert sorted(got) == sorted(want)
