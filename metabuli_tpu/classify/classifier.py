@@ -249,8 +249,11 @@ class Classifier:
         args = (codes, lens, pos_offsets, qid_offsets)
         if self.chunked_index is not None:
             return ("chunked", args, None, budget)  # runs at drain time
-        if self.device_taxonomer is not None:
-            # fused classify+taxonomer program: matches never leave HBM
+        if self.device_taxonomer is not None and self.device_taxonomer.hints:
+            # fused classify+taxonomer program: matches never leave HBM.
+            # (The FIRST batch runs through the plain path instead: its host
+            # match dict seeds the fused grid sizes — see set_hints — so the
+            # fused program compiles right-sized rather than worst-case.)
             n_reads = int(qid_offsets.max()) + 1 if len(rows) else 0
             read_lens = np.zeros(max(n_reads, 1), np.int32)
             for seq, qid, _ in rows:
@@ -305,13 +308,20 @@ class Classifier:
             handle, read_lens, n_reads
         )
         p_max, scale = self._fused_pmax, self._fused_scale
+        hint_retries = 0
         while True:
             if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
+            elif results is None and (
+                info["tax_overflow"] & 0b1010010  # paths/rows/maxseg bits
+            ) and hint_retries < 2:
+                # drain_fused already folded the TRUE observed sizes into
+                # the hints; a plain relaunch compiles big enough
+                hint_retries += 1
             elif results is None and scale < 4:
-                # a taxonomer grid overflowed: widen every grid once
+                # chain-grid / group / taxcnt overflow: widen every grid
                 # (path-heavy groups already re-combine on the host, so no
                 # p_max escalation is needed)
                 scale = 4
@@ -490,7 +500,12 @@ class Classifier:
                         )
                 else:
                     m = self._drain_device(dev_ctx)
-                    results = self._assign_batch(metas, m)
+                    if self.device_taxonomer is not None:
+                        # warmup batch: seed the fused grid sizes
+                        self.device_taxonomer.set_hints(
+                            m, self.taxonomer.p.dna_shift
+                        )
+                    results = self._assign_batch(metas, m, force_host=True)
                 self.stats["reads"] += len(metas)
                 rows_out = [
                     (meta.name, rc, meta.read_len)

@@ -117,7 +117,7 @@ def chain_matches(
     cell_new = jnp.ones(M, bool)
     cell_same = (bid[1:] == bid[:-1]) & (col[1:] == col[:-1])
     cell_new = cell_new.at[1:].set(~cell_same)
-    run_start = jnp.maximum.accumulate(jnp.where(cell_new, idx, 0))
+    run_start = jax.lax.cummax(jnp.where(cell_new, idx, 0))
     slot = idx - run_start
 
     ok = valid & (bid < n_blocks) & (col >= 0) & (col < w) & (slot < k)

@@ -99,7 +99,7 @@ def combine_paths(
     new_g = new_g & s_valid
     gid = jnp.cumsum(new_g.astype(jnp.int32)) - 1
     gid = jnp.where(s_valid, gid, n_groups)
-    run_start = jnp.maximum.accumulate(jnp.where(new_g, idx, 0))
+    run_start = jax.lax.cummax(jnp.where(new_g, idx, 0))
     slot = idx - run_start
 
     ok = s_valid & (gid < n_groups) & (slot < p_max)

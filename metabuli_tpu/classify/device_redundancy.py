@@ -64,9 +64,12 @@ class QuotientResult(NamedTuple):
     row_species: jax.Array  # [R] int32
     row_taxid: jax.Array    # [R] int32 LCA'd best taxid of the quotient
     n_rows: jax.Array       # [] int32
+    max_seg: jax.Array      # [] int32 largest quotient segment (rounds gate)
 
 
-@functools.partial(jax.jit, static_argnames=("dna_shift", "max_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("dna_shift", "max_rows", "lca_rounds")
+)
 def quotient_best(
     dt: DeviceTaxonomy,
     qid, species, pos, hamming, taxid,  # [M] int32 sorted match arrays
@@ -74,6 +77,7 @@ def quotient_best(
     *,
     dna_shift: int,
     max_rows: int,
+    lca_rounds: int = 6,
 ) -> QuotientResult:
     M = qid.shape[0]
     quot = pos // dna_shift
@@ -112,10 +116,18 @@ def quotient_best(
     is_tie = valid & (h == minh)
     contrib = jnp.where(is_tie, taxid, 0)
 
+    # largest segment length gates the round count: a segment longer than
+    # 2^lca_rounds would be under-combined, so it is reported for the
+    # caller's overflow-retry ladder (the host fallback stays exact)
+    seg_len = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg, num_segments=M + 1
+    )
+    max_seg = jnp.max(seg_len)
+
     # segmented LCA over tie members: suffix scan with distance-2^r combines
     acc = contrib
-    hop = 1
-    while hop < 64:  # segments are position groups: comfortably < 64 members
+    for r in range(lca_rounds):
+        hop = 1 << r
         shifted = jnp.concatenate([acc[hop:], jnp.zeros(hop, jnp.int32)])
         same = jnp.concatenate(
             [seg[hop:] == seg[:-hop], jnp.zeros(hop, bool)]
@@ -125,7 +137,6 @@ def quotient_best(
             (acc > 0) & (other > 0), lca_pairs(dt, acc, other),
             jnp.maximum(acc, other),
         )
-        hop *= 2
     # acc at a segment's first row = LCA over the segment's tie members
     # (non-tie rows contribute 0, which the combine treats as identity)
     first_of_seg = seg_new & valid
@@ -141,4 +152,5 @@ def quotient_best(
         row_species=jnp.where(pad, INT32_MAX, species[safe]),
         row_taxid=jnp.where(pad, 0, acc[safe]),
         n_rows=jnp.sum(first_of_seg.astype(jnp.int32)),
+        max_seg=max_seg,
     )

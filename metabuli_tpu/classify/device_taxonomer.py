@@ -87,7 +87,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         "smer_len", "kmer_format",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
-        "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
+        "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget", "lca_rounds",
     ),
 )
 def _fused_classify_tax(
@@ -97,7 +97,7 @@ def _fused_classify_tax(
     *,
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
     kmer_format, path_budget, g_budget, max_rows, taxcnt_budget, dna_shift,
-    p_max, n_blocks, w, k, max_shift, ov_budget,
+    p_max, n_blocks, w, k, max_shift, ov_budget, lca_rounds,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -137,7 +137,7 @@ def _fused_classify_tax(
     groups = compact_groups(comb, budget=g_budget)
     qres = quotient_best(
         dt, s_qid, s_species, s_pos, s_ham, s_taxid, valid,
-        dna_shift=dna_shift, max_rows=max_rows,
+        dna_shift=dna_shift, max_rows=max_rows, lca_rounds=lca_rounds,
     )
 
     # aggregate quotient rows to (read, species, taxid, count) on device:
@@ -177,10 +177,12 @@ def _fused_classify_tax(
         | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
         | ((qres.n_rows > max_rows).astype(jnp.int32) << 4)
         | ((n_taxcnt > taxcnt_budget).astype(jnp.int32) << 5)
+        | ((qres.max_seg > (1 << lca_rounds)).astype(jnp.int32) << 6)
     )
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
         cls_counts[0], cls_counts[1], cls_counts[2], comb.n_ov,
+        qres.max_seg, flat.n_paths, qres.n_rows,
     ])
     taxcnt = jnp.stack([t_read, t_species, t_taxid, t_count], axis=0)
     gdata = (groups.read, groups.species, groups.score)
@@ -196,6 +198,7 @@ class DeviceTaxonomer:
         self.p = params
         self.tax = taxonomy
         self.dt = device_taxonomy(taxonomy)
+        self.hints: dict[str, int] = {}
         # euk-aware min depth per species (dense internal ids)
         n = taxonomy.n_nodes()
         euk = np.zeros(n + 1, bool)
@@ -211,34 +214,94 @@ class DeviceTaxonomer:
     def fused_sizes(self, n_reads: int, max_matches: int,
                     max_read_len: int, p_max: int = 16,
                     scale: int = 1) -> dict:
-        """Static grid sizes for the fused program, derived from the batch
-        shape only (so programs cache across batches). ``scale`` widens
-        every data-dependent grid (overflow retries)."""
-        w = 16
-        max_q = max_read_len // 3 + 4
-        while w < min(max_q, 2048):
-            w *= 2
-        # blocks = (read, species, frame) runs; typical reads hit 1-2
-        # species across 6 frames
-        n_blocks = 1024
-        while n_blocks < min(16 * n_reads * scale,
-                             max(max_matches, 2), 1 << 21):
-            n_blocks *= 2
-        path_budget = 1024
-        while path_budget < min(max(max_matches, 2) * scale, 1 << 23):
-            path_budget *= 2
-        g_budget = 1024
-        while g_budget < 8 * n_reads * scale:
-            g_budget *= 2
-        max_rows = 1024
-        while max_rows < max(max_matches, 2) * scale:
-            max_rows *= 2
+        """Static grid sizes for the fused program. Without hints the sizes
+        are conservative batch-shape bounds; after a warmup batch measured
+        through the plain path (``set_hints``) every data-dependent grid is
+        right-sized to observed statistics + headroom (TPU grids pay real
+        memory/compute for every padded cell). ``scale`` widens the
+        data-dependent grids on overflow retries."""
+        h = self.hints
+
+        def pow2(n, lo=1024, hi=1 << 23):
+            v = lo
+            while v < min(n, hi):
+                v *= 2
+            return v
+
+        # columns = position-quotient span of one (read, species, frame)
+        # block; paired mates share a block, so max_read_len covers both
+        # (span <= (read_len - 21) / 3, see Taxonomer.cpp:487-648 pos math)
+        w = max(16, -(-(max(max_read_len - 21, 3) // 3 + 3) // 16) * 16)
+        w = min(w, 2048)
+        if h.get("nb"):
+            n_blocks = pow2(int(h["nb"] * 1.3) * scale)
+        else:
+            n_blocks = pow2(min(16 * n_reads * scale, max(max_matches, 2),
+                                1 << 21))
+        if h.get("k"):
+            k = max(2, int(h["k"])) * scale
+        else:
+            k = 4 * scale
+        if h.get("paths"):
+            path_budget = pow2(int(h["paths"] * 1.5) * scale)
+        else:
+            path_budget = pow2(min(max(max_matches, 2) * scale, 1 << 23))
+        g_budget = pow2(8 * n_reads * scale)
+        if h.get("rows"):
+            max_rows = pow2(int(h["rows"] * 1.3) * scale)
+        else:
+            max_rows = pow2(max(max_matches, 2) * scale)
+        maxseg = int(h.get("maxseg", 0)) * scale
+        lca_rounds = 6
+        if maxseg:
+            lca_rounds = 1
+            while (1 << lca_rounds) < maxseg:
+                lca_rounds += 1
         return dict(
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
             taxcnt_budget=4 * g_budget, dna_shift=self.p.dna_shift,
-            p_max=p_max, n_blocks=n_blocks, w=w, k=4 * scale,
+            p_max=p_max, n_blocks=n_blocks, w=w, k=k,
             max_shift=self.p.max_codon_shift, ov_budget=16384 * scale,
+            lca_rounds=lca_rounds,
         )
+
+    def set_hints(self, m: dict, dna_shift: int) -> None:
+        """Derive fused grid sizes from a warmup batch's host match dict
+        (sorted reference order). Hints only grow (max-accumulate) so the
+        compiled fused program is reused across batches."""
+        q, sp, fr, pos = m["qid"], m["species"], m["frame"], m["pos"]
+        n = len(q)
+        if n == 0:
+            return
+        nb = np.ones(n, bool)
+        nb[1:] = (q[1:] != q[:-1]) | (sp[1:] != sp[:-1]) | (fr[1:] != fr[:-1])
+        n_blocks = int(nb.sum())
+        bid = np.cumsum(nb) - 1
+        cell = np.ones(n, bool)
+        cell[1:] = nb[1:] | (pos[1:] != pos[:-1])
+        ties = np.bincount(np.cumsum(cell) - 1)
+        # quotient segments span frames: resort by (read, species, quot)
+        # exactly like quotient_best before counting runs
+        quot = pos // dna_shift
+        qorder = np.lexsort((quot, sp, q))
+        q2, sp2, quot2 = q[qorder], sp[qorder], quot[qorder]
+        segs = np.ones(n, bool)
+        segs[1:] = (q2[1:] != q2[:-1]) | (sp2[1:] != sp2[:-1]) | (
+            quot2[1:] != quot2[:-1]
+        )
+        seg_sizes = np.bincount(np.cumsum(segs) - 1)
+        h = self.hints
+        upd = {
+            "nb": n_blocks,
+            "k": int(ties.max()) if len(ties) else 1,
+            # paths are bounded by blocks x path starts; observed data shows
+            # ~1-2 per block, keep 4x headroom inside the pow2 rounding
+            "paths": 4 * n_blocks,
+            "rows": int(segs.sum()),
+            "maxseg": int(seg_sizes.max()) if len(seg_sizes) else 1,
+        }
+        for key, val in upd.items():
+            h[key] = max(h.get(key, 0), val)
 
     def dispatch_fused(self, index, d_species, codes, lens, pos_offsets,
                        qid_offsets, n_reads: int, max_read_len: int, *,
@@ -251,14 +314,25 @@ class DeviceTaxonomer:
                                  scale)
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
-        gdata, taxcnt, counts, ovp = _fused_classify_tax(
+        args = (
             index.rest, index.lo32, index.d48lo, index.d48hi, index.taxids,
             index.prefix, d_species, self.dt, self.min_depth, rl,
             codes, lens, pos_offsets, qid_offsets,
+        )
+        kw = dict(
             n_db=index.n, search_iters=index.search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format, **sizes,
         )
+        try:
+            gdata, taxcnt, counts, ovp = _fused_classify_tax(*args, **kw)
+        except ValueError as e:
+            if "buffers" not in str(e):
+                raise
+            # jax executable-cache aliasing mismatch (constant folding
+            # differs between traces with identical signatures): retrace
+            _fused_classify_tax.clear_cache()
+            gdata, taxcnt, counts, ovp = _fused_classify_tax(*args, **kw)
         return (gdata, taxcnt, counts, ovp, sizes)
 
     def drain_fused(self, handle, read_lens_by_qid: np.ndarray,
@@ -280,7 +354,16 @@ class DeviceTaxonomer:
             "n_over_cap": int(counts[4]),
             "total_kmers": int(counts[5]),
             "n_ov_paths": int(counts[6]),
+            "max_seg": int(counts[7]),
+            "n_paths": int(counts[8]),
+            "n_rows": int(counts[9]),
         }
+        # observed stats feed the sticky hints so overflow retries (and
+        # later batches) compile right-sized programs
+        h = self.hints
+        h["maxseg"] = max(h.get("maxseg", 0), info["max_seg"])
+        h["paths"] = max(h.get("paths", 0), info["n_paths"])
+        h["rows"] = max(h.get("rows", 0), info["n_rows"])
         if info["tax_overflow"]:
             return None, info
         results = [ReadClassification() for _ in range(n_reads)]

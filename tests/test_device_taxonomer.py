@@ -158,7 +158,7 @@ def test_classifier_with_device_tax(tmp_path):
 
     outs = {}
     for flag in (0, 1):
-        par = ClassifyParams(seq_mode=1, batch_reads=32, device_tax=flag)
+        par = ClassifyParams(seq_mode=1, batch_reads=4, device_tax=flag)
         clf = Classifier(db, par)
         if flag:
             assert clf.device_taxonomer is not None
@@ -215,7 +215,7 @@ def test_fused_path_overflow_host_recombine(tmp_path):
     outs = {}
     recombines = []
     for flag in (0, 1):
-        par = ClassifyParams(seq_mode=3, batch_reads=16, device_tax=flag)
+        par = ClassifyParams(seq_mode=3, batch_reads=4, device_tax=flag)
         clf = Classifier(db, par)
         if flag:
             clf._fused_pmax = 2  # force path-slot overflow -> host recombine
