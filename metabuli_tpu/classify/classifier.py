@@ -99,6 +99,10 @@ class Classifier:
             )
         except (RuntimeError, OSError):
             pass
+        if self.device_taxonomer is not None:
+            # share the prepared taxonomy arrays with the fused host finish
+            self.device_taxonomer._nt = self.native_taxonomer
+            self.device_taxonomer._nt_tried = True
         self.reporter = Reporter(self.taxonomy, bool(params.print_lineage))
 
         # device arrays (32-bit split representation + prefix buckets);
@@ -315,7 +319,7 @@ class Classifier:
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
             elif results is None and (
-                info["tax_overflow"] & 0b1010010  # paths/rows/maxseg bits
+                info["tax_overflow"] & 0b0010110  # paths/rows/ov bits
             ) and hint_retries < 2:
                 # drain_fused already folded the TRUE observed sizes into
                 # the hints; a plain relaunch compiles big enough

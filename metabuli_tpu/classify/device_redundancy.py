@@ -64,12 +64,9 @@ class QuotientResult(NamedTuple):
     row_species: jax.Array  # [R] int32
     row_taxid: jax.Array    # [R] int32 LCA'd best taxid of the quotient
     n_rows: jax.Array       # [] int32
-    max_seg: jax.Array      # [] int32 largest quotient segment (rounds gate)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dna_shift", "max_rows", "lca_rounds")
-)
+@functools.partial(jax.jit, static_argnames=("dna_shift", "max_rows"))
 def quotient_best(
     dt: DeviceTaxonomy,
     qid, species, pos, hamming, taxid,  # [M] int32 sorted match arrays
@@ -77,20 +74,23 @@ def quotient_best(
     *,
     dna_shift: int,
     max_rows: int,
-    lca_rounds: int = 6,
 ) -> QuotientResult:
     M = qid.shape[0]
     quot = pos // dna_shift
     # quotients span frames, but matches arrive frame-major — re-sort so
     # each (read, species, quotient) set is one contiguous segment
-    # (`filterRedundantMatches` walks the whole species range, all frames)
+    # (`filterRedundantMatches` walks the whole species range, all frames).
+    # hamming (<=7 after the 2*min cutoff, <=56 worst case) packs with the
+    # taxid payload; tie order within a segment is immaterial (LCA below).
     big_key = jnp.int32(2**31 - 1)
     k_qid = jnp.where(valid, qid, big_key)
-    qid, species, quot, hamming, taxid, v_i = jax.lax.sort(
-        (k_qid, species, quot, hamming, taxid, valid.astype(jnp.int32)),
+    qid, species, quot, hamtax = jax.lax.sort(
+        (k_qid, species, quot, (hamming << 26) | taxid),
         num_keys=3,
     )
-    valid = v_i.astype(bool)
+    valid = qid != big_key
+    hamming = jnp.where(valid, hamtax >> 26, 255)
+    taxid = hamtax & jnp.int32((1 << 26) - 1)
     seg_new = jnp.ones(M, bool)
     seg_new = seg_new.at[1:].set(
         ~(
@@ -106,51 +106,47 @@ def quotient_best(
     big = jnp.int32(255)
     h = jnp.where(valid, hamming, big)
     n_seg_cap = M
+    seg_c = jnp.minimum(seg, n_seg_cap)
     table = (
         jnp.full(n_seg_cap + 1, big, jnp.int32)
-        .at[jnp.minimum(seg, n_seg_cap)]
+        .at[seg_c]
         .min(h, mode="drop")
     )
-    minh = table[jnp.minimum(seg, n_seg_cap)]
-
+    minh = table[seg_c]
     is_tie = valid & (h == minh)
-    contrib = jnp.where(is_tie, taxid, 0)
 
-    # largest segment length gates the round count: a segment longer than
-    # 2^lca_rounds would be under-combined, so it is reported for the
-    # caller's overflow-retry ladder (the host fallback stays exact)
-    seg_len = jax.ops.segment_sum(
-        valid.astype(jnp.int32), seg, num_segments=M + 1
+    # LCA over each segment's tie set = LCA of the two members whose Euler
+    # first-occurrences are extremal (classic Euler-tour property): two
+    # int64 segment scatter-reductions + ONE vectorized LCA over the
+    # compacted rows — no log-rounds, exact for any tie-set size.
+    ef = dt.euler_first[jnp.maximum(taxid, 0)].astype(jnp.int64)
+    packed = (ef << jnp.int64(32)) | taxid.astype(jnp.int64)
+    pmin = (
+        jnp.full(n_seg_cap + 1, jnp.int64(2**62), jnp.int64)
+        .at[seg_c].min(jnp.where(is_tie, packed, jnp.int64(2**62)),
+                       mode="drop")
     )
-    max_seg = jnp.max(seg_len)
+    pmax = (
+        jnp.full(n_seg_cap + 1, jnp.int64(-1), jnp.int64)
+        .at[seg_c].max(jnp.where(is_tie, packed, jnp.int64(-1)), mode="drop")
+    )
 
-    # segmented LCA over tie members: suffix scan with distance-2^r combines
-    acc = contrib
-    for r in range(lca_rounds):
-        hop = 1 << r
-        shifted = jnp.concatenate([acc[hop:], jnp.zeros(hop, jnp.int32)])
-        same = jnp.concatenate(
-            [seg[hop:] == seg[:-hop], jnp.zeros(hop, bool)]
-        )
-        other = jnp.where(same, shifted, 0)
-        acc = jnp.where(
-            (acc > 0) & (other > 0), lca_pairs(dt, acc, other),
-            jnp.maximum(acc, other),
-        )
-    # acc at a segment's first row = LCA over the segment's tie members
-    # (non-tie rows contribute 0, which the combine treats as identity)
     first_of_seg = seg_new & valid
-
     (rows,) = jnp.nonzero(
         first_of_seg, size=max_rows, fill_value=M
     )
     pad = rows >= M
     safe = jnp.minimum(rows, M - 1)
+    seg_r = seg_c[safe]
+    u = (pmin[seg_r] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    v = (pmax[seg_r] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    u = jnp.where(pmin[seg_r] == jnp.int64(2**62), 0, u)
+    v = jnp.where(pmax[seg_r] < 0, 0, v)
+    row_taxid = lca_pairs(dt, u, v)
     INT32_MAX = jnp.int32(2**31 - 1)
     return QuotientResult(
         row_read=jnp.where(pad, INT32_MAX, qid[safe]),
         row_species=jnp.where(pad, INT32_MAX, species[safe]),
-        row_taxid=jnp.where(pad, 0, acc[safe]),
+        row_taxid=jnp.where(pad, 0, row_taxid),
         n_rows=jnp.sum(first_of_seg.astype(jnp.int32)),
-        max_seg=max_seg,
     )

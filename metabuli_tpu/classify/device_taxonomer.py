@@ -87,7 +87,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         "smer_len", "kmer_format",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
-        "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget", "lca_rounds",
+        "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
     ),
 )
 def _fused_classify_tax(
@@ -97,7 +97,7 @@ def _fused_classify_tax(
     *,
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
     kmer_format, path_budget, g_budget, max_rows, taxcnt_budget, dna_shift,
-    p_max, n_blocks, w, k, max_shift, ov_budget, lca_rounds,
+    p_max, n_blocks, w, k, max_shift, ov_budget,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -137,7 +137,7 @@ def _fused_classify_tax(
     groups = compact_groups(comb, budget=g_budget)
     qres = quotient_best(
         dt, s_qid, s_species, s_pos, s_ham, s_taxid, valid,
-        dna_shift=dna_shift, max_rows=max_rows, lca_rounds=lca_rounds,
+        dna_shift=dna_shift, max_rows=max_rows,
     )
 
     # aggregate quotient rows to (read, species, taxid, count) on device:
@@ -177,18 +177,23 @@ def _fused_classify_tax(
         | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
         | ((qres.n_rows > max_rows).astype(jnp.int32) << 4)
         | ((n_taxcnt > taxcnt_budget).astype(jnp.int32) << 5)
-        | ((qres.max_seg > (1 << lca_rounds)).astype(jnp.int32) << 6)
     )
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
         cls_counts[0], cls_counts[1], cls_counts[2], comb.n_ov,
-        qres.max_seg, flat.n_paths, qres.n_rows,
+        flat.n_paths, qres.n_rows,
     ])
-    taxcnt = jnp.stack([t_read, t_species, t_taxid, t_count], axis=0)
-    gdata = (groups.read, groups.species, groups.score)
-    ovp = (comb.ov_read, comb.ov_species, comb.ov_start, comb.ov_end,
-           comb.ov_score, comb.ov_ham, comb.ov_sh16, comb.ov_eh16)
-    return gdata, taxcnt, counts, ovp
+    # ONE packed int32 output: every host-bound tensor concatenated at
+    # static offsets. The tunnel pays a ~25ms round trip PER fetched array,
+    # so a dozen slice+fetch ops cost far more than one small transfer.
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    packed = jnp.concatenate([
+        groups.read, groups.species, bc(groups.score),
+        t_read, t_species, t_taxid, t_count,
+        comb.ov_read, comb.ov_species, comb.ov_start, comb.ov_end,
+        bc(comb.ov_score), comb.ov_ham, comb.ov_sh16, comb.ov_eh16,
+    ])
+    return packed, counts
 
 
 class DeviceTaxonomer:
@@ -199,6 +204,8 @@ class DeviceTaxonomer:
         self.tax = taxonomy
         self.dt = device_taxonomy(taxonomy)
         self.hints: dict[str, int] = {}
+        self._nt = None       # lazy NativeTaxonomer (shared taxonomy arrays)
+        self._nt_tried = False
         # euk-aware min depth per species (dense internal ids)
         n = taxonomy.n_nodes()
         euk = np.zeros(n + 1, bool)
@@ -246,23 +253,26 @@ class DeviceTaxonomer:
             path_budget = pow2(int(h["paths"] * 1.5) * scale)
         else:
             path_budget = pow2(min(max(max_matches, 2) * scale, 1 << 23))
-        g_budget = pow2(8 * n_reads * scale)
+        if h.get("groups"):
+            g_budget = pow2(int(h["groups"] * 1.3) * scale)
+        else:
+            g_budget = pow2(8 * n_reads * scale)
         if h.get("rows"):
             max_rows = pow2(int(h["rows"] * 1.3) * scale)
         else:
             max_rows = pow2(max(max_matches, 2) * scale)
-        maxseg = int(h.get("maxseg", 0)) * scale
-        lca_rounds = 6
-        if maxseg:
-            lca_rounds = 1
-            while (1 << lca_rounds) < maxseg:
-                lca_rounds += 1
+        if h.get("taxcnt"):
+            taxcnt_budget = pow2(int(h["taxcnt"] * 1.5) * scale)
+        else:
+            taxcnt_budget = 4 * g_budget
+        ov_budget = pow2(max(1024, int(h.get("ov", 0)) * 2) * scale,
+                         lo=1024, hi=1 << 20) if h.get("ov") is not None \
+            else 16384 * scale
         return dict(
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
-            taxcnt_budget=4 * g_budget, dna_shift=self.p.dna_shift,
+            taxcnt_budget=taxcnt_budget, dna_shift=self.p.dna_shift,
             p_max=p_max, n_blocks=n_blocks, w=w, k=k,
-            max_shift=self.p.max_codon_shift, ov_budget=16384 * scale,
-            lca_rounds=lca_rounds,
+            max_shift=self.p.max_codon_shift, ov_budget=ov_budget,
         )
 
     def set_hints(self, m: dict, dna_shift: int) -> None:
@@ -290,6 +300,8 @@ class DeviceTaxonomer:
             quot2[1:] != quot2[:-1]
         )
         seg_sizes = np.bincount(np.cumsum(segs) - 1)
+        groups = np.ones(n, bool)
+        groups[1:] = (q[1:] != q[:-1]) | (sp[1:] != sp[:-1])
         h = self.hints
         upd = {
             "nb": n_blocks,
@@ -298,7 +310,12 @@ class DeviceTaxonomer:
             # ~1-2 per block, keep 4x headroom inside the pow2 rounding
             "paths": 4 * n_blocks,
             "rows": int(segs.sum()),
-            "maxseg": int(seg_sizes.max()) if len(seg_sizes) else 1,
+            "groups": int(groups.sum()),
+            # distinct (read, species, taxid) triples aggregate far below
+            # the quotient-row count; start near the group count and let
+            # drain_fused's observed n_taxcnt correct it
+            "taxcnt": 4 * int(groups.sum()),
+            "ov": 1024,
         }
         for key, val in upd.items():
             h[key] = max(h.get(key, 0), val)
@@ -325,15 +342,22 @@ class DeviceTaxonomer:
             smer_len=smer_len, kmer_format=kmer_format, **sizes,
         )
         try:
-            gdata, taxcnt, counts, ovp = _fused_classify_tax(*args, **kw)
+            packed, counts = _fused_classify_tax(*args, **kw)
         except ValueError as e:
             if "buffers" not in str(e):
                 raise
             # jax executable-cache aliasing mismatch (constant folding
             # differs between traces with identical signatures): retrace
             _fused_classify_tax.clear_cache()
-            gdata, taxcnt, counts, ovp = _fused_classify_tax(*args, **kw)
-        return (gdata, taxcnt, counts, ovp, sizes)
+            packed, counts = _fused_classify_tax(*args, **kw)
+        for arr in (packed, counts):
+            fn = getattr(arr, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:
+                    break
+        return (packed, counts, sizes)
 
     def drain_fused(self, handle, read_lens_by_qid: np.ndarray,
                     n_reads: int):
@@ -344,7 +368,7 @@ class DeviceTaxonomer:
         cap/budget retry logic (`Classifier.cpp:127-131`). Groups whose
         path count exceeded the device slot capacity arrive as raw path
         rows and are re-combined exactly on the host."""
-        gdata, taxcnt, counts, ovp, sizes = handle
+        packed_dev, counts, sizes = handle
         counts = np.asarray(counts)
         info = {
             "n_groups": int(counts[0]),
@@ -354,35 +378,44 @@ class DeviceTaxonomer:
             "n_over_cap": int(counts[4]),
             "total_kmers": int(counts[5]),
             "n_ov_paths": int(counts[6]),
-            "max_seg": int(counts[7]),
-            "n_paths": int(counts[8]),
-            "n_rows": int(counts[9]),
+            "n_paths": int(counts[7]),
+            "n_rows": int(counts[8]),
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs
         h = self.hints
-        h["maxseg"] = max(h.get("maxseg", 0), info["max_seg"])
         h["paths"] = max(h.get("paths", 0), info["n_paths"])
         h["rows"] = max(h.get("rows", 0), info["n_rows"])
+        h["ov"] = max(h.get("ov", 0), info["n_ov_paths"])
+        h["taxcnt"] = max(h.get("taxcnt", 0), info["n_taxcnt"])
         if info["tax_overflow"]:
             return None, info
         results = [ReadClassification() for _ in range(n_reads)]
         n_g = info["n_groups"]
         if n_g == 0:
             return results, info
-        g_budget = sizes["g_budget"]
-        gp = _pow2(n_g, g_budget)
-        g_read = np.asarray(gdata[0][:gp])[:n_g]
-        g_sp = np.asarray(gdata[1][:gp])[:n_g]
-        g_score = np.asarray(gdata[2][:gp])[:n_g].astype(np.float32)
+        # single transfer of the packed small-tensor block (sections at
+        # static offsets; the async copy was started at dispatch time)
+        packed = np.asarray(packed_dev)
+        G = sizes["g_budget"]
+        T = sizes["taxcnt_budget"]
+        OV = sizes["ov_budget"]
+        g_read = packed[:n_g]
+        g_sp = packed[G : G + n_g]
+        g_score = packed[2 * G : 2 * G + n_g].view(np.float32).copy()
+        n_t = info["n_taxcnt"]
+        base = 3 * G
+        trows = [packed[base + i * T : base + i * T + n_t] for i in range(4)]
         if info["n_ov_paths"]:
+            n_ov = min(info["n_ov_paths"], OV)
+            base = 3 * G + 4 * T
+            ovp = [packed[base + i * OV : base + i * OV + n_ov]
+                   for i in range(8)]
+            ovp[4] = ovp[4].view(np.float32)
             g_score = self._recombine_overflow_groups(
-                ovp, sizes, info["n_ov_paths"], g_read, g_sp, g_score,
+                ovp, info["n_ov_paths"], g_read, g_sp, g_score,
                 read_lens_by_qid, n_reads,
             )
-        n_t = info["n_taxcnt"]
-        tp = _pow2(max(n_t, 1), sizes["taxcnt_budget"])
-        trows = np.asarray(taxcnt[:, :tp])[:, :n_t]
         results = self._finish(
             g_read, g_sp, g_score,
             trows[0], trows[1], trows[2], trows[3],
@@ -390,15 +423,14 @@ class DeviceTaxonomer:
         )
         return results, info
 
-    def _recombine_overflow_groups(self, ovp, sizes, n_ov, g_read, g_sp,
+    def _recombine_overflow_groups(self, ovp, n_ov, g_read, g_sp,
                                    g_score, read_lens_by_qid, n_reads):
         """Exact host re-combine (combineMatchPaths,
         `Taxonomer.cpp:410-468`) for groups whose path count exceeded the
         device slot capacity; patches their scores in g_score."""
         F32 = np.float32
-        op = _pow2(max(n_ov, 1), sizes["ov_budget"])
-        cols = [np.asarray(a[:op])[:n_ov] for a in ovp]
-        o_read, o_sp, o_start, o_end, o_score, o_ham, o_sh16, o_eh16 = cols
+        n_ov = min(n_ov, len(ovp[0]))
+        o_read, o_sp, o_start, o_end, o_score, o_ham, o_sh16, o_eh16 = ovp
 
         def part(h16, rng, from_right):
             s = F32(0)
@@ -553,12 +585,96 @@ class DeviceTaxonomer:
             read_lens_by_qid, n_reads, results,
         )
 
+    def _native_finish(self, g_read, g_sp, g_score, run_read, run_sp,
+                       run_tax, run_cnt, read_lens_by_qid, n_reads, results):
+        """OpenMP finish via the native library (None -> Python fallback)."""
+        if not self._nt_tried:
+            self._nt_tried = True
+            try:
+                from .native_taxonomer import NativeTaxonomer
+
+                self._nt = NativeTaxonomer(self.p, self.tax)
+            except (RuntimeError, OSError):
+                self._nt = None
+        if self._nt is None:
+            return None
+        import ctypes
+
+        nt = self._nt
+        p = self.p
+        lib = nt.lib
+        a32 = lambda x: np.ascontiguousarray(x, np.int32)
+        out_taxid = np.zeros(n_reads, np.int32)
+        out_score = np.zeros(n_reads, np.float32)
+        out_cls = np.zeros(n_reads, np.uint8)
+        map_cap = (10 * n_reads) if p.em else 1
+        mp_read = np.zeros(map_cap, np.int64)
+        mp_sp = np.zeros(map_cap, np.int32)
+        mp_score = np.zeros(map_cap, np.float32)
+        mp_used = ctypes.c_int64(0)
+        tc_cap = max(1024, len(run_read) + n_reads)
+        tc_read = np.zeros(tc_cap, np.int64)
+        tc_tax = np.zeros(tc_cap, np.int32)
+        tc_cnt = np.zeros(tc_cap, np.int32)
+        tc_used = ctypes.c_int64(0)
+        rl = np.zeros(n_reads, np.int32)
+        rl[: len(read_lens_by_qid)] = read_lens_by_qid[:n_reads]
+        rc = lib.taxonomer_finish(
+            ctypes.c_int64(len(g_read)), a32(g_read).ctypes,
+            a32(g_sp).ctypes,
+            np.ascontiguousarray(g_score, np.float32).ctypes,
+            ctypes.c_int64(len(run_read)), a32(run_read).ctypes,
+            a32(run_sp).ctypes, a32(run_tax).ctypes, a32(run_cnt).ctypes,
+            ctypes.c_int64(n_reads), rl.ctypes,
+            ctypes.c_int32(self.tax.n_nodes()),
+            nt._parent.ctypes, nt._euler_first.ctypes,
+            nt._euler_node.ctypes, nt._sparse.ctypes,
+            nt._euler_depth.ctypes,
+            ctypes.c_int32(nt._sparse.shape[0]),
+            ctypes.c_int64(nt._sparse.shape[1]),
+            nt._tin.ctypes, nt._tout.ctypes, nt._species_of.ctypes,
+            nt._leafish.ctypes, ctypes.c_int32(self.tax.eukaryota_id),
+            ctypes.c_float(p.min_score), ctypes.c_float(p.min_sp_score),
+            ctypes.c_float(p.tie_ratio), ctypes.c_int32(p.denominator),
+            ctypes.c_int32(p.accession_level),
+            ctypes.c_int32(1 if p.em else 0),
+            ctypes.c_int32(0),
+            out_taxid.ctypes, out_score.ctypes, out_cls.ctypes,
+            ctypes.c_int64(tc_cap), tc_read.ctypes, tc_tax.ctypes,
+            tc_cnt.ctypes, ctypes.byref(tc_used),
+            ctypes.c_int64(map_cap), mp_read.ctypes, mp_sp.ctypes,
+            mp_score.ctypes, ctypes.byref(mp_used),
+        )
+        if rc != 0:
+            return None  # output buffer overflow: fall back to Python
+        for i in range(n_reads):
+            res = results[i]
+            res.is_classified = bool(out_cls[i])
+            res.taxid = int(out_taxid[i])
+            res.score = float(out_score[i])
+        for k in range(int(tc_used.value)):
+            results[int(tc_read[k])].tax_counts[int(tc_tax[k])] = int(
+                tc_cnt[k]
+            )
+        for k in range(int(mp_used.value)):
+            res = results[int(mp_read[k])]
+            res.species_scores.append((int(mp_sp[k]), float(mp_score[k])))
+            if not res.top_species:
+                res.top_species = int(mp_sp[k])
+        return results
+
     def _finish(self, g_read, g_sp, g_score, run_read, run_sp, run_tax,
                 run_cnt, read_lens_by_qid, n_reads, results):
         """Host finish: per-read species selection (ties -> LCA), min-score
         branches, below-species BFS — from the small group/taxcount tensors
         (`chooseBestTaxon`, `Taxonomer.cpp:130-202`)."""
-        p = self.p
+        native = self._native_finish(
+            g_read, g_sp, g_score, run_read, run_sp, run_tax, run_cnt,
+            read_lens_by_qid, n_reads, results,
+        )
+        if native is not None:
+            return native
+        p = self.p  # pure-Python fallback below (native lib unavailable)
         # vectorized per-read selection, python only for the rare
         # tie/LCA and below-species BFS cases
         order = np.lexsort((g_sp, g_read))

@@ -57,5 +57,6 @@ def get_lib():
             return None
         lib = ctypes.CDLL(so)
         lib.taxonomer_assign.restype = ctypes.c_int64
+        lib.taxonomer_finish.restype = ctypes.c_int64
         _LIB = lib
         return _LIB

@@ -283,6 +283,68 @@ struct ReadResult {
   std::vector<std::pair<int32_t, float>> mappings;  // (species, score^2)
 };
 
+// lowerRankClassification: clade counts under the species + BFS descent
+// (`/root/reference/src/commons/Taxonomer.cpp:252-314`)
+static int32_t lower_rank_bfs(
+    const std::vector<std::pair<int32_t, int32_t>>& tax_counts,
+    int32_t species, int32_t read_len, const TaxView& tax,
+    const int32_t* parent, const Params& par) {
+  int32_t threshold = (read_len - 1) / par.denominator;
+  std::unordered_map<int32_t, int32_t> clade;
+  std::unordered_map<int32_t, std::vector<int32_t>> children;
+  for (auto& tc : tax_counts) {
+    int32_t node = tc.first;
+    int32_t c = tc.second;
+    clade[node] += c;
+    int guard = 0;
+    while (node != species && guard < 64) {
+      int32_t p = parent[node];
+      auto& ch = children[p];
+      if (std::find(ch.begin(), ch.end(), node) == ch.end()) ch.push_back(node);
+      clade[p] += c;
+      if (p == node) break;
+      node = p;
+      ++guard;
+    }
+  }
+  if (!clade.count(species)) return species;
+  if (par.accession_level == 2) {
+    for (auto& kv : clade) {
+      if (tax.rank_leafish && tax.rank_leafish[kv.first]) {
+        auto& ch = children[parent[kv.first]];
+        auto it = std::find(ch.begin(), ch.end(), kv.first);
+        if (it != ch.end()) ch.erase(it);
+      }
+    }
+  }
+  int32_t root = species;
+  while (true) {
+    auto cit = children.find(root);
+    if (cit == children.end() || cit->second.empty()) break;
+    int32_t best_child = 0;
+    int n_best = 0;
+    int32_t cur_max = threshold;
+    for (int32_t ch : cit->second) {
+      auto cc = clade.find(ch);
+      int32_t cnt = cc == clade.end() ? 0 : cc->second;
+      if (cnt > cur_max) {
+        best_child = ch;
+        n_best = 1;
+        cur_max = cnt;
+      } else if (cnt == cur_max) {
+        ++n_best;
+        best_child = ch;
+      }
+    }
+    if (n_best == 1) {
+      root = best_child;
+    } else {
+      break;
+    }
+  }
+  return root;
+}
+
 static void choose_best_taxon(const MatchView& m, int64_t lo, int64_t hi,
                               int32_t read_len, const TaxView& tax,
                               const int32_t* species_of, const int32_t* parent,
@@ -409,66 +471,8 @@ static void choose_best_taxon(const MatchView& m, int64_t lo, int64_t hi,
     return;
   }
 
-  // ---- lowerRankClassification: clade counts under the species + BFS
-  int32_t species = best_taxid;  // best_taxid IS the species here
-  int32_t threshold = (read_len - 1) / par.denominator;
-  std::unordered_map<int32_t, int32_t> clade;
-  std::unordered_map<int32_t, std::vector<int32_t>> children;
-  for (auto& tc : res.tax_counts) {
-    int32_t node = tc.first;
-    int32_t c = tc.second;
-    clade[node] += c;
-    int guard = 0;
-    while (node != species && guard < 64) {
-      int32_t p = parent[node];
-      auto& ch = children[p];
-      if (std::find(ch.begin(), ch.end(), node) == ch.end()) ch.push_back(node);
-      clade[p] += c;
-      if (p == node) break;
-      node = p;
-      ++guard;
-    }
-  }
-  if (!clade.count(species)) {
-    res.taxid = species;
-    return;
-  }
-  if (par.accession_level == 2) {
-    for (auto& kv : clade) {
-      if (tax.rank_leafish && tax.rank_leafish[kv.first]) {
-        auto& ch = children[parent[kv.first]];
-        auto it = std::find(ch.begin(), ch.end(), kv.first);
-        if (it != ch.end()) ch.erase(it);
-      }
-    }
-  }
-  // BFS descent
-  int32_t root = species;
-  while (true) {
-    auto cit = children.find(root);
-    if (cit == children.end() || cit->second.empty()) break;
-    int32_t best_child = 0;
-    int n_best = 0;
-    int32_t cur_max = threshold;
-    for (int32_t ch : cit->second) {
-      auto cc = clade.find(ch);
-      int32_t cnt = cc == clade.end() ? 0 : cc->second;
-      if (cnt > cur_max) {
-        best_child = ch;
-        n_best = 1;
-        cur_max = cnt;
-      } else if (cnt == cur_max) {
-        ++n_best;
-        best_child = ch;
-      }
-    }
-    if (n_best == 1) {
-      root = best_child;
-    } else {
-      break;
-    }
-  }
-  res.taxid = root;
+  res.taxid = lower_rank_bfs(res.tax_counts, best_taxid, read_len, tax,
+                             parent, par);
 }
 
 }  // namespace
@@ -606,6 +610,181 @@ int64_t taxonomer_assign(
           overflow.fetch_add(1);
         }
       }
+    }
+  }
+  *taxcnt_used = std::min(taxcnt_cursor.load(), taxcnt_capacity);
+  *map_used = std::min(map_cursor.load(), map_capacity);
+  return overflow.load() ? -1 : 0;
+}
+
+// Host finish for the fused device taxonomer: per-(read, species) combined
+// scores + per-(read, species, taxid) quotient counts -> per-read
+// classifications (the tail of Taxonomer::chooseBestTaxon,
+// /root/reference/src/commons/Taxonomer.cpp:130-202, after the device did
+// chaining/combination/redundancy). Mirrors DeviceTaxonomer._finish.
+int64_t taxonomer_finish(
+    // per-(read, species) combined scores
+    int64_t n_groups, const int32_t* g_read, const int32_t* g_species,
+    const float* g_score,
+    // per-(read, species, taxid) quotient counts
+    int64_t n_taxcnt, const int32_t* t_read, const int32_t* t_species,
+    const int32_t* t_taxid, const int32_t* t_count,
+    // reads
+    int64_t n_reads, const int32_t* read_len,
+    // taxonomy
+    int32_t n_nodes, const int32_t* parent, const int64_t* euler_first,
+    const int32_t* euler_node, const int64_t* sparse,
+    const int64_t* euler_depth, int32_t sparse_levels, int64_t euler_len,
+    const int64_t* tin, const int64_t* tout, const int32_t* species_of,
+    const uint8_t* rank_leafish, int32_t eukaryota_id,
+    // params
+    float min_score, float min_sp_score, float tie_ratio,
+    int32_t denominator, int32_t accession_level, int32_t em_mode,
+    int32_t n_threads,
+    // outputs
+    int32_t* out_taxid, float* out_score, uint8_t* out_classified,
+    int64_t taxcnt_capacity, int64_t* taxcnt_read, int32_t* taxcnt_taxid,
+    int32_t* taxcnt_cnt, int64_t* taxcnt_used,
+    int64_t map_capacity, int64_t* map_read, int32_t* map_species,
+    float* map_score, int64_t* map_used) {
+  TaxView tax{n_nodes,    parent,       euler_first, euler_node,
+              sparse,     euler_depth,  sparse_levels, euler_len,
+              tin,        tout,         rank_leafish, eukaryota_id};
+  Params par{};
+  par.denominator = denominator;
+  par.accession_level = accession_level;
+
+  // bin groups and taxcnt rows by read (counting sort; inputs are compact
+  // device tensors in grid order, not guaranteed read-major)
+  std::vector<int64_t> g_off(n_reads + 1, 0), t_off(n_reads + 1, 0);
+  for (int64_t i = 0; i < n_groups; ++i)
+    if (g_read[i] >= 0 && g_read[i] < n_reads) ++g_off[g_read[i] + 1];
+  for (int64_t i = 0; i < n_taxcnt; ++i)
+    if (t_read[i] >= 0 && t_read[i] < n_reads) ++t_off[t_read[i] + 1];
+  for (int64_t r = 0; r < n_reads; ++r) {
+    g_off[r + 1] += g_off[r];
+    t_off[r + 1] += t_off[r];
+  }
+  std::vector<int64_t> g_idx(n_groups), t_idx(n_taxcnt);
+  {
+    std::vector<int64_t> gc(g_off.begin(), g_off.end() - 1);
+    std::vector<int64_t> tc(t_off.begin(), t_off.end() - 1);
+    for (int64_t i = 0; i < n_groups; ++i)
+      if (g_read[i] >= 0 && g_read[i] < n_reads) g_idx[gc[g_read[i]]++] = i;
+    for (int64_t i = 0; i < n_taxcnt; ++i)
+      if (t_read[i] >= 0 && t_read[i] < n_reads) t_idx[tc[t_read[i]]++] = i;
+  }
+
+  std::atomic<int64_t> map_cursor{0};
+  std::atomic<int64_t> taxcnt_cursor{0};
+  std::atomic<int64_t> overflow{0};
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+#pragma omp parallel
+  {
+    std::vector<int64_t> grp;
+    std::vector<std::pair<int32_t, int32_t>> tax_cnt;
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n_reads; ++r) {
+      out_taxid[r] = 0;
+      out_score[r] = 0.f;
+      out_classified[r] = 0;
+      grp.clear();
+      for (int64_t a = g_off[r]; a < g_off[r + 1]; ++a) {
+        int64_t i = g_idx[a];
+        if (g_score[i] >= min_score) grp.push_back(i);
+      }
+      if (grp.empty()) continue;
+      // species-ascending accumulation order (reference encounter order)
+      std::sort(grp.begin(), grp.end(), [&](int64_t a, int64_t b) {
+        return g_species[a] < g_species[b];
+      });
+      float best = 0.f;
+      int meaningful = 0;
+      for (int64_t i : grp) {
+        if (g_score[i] > best) best = g_score[i];
+        if (g_score[i] > 0.f) ++meaningful;
+      }
+      if (meaningful == 0) continue;
+      int n_tied = 0;
+      float sum_tied = 0.f;
+      int32_t winner = 0;
+      int32_t lca_acc = 0;
+      float tie_cut = best * tie_ratio;
+      for (int64_t i : grp) {
+        if (g_score[i] >= tie_cut) {
+          ++n_tied;
+          sum_tied = sum_tied + g_score[i];
+          winner = g_species[i];
+          lca_acc = tax.lca2(lca_acc, g_species[i]);
+        }
+      }
+      if (em_mode) {
+        std::vector<std::pair<int32_t, float>> ordered;
+        ordered.reserve(grp.size());
+        for (int64_t i : grp) ordered.emplace_back(g_species[i], g_score[i]);
+        std::stable_sort(ordered.begin(), ordered.end(),
+                         [](const std::pair<int32_t, float>& a,
+                            const std::pair<int32_t, float>& b) {
+                           return a.second > b.second;
+                         });
+        size_t n_map = std::min<size_t>(10, ordered.size());
+        int64_t at = map_cursor.fetch_add((int64_t)n_map);
+        if (at + (int64_t)n_map <= map_capacity) {
+          for (size_t kk = 0; kk < n_map; ++kk) {
+            map_read[at + kk] = r;
+            map_species[at + kk] = ordered[kk].first;
+            map_score[at + kk] = ordered[kk].second * ordered[kk].second;
+          }
+        } else {
+          overflow.fetch_add(1);
+        }
+      }
+      if (n_tied > 1) {
+        float score = sum_tied / (float)n_tied;
+        out_score[r] = score;
+        if (score == 0.f || score < min_score) continue;
+        out_classified[r] = 1;
+        out_taxid[r] = lca_acc;
+        continue;
+      }
+      float score = sum_tied;
+      out_score[r] = score;
+      if (score == 0.f || score < min_score) continue;
+      out_classified[r] = 1;
+      // the winner's per-taxid quotient counts (reported for parity with
+      // ReadClassification.tax_counts, and input to the BFS below)
+      tax_cnt.clear();
+      for (int64_t a = t_off[r]; a < t_off[r + 1]; ++a) {
+        int64_t i = t_idx[a];
+        if (t_species[i] == winner)
+          tax_cnt.emplace_back(t_taxid[i], t_count[i]);
+      }
+      std::sort(tax_cnt.begin(), tax_cnt.end());
+      if (!tax_cnt.empty()) {
+        int64_t at = taxcnt_cursor.fetch_add((int64_t)tax_cnt.size());
+        if (at + (int64_t)tax_cnt.size() <= taxcnt_capacity) {
+          for (size_t kk = 0; kk < tax_cnt.size(); ++kk) {
+            taxcnt_read[at + kk] = r;
+            taxcnt_taxid[at + kk] = tax_cnt[kk].first;
+            taxcnt_cnt[at + kk] = tax_cnt[kk].second;
+          }
+        } else {
+          overflow.fetch_add(1);
+        }
+      }
+      if (score < min_sp_score) {
+        int32_t sp = species_of[winner];
+        out_taxid[r] = parent[sp];
+        continue;
+      }
+      if (em_mode) {
+        out_taxid[r] = winner;
+        continue;
+      }
+      out_taxid[r] = lower_rank_bfs(tax_cnt, winner, read_len[r], tax,
+                                    parent, par);
     }
   }
   *taxcnt_used = std::min(taxcnt_cursor.load(), taxcnt_capacity);
