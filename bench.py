@@ -156,7 +156,7 @@ def main():
                 )
             )
 
-        max_matches = BATCH * 300
+        max_matches = BATCH * 230
         # fast host-taxonomer path: no device-wide sort (native per-read
         # sort instead), 4-word packed transfer
         kw = dict(cap=max(1, cap), max_matches=max_matches,

@@ -143,8 +143,14 @@ class Classifier:
             and self.device_taxonomer is None
         )
         # cap = the DB's true max AA-group size (no silent drop possible);
-        # clamped by --max-cap for pathological low-complexity groups
+        # clamped by --max-cap for pathological low-complexity groups.
+        # Two-tier: every query gathers a small tier-1 window (--small-cap);
+        # queries in larger AA groups re-gather at the full cap, so skewed
+        # real databases don't multiply every query's gather volume.
         self.cap = int(min(max(1, self.index.max_group), params.max_cap))
+        self.cap1 = int(min(self.cap, max(1, params.small_cap)))
+        self._ov_rows: int | None = None
+        self._ov_budget_used = 0
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
         # sticky fused-taxonomer grid escalation (applies to later batches)
         self._fused_pmax = 16
@@ -278,6 +284,18 @@ class Classifier:
 
     def _launch(self, args, cap, budget):
         par = self.par
+        cap2, ov_budget = 0, 0
+        if cap > self.cap1:
+            cap2 = cap
+            cap = self.cap1
+            n_windows = args[0].shape[0] * 6 * max(
+                0, (args[0].shape[1] - 2) // 3 - 7
+            )
+            ov_budget = _pow2_round(
+                self._ov_rows if self._ov_rows is not None
+                else max(1024, n_windows // 32)
+            )
+        self._ov_budget_used = ov_budget
         return classify_batch_indexed(
             self.dev_index, self.d_species, *args,
             cap=cap, max_matches=budget,
@@ -287,6 +305,7 @@ class Classifier:
             kmer_format=par.kmer_format,
             sort_device=self._sort_device,
             pack4=self._pack4,
+            cap2=cap2, ov_budget=ov_budget,
         )
 
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
@@ -365,7 +384,10 @@ class Classifier:
                                 sorted_rows=self._sort_device,
                                 prefetched=True)
         while True:
-            if m["n_over_cap"] > 0 and self.cap < self.index.max_group:
+            if m.get("n_ov", 0) > self._ov_budget_used > 0:
+                # tier-2 routing list overflowed: retry with a bigger one
+                self._ov_rows = int(m["n_ov"] * 1.3) + 1024
+            elif m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif m["n_matches"] > budget:
                 budget = int(m["n_matches"] * 1.2) + 1024
@@ -391,14 +413,25 @@ class Classifier:
         self.stats["matches"] += m["n_matches"]
         ratio = m["n_matches"] / max(m["total_kmers"], 1)
         self._obs_ratio = max(self._obs_ratio or 0.0, ratio)
+        if self._ov_budget_used:
+            self._ov_rows = max(self._ov_rows or 0, int(m.get("n_ov", 0)))
         return m
 
     # --------------------------------------------------------------- taxonomy
     def _assign_batch(self, metas, m, force_host=False) -> list[ReadClassification]:
         t0 = time.time()
         qid = m["qid"]
-        starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
-        ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
+        if m.get("sorted", True):
+            starts = np.searchsorted(qid, np.arange(len(metas)), side="left")
+            ends = np.searchsorted(qid, np.arange(len(metas)), side="right")
+        else:
+            # unsorted rows may not even be read-major (two-tier cap appends
+            # its re-gathered rows at the tail): bin sizes via bincount
+            counts_r = np.bincount(
+                qid, minlength=len(metas)
+            ) if len(qid) else np.zeros(len(metas), np.int64)
+            ends = np.cumsum(counts_r)
+            starts = ends - counts_r
         read_lens = np.array([meta.read_len for meta in metas], np.int32)
         if self.device_taxonomer is not None and not force_host:
             # only reachable on the chunked-index path: the single-index

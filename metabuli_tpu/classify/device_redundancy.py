@@ -116,19 +116,20 @@ def quotient_best(
     is_tie = valid & (h == minh)
 
     # LCA over each segment's tie set = LCA of the two members whose Euler
-    # first-occurrences are extremal (classic Euler-tour property): two
-    # int64 segment scatter-reductions + ONE vectorized LCA over the
-    # compacted rows — no log-rounds, exact for any tie-set size.
-    ef = dt.euler_first[jnp.maximum(taxid, 0)].astype(jnp.int64)
-    packed = (ef << jnp.int64(32)) | taxid.astype(jnp.int64)
-    pmin = (
-        jnp.full(n_seg_cap + 1, jnp.int64(2**62), jnp.int64)
-        .at[seg_c].min(jnp.where(is_tie, packed, jnp.int64(2**62)),
-                       mode="drop")
+    # first-occurrences are extremal (classic Euler-tour property). Since
+    # euler_node[euler_first[x]] == x, two plain int32 scatter-reductions of
+    # the first-occurrence positions identify the pair, and the range-min
+    # LCA runs directly on those positions over the compacted rows —
+    # no log-rounds, exact for any tie-set size.
+    ef = dt.euler_first[jnp.maximum(taxid, 0)]
+    big_ef = jnp.int32(2**30)
+    efmin = (
+        jnp.full(n_seg_cap + 1, big_ef, jnp.int32)
+        .at[seg_c].min(jnp.where(is_tie, ef, big_ef), mode="drop")
     )
-    pmax = (
-        jnp.full(n_seg_cap + 1, jnp.int64(-1), jnp.int64)
-        .at[seg_c].max(jnp.where(is_tie, packed, jnp.int64(-1)), mode="drop")
+    efmax = (
+        jnp.full(n_seg_cap + 1, -1, jnp.int32)
+        .at[seg_c].max(jnp.where(is_tie, ef, -1), mode="drop")
     )
 
     first_of_seg = seg_new & valid
@@ -138,11 +139,14 @@ def quotient_best(
     pad = rows >= M
     safe = jnp.minimum(rows, M - 1)
     seg_r = seg_c[safe]
-    u = (pmin[seg_r] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-    v = (pmax[seg_r] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-    u = jnp.where(pmin[seg_r] == jnp.int64(2**62), 0, u)
-    v = jnp.where(pmax[seg_r] < 0, 0, v)
-    row_taxid = lca_pairs(dt, u, v)
+    lo_r = jnp.clip(efmin[seg_r], 0, dt.euler_node.shape[0] - 1)
+    hi_r = jnp.clip(efmax[seg_r], lo_r, dt.euler_node.shape[0] - 1)
+    length = hi_r - lo_r + 1
+    kk = 31 - jax.lax.clz(length)
+    left = dt.sparse[kk, lo_r]
+    right = dt.sparse[kk, hi_r - (jnp.int32(1) << kk) + 1]
+    pick_right = dt.euler_depth[right] < dt.euler_depth[left]
+    row_taxid = dt.euler_node[jnp.where(pick_right, right, left)]
     INT32_MAX = jnp.int32(2**31 - 1)
     return QuotientResult(
         row_read=jnp.where(pad, INT32_MAX, qid[safe]),

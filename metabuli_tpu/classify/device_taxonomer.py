@@ -84,7 +84,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
     static_argnames=(
         # classify statics
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
-        "smer_len", "kmer_format",
+        "smer_len", "kmer_format", "prefix_bits",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -96,8 +96,8 @@ def _fused_classify_tax(
     codes, lens, pos_offsets, qid_offsets,
     *,
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
-    kmer_format, path_budget, g_budget, max_rows, taxcnt_budget, dna_shift,
-    p_max, n_blocks, w, k, max_shift, ov_budget,
+    kmer_format, prefix_bits, path_budget, g_budget, max_rows,
+    taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift, ov_budget,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -116,6 +116,7 @@ def _fused_classify_tax(
             n_db=n_db, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
+            prefix_bits=prefix_bits,
         )
     )
     valid = s_qid != INT32_MAX
@@ -339,7 +340,8 @@ class DeviceTaxonomer:
         kw = dict(
             n_db=index.n, search_iters=index.search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
-            smer_len=smer_len, kmer_format=kmer_format, **sizes,
+            smer_len=smer_len, kmer_format=kmer_format,
+            prefix_bits=index.prefix_bits, **sizes,
         )
         try:
             packed, counts = _fused_classify_tax(*args, **kw)

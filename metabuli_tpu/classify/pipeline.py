@@ -16,7 +16,7 @@ TPU-tuned representation (everything on the hot path is 32-bit):
   * the sorted u64 metamer table is split into 32-bit columns; amino-acid
     identity is (prefix bucket, ``rest``), so the binary search compares a
     single int32 gather per step (HBM gathers are the bottleneck);
-  * a 2^20-entry prefix table over the top 20 value bits narrows each
+  * a 2^22-entry prefix table over the top value bits narrows each
     query's binary search to a handful of steps (the HBM-resident, massively
     wider analogue of the reference's 4096-entry ``split`` file);
   * per-codon Hamming scoring is pure int32 ALU (XOR + popcount over
@@ -40,8 +40,19 @@ import numpy as np
 
 from ..ops import encode
 
-PREFIX_BITS = 20
+PREFIX_BITS = 22  # cap; see pick_prefix_bits
 INT32_MAX = np.int32(2147483647)
+
+
+def pick_prefix_bits(n: int) -> int:
+    """Bucket-prefix width sized to the table: ~4 entries per bucket keeps
+    the in-bucket binary search shallow while the table stays small for
+    small DBs (a fixed 2^22 table would dominate tiny test indices)."""
+    b = max(2, n // 4)
+    bits = 12
+    while (1 << bits) < b and bits < PREFIX_BITS:
+        bits += 1
+    return bits
 
 
 def hamming_dna48_split(q_lo, q_hi, t_lo, t_hi):
@@ -94,14 +105,15 @@ class DevIndex(NamedTuple):
     d48lo: jax.Array    # [N] int32 expanded-base bits 0..31 ((1,) if reduced)
     d48hi: jax.Array    # [N] int32 expanded-base bits 32..47 ((1,) if reduced)
     taxids: jax.Array   # [N] int32
-    prefix: jax.Array   # [2^PREFIX_BITS + 1] int32 bucket start offsets
+    prefix: jax.Array   # [2^prefix_bits + 1] int32 bucket start offsets
     n: int
     search_iters: int   # static binary-search depth within a bucket
+    prefix_bits: int
 
 
-def rest_bits(reduced: bool) -> int:
-    """AA bits below the PREFIX_BITS bucket prefix (aa_shift = 32/24)."""
-    return (64 - PREFIX_BITS) - (32 if reduced else 24)
+def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
+    """AA bits below the bucket prefix (aa_shift = 32/24)."""
+    return (64 - prefix_bits) - (32 if reduced else 24)
 
 
 def _expansion_table() -> np.ndarray:
@@ -155,13 +167,14 @@ def build_dev_index(
     """Split + bucket the sorted u64 table for the 32-bit search path."""
     n = len(values)
     aa_shift = 32 if reduced else 24
-    rb = rest_bits(reduced)
+    pb = pick_prefix_bits(n)
+    rb = rest_bits(reduced, pb)
     rest = ((values >> np.uint64(aa_shift))
             & np.uint64((1 << rb) - 1)).astype(np.int32)
     lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-    prefixes = (values >> np.uint64(64 - PREFIX_BITS)).astype(np.int64)
-    counts = np.bincount(prefixes, minlength=1 << PREFIX_BITS)
-    prefix = np.zeros((1 << PREFIX_BITS) + 1, np.int64)
+    prefixes = (values >> np.uint64(64 - pb)).astype(np.int64)
+    counts = np.bincount(prefixes, minlength=1 << pb)
+    prefix = np.zeros((1 << pb) + 1, np.int64)
     np.cumsum(counts, out=prefix[1:])
     max_bucket = int(counts.max()) if n else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
@@ -183,6 +196,7 @@ def build_dev_index(
         prefix=jax.device_put(prefix.astype(np.int32)),
         n=n,
         search_iters=iters,
+        prefix_bits=pb,
     )
 
 
@@ -216,8 +230,20 @@ def _classify_core(
     smer_len: int,
     kmer_format: int,
     sort_device: bool = True,
+    prefix_bits: int = PREFIX_BITS,
+    cap2: int = 0,
+    ov_budget: int = 0,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
+
+    Two-tier candidate cap (``cap2 > cap``): every query first gathers a
+    small ``cap``-wide window; the few queries whose equal-AA run extends
+    past it are compacted into an ``ov_budget`` list and re-gathered at
+    ``cap2``. Real databases have heavily skewed AA-group sizes (a handful
+    of low-complexity groups with thousands of entries), so a single cap
+    sized to the max group would multiply EVERY query's gather volume by
+    the worst case (`KmerMatcher.cpp:362-406` walks per-group candidate
+    lists; this is its fixed-shape analogue).
 
     Returns (m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, counts)
     where padding rows have qid == INT32_MAX and packed holds
@@ -249,12 +275,12 @@ def _classify_core(
     # below them). The whole u64 lower-bound compare reduces to ONE int32
     # gather per search step because entries within a bucket are sorted by
     # rest, and AA-equal candidates never cross a bucket boundary.
-    rb = rest_bits(reduced)
+    rb = rest_bits(reduced, prefix_bits)
     q_rest = (
         (q_values >> jnp.uint64(32 if reduced else 24))
         & jnp.uint64((1 << rb) - 1)
     ).astype(jnp.int32)
-    bucket = (q_values >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+    bucket = (q_values >> jnp.uint64(64 - prefix_bits)).astype(jnp.int32)
 
     # ---- bucketed lower-bound search for (bucket, rest, dna=0)
     lo = db_prefix[bucket]
@@ -269,70 +295,138 @@ def _classify_core(
     start = lo
     bucket_end = db_prefix[bucket + 1]
 
-    # ---- candidate gather with AA-equality mask
-    idx = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx_c = jnp.minimum(idx, jnp.int32(max(n_db - 1, 0)))
-    c_rest = db_rest[idx_c]
-    same_aa = (
-        (idx < bucket_end[:, None])
-        & (c_rest == q_rest[:, None])
-        & q_valid[:, None]
+    two_tier = cap2 > cap and ov_budget > 0
+    n_safe = jnp.int32(max(n_db - 1, 0))
+    if kmer_format == 2:
+        fwd_q = q_frame < 3
+    else:
+        fwd_q = q_frame >= 3
+    if reduced:
+        from ..ops.hamming import hamming_all_reduced
+
+        q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
+    else:
+        q_d48 = mm.dna48.reshape(-1)
+        q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
+        q_d48hi = bc32(q_d48 >> jnp.uint64(32))
+
+    def tier(starts, rests, ends, active, capv, d48lo_q, d48hi_q, lo_q,
+             fwd_sel):
+        """One capped gather + Hamming + min-cutoff pass (vectorized)."""
+        idx = starts[:, None] + jnp.arange(capv, dtype=jnp.int32)[None, :]
+        idx_c = jnp.minimum(idx, n_safe)
+        c_rest = db_rest[idx_c]
+        same_aa = (
+            (idx < ends[:, None])
+            & (c_rest == rests[:, None])
+            & active[:, None]
+        )
+        if reduced:
+            # LUT distances over 4-bit codon fields (11x11 table is NOT
+            # base-level Hamming, so no XOR trick); DNA part == lo32.
+            t_dna = db_lo[idx_c]
+            hsum, h_fwd, h_rev = hamming_all_reduced(lo_q[:, None], t_dna)
+        else:
+            t_dna = None
+            hsum, h_fwd, h_rev = hamming_dna48_split(
+                d48lo_q[:, None], d48hi_q[:, None],
+                db_d48lo[idx_c], db_d48hi[idx_c],
+            )
+        hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
+        cutoff = jnp.minimum(jnp.min(hsum_m, axis=1) * 2, 7)
+        keep = same_aa & (hsum_m <= cutoff[:, None])
+        h16 = jnp.where(fwd_sel[:, None], h_fwd, h_rev)
+        return idx_c, keep, hsum, h16, t_dna
+
+    # ---- tier 1: small cap for every query
+    idx_c, keep, hsum, h16, t_dna = tier(
+        start, q_rest, bucket_end, q_valid, cap,
+        None if reduced else q_d48lo, None if reduced else q_d48hi,
+        q_lo if reduced else None, fwd_q,
     )
     # overflow: the entry just past the cap window still shares the AA
-    over_idx = jnp.minimum(start + cap, jnp.int32(max(n_db - 1, 0)))
+    over_idx = jnp.minimum(start + cap, n_safe)
     over = (
         q_valid
         & (start + cap < bucket_end)
         & (db_rest[over_idx] == q_rest)
     )
-    n_over_cap = jnp.sum(over.astype(jnp.int32))
 
-    if reduced:
-        # LUT-based per-codon distances over 4-bit codon-number fields
-        # (the 11x11 table is NOT base-level Hamming, so no XOR trick).
-        # reduced layout: DNA part == lo32 exactly.
-        from ..ops.hamming import hamming_all_reduced
-
-        q_lo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
-        t_dna = db_lo[idx_c]
-        hsum, h_fwd, h_rev = hamming_all_reduced(q_lo[:, None], t_dna)
-    else:
-        c_d48lo = db_d48lo[idx_c]
-        c_d48hi = db_d48hi[idx_c]
-        q_d48 = mm.dna48.reshape(-1)
-        q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
-        q_d48hi = bc32(q_d48 >> jnp.uint64(32))
-        hsum, h_fwd, h_rev = hamming_dna48_split(
-            q_d48lo[:, None], q_d48hi[:, None], c_d48lo, c_d48hi
+    if two_tier:
+        # compact the overflowed queries and re-gather them at cap2; their
+        # tier-1 rows are dropped (the cutoff needs the FULL equal-AA run)
+        ovp = jnp.cumsum(over.astype(jnp.int32)) - 1
+        n_ov = ovp[-1] + 1
+        sc = jnp.where(over & (ovp < ov_budget), ovp, jnp.int32(ov_budget))
+        ov_idx = (
+            jnp.full(ov_budget, Q, jnp.int32)
+            .at[sc].set(jnp.arange(Q, dtype=jnp.int32), mode="drop")
         )
-    hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
-    min_h = jnp.min(hsum_m, axis=1)
-    cutoff = jnp.minimum(min_h * 2, 7)
-    keep = same_aa & (hsum_m <= cutoff[:, None])
-
-    if kmer_format == 2:
-        fwd_sel = (q_frame < 3)[:, None]
+        ov_pad = ov_idx >= Q
+        ov_safe = jnp.minimum(ov_idx, Q - 1)
+        idx2_c, keep2, hsum2, h16_2, t_dna2 = tier(
+            jnp.where(ov_pad, 0, start[ov_safe]),
+            q_rest[ov_safe],
+            jnp.where(ov_pad, 0, bucket_end[ov_safe]),
+            ~ov_pad, cap2,
+            None if reduced else q_d48lo[ov_safe],
+            None if reduced else q_d48hi[ov_safe],
+            q_lo[ov_safe] if reduced else None,
+            fwd_q[ov_safe],
+        )
+        keep = keep & ~over[:, None]
+        # true overflow at cap2 (drives the cap retry ladder)
+        start2 = jnp.where(ov_pad, 0, start[ov_safe])
+        over2_idx = jnp.minimum(start2 + cap2, n_safe)
+        over2 = (
+            ~ov_pad
+            & (start2 + cap2 < jnp.where(ov_pad, 0, bucket_end[ov_safe]))
+            & (db_rest[over2_idx] == q_rest[ov_safe])
+        )
+        n_over_cap = jnp.sum(over2.astype(jnp.int32))
+        flat_keep = jnp.concatenate([keep.reshape(-1), keep2.reshape(-1)])
+        total_slots = Q * cap + ov_budget * cap2
     else:
-        fwd_sel = (q_frame >= 3)[:, None]
-    h16 = jnp.where(fwd_sel, h_fwd, h_rev)
+        n_ov = jnp.int32(0)
+        n_over_cap = jnp.sum(over.astype(jnp.int32))
+        flat_keep = keep.reshape(-1)
+        total_slots = Q * cap
 
     # ---- compaction to a fixed budget of flat rows (cumsum + scatter;
     # cheaper than jnp.nonzero's sort-based path on TPU)
-    flat_keep = keep.reshape(-1)
     pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
     n_matches = pos[-1] + 1
     scatter_idx = jnp.where(
         flat_keep & (pos < max_matches), pos, jnp.int32(max_matches)
     )
     rows = (
-        jnp.full(max_matches, Q * cap, jnp.int32)
+        jnp.full(max_matches, total_slots, jnp.int32)
         .at[scatter_idx]
-        .set(jnp.arange(Q * cap, dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(total_slots, dtype=jnp.int32), mode="drop")
     )
-    is_pad = rows >= Q * cap
-    safe = jnp.minimum(rows, Q * cap - 1)
-    qi = (safe // cap).astype(jnp.int32)
-    ci = (safe % cap).astype(jnp.int32)
+    is_pad = rows >= total_slots
+    safe = jnp.minimum(rows, total_slots - 1)
+    if two_tier:
+        in2 = safe >= Q * cap
+        safe1 = jnp.minimum(safe, Q * cap - 1)
+        qi1 = (safe1 // cap).astype(jnp.int32)
+        ci1 = (safe1 % cap).astype(jnp.int32)
+        r2 = jnp.clip(safe - Q * cap, 0, ov_budget * cap2 - 1)
+        oq = (r2 // cap2).astype(jnp.int32)
+        ci2 = (r2 % cap2).astype(jnp.int32)
+        qi = jnp.where(in2, ov_safe[oq], qi1)
+        midx = jnp.where(in2, idx2_c[oq, ci2], idx_c[qi1, ci1])
+        sel = lambda a2, a1: jnp.where(in2, a2[oq, ci2], a1[qi1, ci1])
+        row_hsum = sel(hsum2, hsum)
+        row_h16 = sel(h16_2, h16)
+        row_tdna = sel(t_dna2, t_dna) if reduced else None
+    else:
+        qi = (safe // cap).astype(jnp.int32)
+        ci = (safe % cap).astype(jnp.int32)
+        midx = idx_c[qi, ci]
+        row_hsum = hsum[qi, ci]
+        row_h16 = h16[qi, ci]
+        row_tdna = t_dna[qi, ci] if reduced else None
 
     # qid/frame/pos derive from the flat index arithmetically (gathers only
     # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts)
@@ -349,14 +443,13 @@ def _classify_core(
         pos0[m_row, m_frame_raw] + sign[m_frame_raw] * 3 * m_w,
     )
     # dna/taxid gathers run AFTER compaction (budget rows, not Q*cap)
-    midx = idx_c[qi, ci]
     m_taxid = db_tax[midx]
     if reduced:
-        m_dna = jnp.where(is_pad, INT32_MAX, t_dna[qi, ci])
+        m_dna = jnp.where(is_pad, INT32_MAX, row_tdna)
     else:
         m_dna = jnp.where(is_pad, INT32_MAX, db_lo[midx] & jnp.int32(0xFFFFFF))
-    m_ham = jnp.where(is_pad, INT32_MAX, hsum[qi, ci])
-    m_h16 = jnp.where(is_pad, 0, h16[qi, ci])
+    m_ham = jnp.where(is_pad, INT32_MAX, row_hsum)
+    m_h16 = jnp.where(is_pad, 0, row_h16)
 
     # frame (3b) | hamming (8b, <=7 post-cutoff) | h16 (16b) pack into one
     # payload word.
@@ -364,7 +457,7 @@ def _classify_core(
         is_pad, INT32_MAX, m_frame | (m_ham << 3) | (m_h16 << 11)
     )
     counts = jnp.stack(
-        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)))
+        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)), n_ov)
     ).astype(jnp.int32)
     if not sort_device:
         # compaction order is already read-grouped with padding at the
@@ -403,7 +496,8 @@ def _classify_core(
     jax.jit,
     static_argnames=(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
-        "smer_len", "kmer_format", "sort_device", "pack4",
+        "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
+        "cap2", "ov_budget",
     ),
 )
 def _classify_batch_impl(
@@ -421,6 +515,9 @@ def _classify_batch_impl(
     kmer_format: int,
     sort_device: bool = True,
     pack4: bool = False,
+    prefix_bits: int = PREFIX_BITS,
+    cap2: int = 0,
+    ov_budget: int = 0,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
         db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
@@ -428,6 +525,7 @@ def _classify_batch_impl(
         n_db=n_db, search_iters=search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
+        prefix_bits=prefix_bits, cap2=cap2, ov_budget=ov_budget,
     )
     if pack4:
         # 4-word transfer layout (standard alphabet, qid < 2^14):
@@ -458,6 +556,8 @@ def classify_batch_indexed(
     kmer_format: int = 2,
     sort_device: bool = True,
     pack4: bool = False,
+    cap2: int = 0,
+    ov_budget: int = 0,
 ) -> BatchMatches:
     return _classify_batch_impl(
         index.rest, index.lo32, index.d48lo, index.d48hi, index.taxids,
@@ -466,7 +566,8 @@ def classify_batch_indexed(
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
-        pack4=pack4,
+        pack4=pack4, prefix_bits=index.prefix_bits, cap2=cap2,
+        ov_budget=ov_budget,
     )
 
 
@@ -482,6 +583,8 @@ def classify_batch(
     kmer_format: int = 2,
     sort_device: bool = True,
     pack4: bool = False,
+    cap2: int = 0,
+    ov_budget: int = 0,
 ):
     """Convenience wrapper taking a raw u64 table (tests, graft entry,
     sharded path). Builds the split/bucketed DevIndex on the host."""
@@ -494,7 +597,7 @@ def classify_batch(
         codes, lens, pos_offsets, qid_offsets,
         cap=cap, max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
-        pack4=pack4,
+        pack4=pack4, cap2=cap2, ov_budget=ov_budget,
     )
 
 
@@ -527,8 +630,11 @@ def matches_to_host(
     from h16's per-codon fields).
     """
     counts = np.asarray(bm.counts)
-    n = int(counts[0])
+    n_true = int(counts[0])
     W, M = bm.data.shape
+    # the buffer holds at most M rows; n_true > M signals a budget overflow
+    # that the caller's retry ladder handles (out["n_matches"] stays true)
+    n = min(n_true, M)
     if n == 0:
         data = np.zeros((W, 0), np.int32)
     elif isinstance(bm.data, np.ndarray):
@@ -573,8 +679,9 @@ def matches_to_host(
         out["species"] = species_table[out["taxid"]].astype(np.int32)
     else:
         out["species"] = np.zeros(n, np.int32)
-    out["n_matches"] = n
+    out["n_matches"] = n_true
     out["n_over_cap"] = int(counts[1])
     out["total_kmers"] = int(counts[2])
+    out["n_ov"] = int(counts[3]) if counts.shape[0] > 3 else 0
     out["sorted"] = sorted_rows
     return out

@@ -525,11 +525,26 @@ int64_t taxonomer_assign(
 #endif
 
   // Per-read sort into the reference match order (KmerMatcher.cpp:1149-1166)
-  // when the device pipeline skipped its global sort (rows arrive grouped by
-  // read in query order). Reads are independent, so this is a cheap
-  // parallel pass over ~read-sized slices instead of a device-wide sort.
-  std::vector<int32_t> s_sp, s_f, s_pos, s_h, s_d, s_t, s_h16;
+  // when the device pipeline skipped its global sort. Rows may arrive in
+  // ANY read order (the two-tier candidate path appends its re-gathered
+  // rows at the tail), so first counting-sort indices into the caller's
+  // per-read bins (read_start/read_end from a qid bincount), then each
+  // read's slice gets the full comparator sort. Reads are independent, so
+  // this replaces a device-wide sort with one O(n) pass + parallel
+  // read-sized sorts.
+  std::vector<int32_t> s_q, s_sp, s_f, s_pos, s_h, s_d, s_t, s_h16;
+  std::vector<int64_t> binned;
   if (need_sort && n_matches > 0) {
+    binned.resize(n_matches);
+    {
+      std::vector<int64_t> cursor(n_reads);
+      for (int64_t r = 0; r < n_reads; ++r) cursor[r] = read_start[r];
+      for (int64_t i = 0; i < n_matches; ++i) {
+        int32_t q = qid[i];
+        if (q >= 0 && q < n_reads) binned[cursor[q]++] = i;
+      }
+    }
+    s_q.resize(n_matches);
     s_sp.resize(n_matches);
     s_f.resize(n_matches);
     s_pos.resize(n_matches);
@@ -539,33 +554,32 @@ int64_t taxonomer_assign(
     s_h16.resize(n_matches);
 #pragma omp parallel
     {
-      std::vector<int64_t> idx;
 #pragma omp for schedule(dynamic, 64)
       for (int64_t r = 0; r < n_reads; ++r) {
         int64_t lo = read_start[r], hi = read_end[r];
         if (lo >= hi) continue;
-        idx.resize(hi - lo);
-        for (int64_t j = lo; j < hi; ++j) idx[j - lo] = j;
-        std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+        std::sort(binned.begin() + lo, binned.begin() + hi,
+                  [&](int64_t a, int64_t b) {
           if (species[a] != species[b]) return species[a] < species[b];
           if (frame[a] != frame[b]) return frame[a] < frame[b];
           if (pos[a] != pos[b]) return pos[a] < pos[b];
           if (hamming[a] != hamming[b]) return hamming[a] < hamming[b];
           return (uint32_t)dna[a] < (uint32_t)dna[b];
         });
-        for (int64_t k = 0; k < hi - lo; ++k) {
-          int64_t j = idx[k];
-          s_sp[lo + k] = species[j];
-          s_f[lo + k] = frame[j];
-          s_pos[lo + k] = pos[j];
-          s_h[lo + k] = hamming[j];
-          s_d[lo + k] = dna[j];
-          s_t[lo + k] = taxid[j];
-          s_h16[lo + k] = h16[j];
+        for (int64_t k = lo; k < hi; ++k) {
+          int64_t j = binned[k];
+          s_q[k] = (int32_t)r;
+          s_sp[k] = species[j];
+          s_f[k] = frame[j];
+          s_pos[k] = pos[j];
+          s_h[k] = hamming[j];
+          s_d[k] = dna[j];
+          s_t[k] = taxid[j];
+          s_h16[k] = h16[j];
         }
       }
     }
-    m = MatchView{qid,          s_sp.data(), s_f.data(), s_pos.data(),
+    m = MatchView{s_q.data(),   s_sp.data(), s_f.data(), s_pos.data(),
                   s_h.data(),   s_d.data(),  s_t.data(), s_h16.data()};
   }
 

@@ -55,7 +55,7 @@ def shard_index_aa_aligned(
     all-ones rest words no real metamer can produce (and the prefix table
     only covers real rows, so searches never reach padding).
     """
-    from ..classify.pipeline import rest_bits
+    from ..classify.pipeline import pick_prefix_bits, rest_bits
 
     n = len(values)
     aa_shift = 32 if reduced else 24
@@ -69,14 +69,15 @@ def shard_index_aa_aligned(
     bounds.append(n)
     chunks = [(values[a:b], taxids[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
     pad = max(max((len(c[0]) for c in chunks), default=1), 1)
+    pb = pick_prefix_bits(pad)
     out_rest = np.full((n_shards, pad), -1, np.int32)
     out_lo = np.full((n_shards, pad), -1, np.int32)
     out_d48lo = np.zeros((n_shards, pad), np.int32)
     out_d48hi = np.zeros((n_shards, pad), np.int32)
     out_t = np.zeros((n_shards, pad), np.int32)
-    prefix = np.zeros((n_shards, (1 << PREFIX_BITS) + 1), np.int32)
+    prefix = np.zeros((n_shards, (1 << pb) + 1), np.int32)
     iters = 1
-    rb = rest_bits(reduced)
+    rb = rest_bits(reduced, pb)
     for i, (v, t) in enumerate(chunks):
         out_rest[i, : len(v)] = (
             (v >> np.uint64(aa_shift)) & np.uint64((1 << rb) - 1)
@@ -90,8 +91,8 @@ def shard_index_aa_aligned(
         # prefix table over REAL entries only: searches never reach the
         # padding (pad values have an impossible AA; equality masks them)
         counts = np.bincount(
-            (v >> np.uint64(64 - PREFIX_BITS)).astype(np.int64),
-            minlength=1 << PREFIX_BITS,
+            (v >> np.uint64(64 - pb)).astype(np.int64),
+            minlength=1 << pb,
         )
         np.cumsum(counts, out=prefix[i, 1:])
         if len(v):
@@ -115,6 +116,8 @@ def build_sharded_classify(
 
     def local_step(db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, t2s,
                    codes, lens, pos_off, qid_off):
+        # prefix width is encoded in the (static) table shape
+        pb = (db_prefix.shape[-1] - 1).bit_length() - 1
         bm = _classify_batch_impl(
             db_rest[0], db_lo[0], db_d48lo[0], db_d48hi[0], db_tax[0],
             db_prefix[0], t2s,
@@ -122,6 +125,7 @@ def build_sharded_classify(
             n_db=n_pad, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
+            prefix_bits=pb,
         )
         return bm.data[None, None], bm.counts[None, None]
 

@@ -78,6 +78,7 @@ class ClassifyParams:
         metadata={"help": "reads per device batch (0 = derive from device "
                           "memory, the QueryIndexer byte-budget analogue)"})
     max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
+    small_cap: int = field(default=8, metadata={"help": "tier-1 candidate window; AA groups larger than this re-gather at full width"})
     device_tax: int = field(default=0, metadata={"help": "experimental: run the taxonomer stages on device"})
 
 
