@@ -311,6 +311,18 @@ class Classifier:
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
                       read_lens, p_max=16, scale=1):
         par = self.par
+        cap2, ov_budget = 0, 0
+        if cap > self.cap1:
+            cap2 = cap
+            cap = self.cap1
+            n_windows = args[0].shape[0] * 6 * max(
+                0, (args[0].shape[1] - 2) // 3 - 7
+            )
+            ov_budget = _pow2_round(
+                self._ov_rows if self._ov_rows is not None
+                else max(1024, n_windows // 32)
+            )
+        self._ov_budget_used = ov_budget
         return self.device_taxonomer.dispatch_fused(
             self.dev_index, self.d_species, *args,
             n_reads=n_reads, max_read_len=max_read_len,
@@ -318,6 +330,7 @@ class Classifier:
             reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
             smer_len=par.smer_len, kmer_format=par.kmer_format,
             read_lens_by_qid=read_lens, p_max=p_max, scale=scale,
+            cap2=cap2, cap_ov_budget=ov_budget,
         )
 
     def _drain_fused(self, ctx):
@@ -333,12 +346,15 @@ class Classifier:
         p_max, scale = self._fused_pmax, self._fused_scale
         hint_retries = 0
         while True:
-            if info["n_over_cap"] > 0 and self.cap < self.index.max_group:
+            if info.get("n_ov_cap", 0) > self._ov_budget_used > 0:
+                # tier-2 routing list overflowed: retry with a bigger one
+                self._ov_rows = int(info["n_ov_cap"] * 1.3) + 1024
+            elif info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
             elif results is None and (
-                info["tax_overflow"] & 0b0010110  # paths/rows/ov bits
+                info["tax_overflow"] & 0b0010111  # blocks/paths/rows/ov
             ) and hint_retries < 2:
                 # drain_fused already folded the TRUE observed sizes into
                 # the hints; a plain relaunch compiles big enough

@@ -49,6 +49,9 @@ class ChainResult(NamedTuple):
     block_read: jax.Array   # [NB] int32 qid per block
     block_species: jax.Array  # [NB] int32
     fallback: jax.Array     # [NB] bool: block exceeded grid capacity
+    n_real_blocks: jax.Array  # [] int32: blocks past NB are silently absent
+                              # from `fallback` (their slot is sliced off),
+                              # so callers must check this count
 
 
 def _match_score(h16: jax.Array) -> jax.Array:
@@ -120,6 +123,7 @@ def chain_matches(
     run_start = jax.lax.cummax(jnp.where(cell_new, idx, 0))
     slot = idx - run_start
 
+    n_real_blocks = jnp.sum((new_block & valid).astype(jnp.int32))
     ok = valid & (bid < n_blocks) & (col >= 0) & (col < w) & (slot < k)
     over = valid & ((bid >= n_blocks) | (col >= w) | (slot >= k))
     fallback = (
@@ -310,5 +314,5 @@ def chain_matches(
         score=stacked[3], hamming=stacked[4], depth=stacked[5],
         start_h16=stacked[6], end_h16=stacked[7],
         block_read=block_read, block_species=block_species,
-        fallback=fallback,
+        fallback=fallback, n_real_blocks=n_real_blocks,
     )

@@ -66,6 +66,7 @@ def _full_program(dt, qid_a, sp_a, frame_a, pos_a, ham_a, dna_a, tax_a,
         + comb.fallback.any().astype(jnp.int32)
         + (groups.n_groups > g_budget).astype(jnp.int32)
         + chain_res.fallback.any().astype(jnp.int32)
+        + (chain_res.n_real_blocks > n_blocks).astype(jnp.int32)
     )
     counts = jnp.stack([groups.n_groups, qres.n_rows, overflow])
     return groups, qres, counts
@@ -84,7 +85,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
     static_argnames=(
         # classify statics
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
-        "smer_len", "kmer_format", "prefix_bits",
+        "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -96,8 +97,9 @@ def _fused_classify_tax(
     codes, lens, pos_offsets, qid_offsets,
     *,
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
-    kmer_format, prefix_bits, path_budget, g_budget, max_rows,
-    taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift, ov_budget,
+    kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
+    max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
+    ov_budget,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -116,7 +118,7 @@ def _fused_classify_tax(
             n_db=n_db, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
-            prefix_bits=prefix_bits,
+            prefix_bits=prefix_bits, cap2=cap2, ov_budget=cap_ov_budget,
         )
     )
     valid = s_qid != INT32_MAX
@@ -172,7 +174,8 @@ def _fused_classify_tax(
     # path-slot (p_max) overflow is NOT fatal — those groups' paths ship to
     # the host for an exact re-combine (bit 2 = the shipment overflowed)
     tax_overflow = (
-        chain_res.fallback.any().astype(jnp.int32)
+        (chain_res.fallback.any()
+         | (chain_res.n_real_blocks > n_blocks)).astype(jnp.int32)
         | ((flat.n_paths > path_budget).astype(jnp.int32) << 1)
         | ((comb.n_ov > ov_budget).astype(jnp.int32) << 2)
         | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
@@ -182,7 +185,8 @@ def _fused_classify_tax(
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
         cls_counts[0], cls_counts[1], cls_counts[2], comb.n_ov,
-        flat.n_paths, qres.n_rows,
+        flat.n_paths, qres.n_rows, cls_counts[3],
+        chain_res.n_real_blocks,
     ])
     # ONE packed int32 output: every host-bound tensor concatenated at
     # static offsets. The tunnel pays a ~25ms round trip PER fetched array,
@@ -326,7 +330,8 @@ class DeviceTaxonomer:
                        cap: int, max_matches: int, reduced: bool,
                        syncmer: bool, smer_len: int, kmer_format: int,
                        read_lens_by_qid: np.ndarray, p_max: int = 16,
-                       scale: int = 1):
+                       scale: int = 1, cap2: int = 0,
+                       cap_ov_budget: int = 0):
         """Launch the fused classify+taxonomer program (async)."""
         sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max,
                                  scale)
@@ -341,7 +346,8 @@ class DeviceTaxonomer:
             n_db=index.n, search_iters=index.search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
-            prefix_bits=index.prefix_bits, **sizes,
+            prefix_bits=index.prefix_bits, cap2=cap2,
+            cap_ov_budget=cap_ov_budget, **sizes,
         )
         try:
             packed, counts = _fused_classify_tax(*args, **kw)
@@ -382,10 +388,13 @@ class DeviceTaxonomer:
             "n_ov_paths": int(counts[6]),
             "n_paths": int(counts[7]),
             "n_rows": int(counts[8]),
+            "n_ov_cap": int(counts[9]),
+            "n_real_blocks": int(counts[10]),
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs
         h = self.hints
+        h["nb"] = max(h.get("nb", 0), info["n_real_blocks"])
         h["paths"] = max(h.get("paths", 0), info["n_paths"])
         h["rows"] = max(h.get("rows", 0), info["n_rows"])
         h["ov"] = max(h.get("ov", 0), info["n_ov_paths"])

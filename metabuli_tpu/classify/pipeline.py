@@ -45,12 +45,13 @@ INT32_MAX = np.int32(2147483647)
 
 
 def pick_prefix_bits(n: int) -> int:
-    """Bucket-prefix width sized to the table: ~4 entries per bucket keeps
-    the in-bucket binary search shallow while the table stays small for
-    small DBs (a fixed 2^22 table would dominate tiny test indices)."""
-    b = max(2, n // 4)
+    """Bucket-prefix width sized to the table: ~1 bucket per entry. The
+    SKEWED max bucket (not the mean) sets the binary-search depth, so
+    erring wide is the perf-correct choice; the table costs 4 bytes per
+    entry next to the 20-byte columns. Small DBs shrink the table (a
+    fixed 2^22 table would dominate tiny test indices)."""
     bits = 12
-    while (1 << bits) < b and bits < PREFIX_BITS:
+    while (1 << bits) < n and bits < PREFIX_BITS:
         bits += 1
     return bits
 

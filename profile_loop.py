@@ -28,8 +28,13 @@ def main():
     cache = "/tmp/prof_db.npz"
     with tempfile.TemporaryDirectory() as tmp:
         tax, genomes, rng = B.build_world(tmp)
-        z = np.load(cache)
-        values, taxids, cap = z["values"], z["taxids"], int(z["cap"])
+        import os
+        if os.path.exists(cache):
+            z = np.load(cache)
+            values, taxids, cap = z["values"], z["taxids"], int(z["cap"])
+        else:
+            values, taxids, cap = B.build_db(tax, genomes)
+            np.savez(cache, values=values, taxids=taxids, cap=cap)
         reads = B.sample_reads(genomes, rng)
         t2s = tax.species_of.astype(np.int32)
         index = build_dev_index(values, taxids)

@@ -136,10 +136,12 @@ def test_two_tier_classifier_end_to_end(tmp_path, world):
     from metabuli_tpu.params import ClassifyParams
 
     outs = {}
-    for sc in (2, 100000):
-        par = ClassifyParams(seq_mode=1, batch_reads=16, small_cap=sc)
+    for sc, dtx in ((2, 0), (100000, 0), (2, 1)):
+        par = ClassifyParams(seq_mode=1, batch_reads=16, small_cap=sc,
+                             device_tax=dtx)
         clf = Classifier(str(db), par)
-        out = d / f"out{sc}"
+        out = d / f"out{sc}_{dtx}"
         clf.classify_file(str(q), None, str(out), "tt")
-        outs[sc] = (out / "tt_classifications.tsv").read_text()
-    assert outs[2] == outs[100000]
+        outs[sc, dtx] = (out / "tt_classifications.tsv").read_text()
+    assert outs[2, 0] == outs[100000, 0]
+    assert outs[2, 1] == outs[2, 0]  # fused path honors the two-tier cap
