@@ -174,7 +174,9 @@ class IndexBuilder:
         """Sort by (value, species, taxid) (`Kmer.h:77-87`) and dedup per
         (value, species) with LCA of member taxids (`IndexCreator.h:535-581`,
         FilterMode::DB_CREATION)."""
-        order = np.lexsort((taxids, species, values))
+        from ..native.sort import lexsort_vst
+
+        order = lexsort_vst(values, species, taxids)
         values, taxids, species = values[order], taxids[order], species[order]
         if len(values) == 0:
             return values, taxids, species
@@ -425,7 +427,9 @@ def build_database(
 def filter_common_kmers(values, species, taxonomy: Taxonomy):
     """FilterMode::COMMON_KMER (`IndexCreator.h:538-565`): keep metamers
     shared by more than one species; id := LCA of the member species."""
-    order = np.argsort(values, kind="stable")
+    from ..native.sort import argsort_pair
+
+    order = argsort_pair(np.asarray(values, np.uint64))
     values = values[order]
     species = species[order]
     if not len(values):
@@ -447,7 +451,9 @@ def filter_common_kmers(values, species, taxonomy: Taxonomy):
 def filter_unique_kmers(values, taxids):
     """FilterMode::UNIQ_KMER (`IndexCreator.h:566-574`): keep metamers whose
     occurrences all carry the same id."""
-    order = np.lexsort((taxids, values))
+    from ..native.sort import argsort_pair
+
+    order = argsort_pair(np.asarray(values, np.uint64), taxids)
     values = values[order]
     taxids = taxids[order]
     if not len(values):

@@ -297,7 +297,9 @@ def merge_flush_files(
         values = np.concatenate(vals_parts)
         taxids = np.concatenate(tax_parts)
         species = species_of[taxids & np.uint32(0x7FFFFFFF)]
-        order = np.lexsort((taxids, species, values))
+        from ..native.sort import lexsort_vst
+
+        order = lexsort_vst(values, species, taxids)
         values, taxids, species = values[order], taxids[order], species[order]
         new_group = np.ones(len(values), bool)
         new_group[1:] = (values[1:] != values[:-1]) | (species[1:] != species[:-1])

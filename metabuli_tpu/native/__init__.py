@@ -20,6 +20,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "masker.cpp"),
     os.path.join(os.path.dirname(__file__), "genepred.cpp"),
     os.path.join(os.path.dirname(__file__), "fastx.cpp"),
+    os.path.join(os.path.dirname(__file__), "sortkeys.cpp"),
 ]
 _SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
 
