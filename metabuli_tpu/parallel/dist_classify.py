@@ -191,17 +191,26 @@ def classify_distributed(
             out = step(*db_global, t2s, *reads_g)
             jax.block_until_ready(out)
 
-            # drain this process's data rows only
+            # drain this process's data rows only. Matches are replicated
+            # across the db axis (all_gather in the sharded step), so every
+            # shard of an owned row is complete — fetch ONE replica per row
+            # and skip rows owned by other processes.
             data_g, counts_g = out
+            my_row_set = set(my_rows)
+            seen_rows: set[int] = set()
             local_parts = []
             for shard in data_g.addressable_shards:
-                local_parts.append(
-                    (shard.index[0].start or 0, np.asarray(shard.data)))
-            # merge all local tiles into one match dict
-            datas = np.concatenate(
-                [p[1].reshape(p[1].shape[2], -1) for p in local_parts],
-                axis=1,
-            ) if local_parts else np.zeros((5, 0), np.int32)
+                r = shard.index[0].start or 0
+                if r not in my_row_set or r in seen_rows:
+                    continue
+                seen_rows.add(r)
+                local_parts.append(np.asarray(shard.data))
+            if local_parts:
+                stacked = np.concatenate(local_parts, axis=0)
+                w = stacked.shape[2]
+                datas = stacked.transpose(2, 0, 1, 3).reshape(w, -1)
+            else:
+                datas = np.zeros((5, 0), np.int32)
             m = _rows_to_matches(datas, t2s)
 
             read_lens = np.array(lens_meta, np.int32)

@@ -127,14 +127,21 @@ def build_sharded_classify(
             smer_len=smer_len, kmer_format=kmer_format,
             prefix_bits=pb,
         )
-        return bm.data[None, None], bm.counts[None, None]
+        # replicate matches across the db axis (ICI all_gather): every
+        # device in a data row then holds the row's COMPLETE matches, so
+        # the host drain works for any process<->mesh topology (a data
+        # row's db shards need not share a process) and no host-level
+        # cross-shard routing is needed.
+        data = jax.lax.all_gather(bm.data, "db")      # [n_db, 5|4, M]
+        cnts = jax.lax.all_gather(bm.counts, "db")    # [n_db, 3]
+        return data[None], cnts[None]
 
     in_specs = (
         P("db", None), P("db", None), P("db", None), P("db", None),
         P("db", None), P("db", None), P(),
         P("data", None), P("data"), P("data"), P("data"),
     )
-    out_specs = (P("data", "db"), P("data", "db"))
+    out_specs = (P("data"), P("data"))
     fn = jax.shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
