@@ -98,10 +98,7 @@ def extract_metamers(
             z.astype(jnp.uint64),
         )
 
-    aa_tab, num_tab = codon_tables(reduced)
-    aa_tab = jnp.asarray(aa_tab)
-    num_tab = jnp.asarray(num_tab)
-    rc_tab = jnp.asarray(_RC8)
+    aa_tab_np, num_tab_np = codon_tables(reduced)
 
     lens = lens.astype(jnp.int32)
     used_len = 3 * ((lens - 2) // 3)          # LocalUtil::getMaxCoveredLength
@@ -110,11 +107,35 @@ def extract_metamers(
 
     codon_idx = jnp.arange(A, dtype=jnp.int32)  # [A]
 
-    def gather_codes(base_idx: jax.Array) -> jax.Array:
-        """Gather base codes at [B, A] indices; out-of-range -> invalid (7)."""
-        safe = jnp.clip(base_idx, 0, L - 1)
-        vals = jnp.take_along_axis(codes, safe.astype(jnp.int32), axis=1)
-        return jnp.where((base_idx >= 0) & (base_idx < L), vals, jnp.uint8(7))
+    # HBM-gather-lean frame extraction. The per-frame per-codon base
+    # gathers were the whole device cost of this stage on TPU (18 dynamic
+    # gathers + 12 table lookups per batch), so everything funnels through
+    # ONE table lookup on packed base triples:
+    #   trip[b, p]  = bases (p, p+1, p+2) packed to 6 bits (64 = invalid),
+    #                 built from three STATIC shifted slices — no gather;
+    #   combo[t]    = c6 | aa<<6 | num<<11 for the forward codon (bits
+    #                 14..0) and for its reverse complement (bits 29..15),
+    #                 aa=31 sentinel at t=64 marks invalid triples.
+    # Forward frames are then static stride-3 slices of combo[trip];
+    # each reverse frame is ONE take_along_axis into it.
+    _r = np.arange(64)
+    # rc base = code ^ 2 (see _RC8); reverse codon reads the triple backwards
+    _rc3 = ((((_r & 3) ^ 2) << 4) | ((((_r >> 2) & 3) ^ 2) << 2)
+            | (((_r >> 4) & 3) ^ 2))
+    _fwd = _r | (aa_tab_np << 6) | (num_tab_np << 11)
+    _rev = _rc3 | (aa_tab_np[_rc3] << 6) | (num_tab_np[_rc3] << 11)
+    _sent = 31 << 6
+    combo = jnp.asarray(np.concatenate(
+        [_fwd | (_rev << 15), [_sent | (_sent << 15)]]).astype(np.int32))
+
+    ci32 = codes.astype(jnp.int32)
+    trip = (ci32[:, : L - 2] << 4) | (ci32[:, 1 : L - 1] << 2) | ci32[:, 2:]
+    trip_ok = (
+        (ci32[:, : L - 2] < 4) & (ci32[:, 1 : L - 1] < 4) & (ci32[:, 2:] < 4)
+    )
+    z = combo[jnp.where(trip_ok, trip, jnp.int32(64))]  # [B, L-2]
+    zf = z & jnp.int32(0x7FFF)
+    zr = z >> 15
 
     frame_aas = []
     frame_nums = []
@@ -125,23 +146,22 @@ def extract_metamers(
     for f in range(6):
         if f < 3:
             begin = jnp.full((B,), f, dtype=jnp.int32)
-            b1 = begin[:, None] + 3 * codon_idx[None, :]
-            c1 = gather_codes(b1)
-            c2 = gather_codes(b1 + 1)
-            c3 = gather_codes(b1 + 2)
+            v = zf[:, f::3][:, :A]
+            if v.shape[1] < A:
+                v = jnp.pad(v, ((0, 0), (0, A - v.shape[1])),
+                            constant_values=_sent)
         else:
             begin = jnp.mod(lens % 3 - (f - 3), 3)
             end = begin + used_len - 1                     # seqEnd
-            b1 = end[:, None] - 3 * codon_idx[None, :]
-            c1 = rc_tab[gather_codes(b1)]
-            c2 = rc_tab[gather_codes(b1 - 1)]
-            c3 = rc_tab[gather_codes(b1 - 2)]
-        ok = (c1 < 4) & (c2 < 4) & (c3 < 4) & (codon_idx[None, :] < aa_len[:, None])
-        ci = (c1.astype(jnp.int32) * 16 + c2.astype(jnp.int32) * 4
-              + c3.astype(jnp.int32)) & 63
-        frame_aas.append(jnp.where(ok, aa_tab[ci], -1))
-        frame_nums.append(jnp.where(ok, num_tab[ci], 0))
-        frame_c6.append(jnp.where(ok, ci, 0))  # ci == c1<<4|c2<<2|c3 for valid
+            j = end[:, None] - 2 - 3 * codon_idx[None, :]  # triple start
+            safe = jnp.clip(j, 0, L - 3)
+            v = jnp.take_along_axis(zr, safe, axis=1)
+            v = jnp.where((j >= 0) & (j <= L - 3), v, jnp.int32(_sent))
+        aa_f = (v >> 6) & 31
+        ok = (aa_f != 31) & (codon_idx[None, :] < aa_len[:, None])
+        frame_aas.append(jnp.where(ok, aa_f, -1))
+        frame_nums.append(jnp.where(ok, (v >> 11) & 15, 0))
+        frame_c6.append(jnp.where(ok, v & 63, 0))
         frame_ok.append(ok)
         if f < 3:
             frame_pos0.append(begin)
