@@ -92,7 +92,9 @@ INT32_MAX = jnp.int32(2**31 - 1)
     ),
 )
 def _fused_classify_tax(
-    db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
+    db_prefix,
+    tax2species,
     dt, min_depth, rl,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -113,7 +115,8 @@ def _fused_classify_tax(
 
     s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts = (
         _classify_core(
-            db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+            db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
+            db_prefix, tax2species,
             codes, lens, pos_offsets, qid_offsets,
             n_db=n_db, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -338,8 +341,9 @@ class DeviceTaxonomer:
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
         args = (
-            index.rest, index.lo32, index.d48lo, index.d48hi, index.taxids,
-            index.prefix, d_species, self.dt, self.min_depth, rl,
+            index.grest, index.gstart, index.gend, index.lo32, index.d48lo,
+            index.d48hi, index.taxids, index.prefix, d_species, self.dt,
+            self.min_depth, rl,
             codes, lens, pos_offsets, qid_offsets,
         )
         kw = dict(

@@ -40,18 +40,32 @@ import numpy as np
 
 from ..ops import encode
 
-PREFIX_BITS = 22  # cap; see pick_prefix_bits
+PREFIX_BITS = 26  # cap; see pick_prefix_bits
 INT32_MAX = np.int32(2147483647)
 
+# Odd multiplier => (aa * MULT) mod 2^aa_bits is a BIJECTION: buckets are
+# the top bits of the permuted key, so bucket loads are Poisson-uniform
+# regardless of amino-acid composition skew (raw AA prefixes cluster on
+# common residues, and the SKEWED max bucket sets the binary-search depth
+# for every query).
+AA_PERM_MULT = 0x9E3779B97F4A7C15
 
-def pick_prefix_bits(n: int) -> int:
-    """Bucket-prefix width sized to the table: ~1 bucket per entry. The
-    SKEWED max bucket (not the mean) sets the binary-search depth, so
-    erring wide is the perf-correct choice; the table costs 4 bytes per
-    entry next to the 20-byte columns. Small DBs shrink the table (a
-    fixed 2^22 table would dominate tiny test indices)."""
+
+def aa_permute(aa: np.ndarray, aa_bits: int) -> np.ndarray:
+    """Host-side multiplicative permutation of AA keys (uint64 in/out)."""
+    mask = np.uint64((1 << aa_bits) - 1)
+    return (aa.astype(np.uint64) * np.uint64(AA_PERM_MULT)) & mask
+
+
+def pick_prefix_bits(n_groups: int) -> int:
+    """Bucket-prefix width sized to ~2 buckets per DISTINCT AA group:
+    with permuted (uniform) keys the max bucket load is the Poisson tail
+    (~8-11 at 0.5 load), i.e. a 4-step in-bucket search at any DB size
+    up to the 2^26 cap. The table costs 8 bytes per group next to the
+    20-byte row columns; small DBs shrink it (a fixed-size table would
+    dominate tiny test indices)."""
     bits = 12
-    while (1 << bits) < n and bits < PREFIX_BITS:
+    while (1 << bits) < 2 * n_groups and bits < PREFIX_BITS:
         bits += 1
     return bits
 
@@ -93,20 +107,28 @@ def hamming_dna48_split(q_lo, q_hi, t_lo, t_hi):
 class DevIndex(NamedTuple):
     """Device-side representation of the sorted metamer table.
 
-    The amino-acid identity of an entry is (bucket, rest): the top
-    PREFIX_BITS bits select a prefix bucket and ``rest`` holds the
-    remaining AA bits below them (20 bits for the standard layout,
-    12 for reduced). Within a bucket the table is sorted by ``rest``,
-    so the per-query binary search costs ONE int32 gather per step —
-    TPU HBM gathers are the hot path's bottleneck, so the u64 compare
-    is folded into this single word."""
+    The binary search runs over DISTINCT amino-acid groups, not rows:
+    groups are ordered by the PERMUTED key pi(AA) = AA * AA_PERM_MULT
+    (mod 2^aa_bits, a bijection), whose top bits pick the prefix bucket —
+    permutation makes bucket loads Poisson-uniform, so the search depth
+    is ~4 steps at any DB size, independent of both AA-group row skew
+    (a 128-row low-complexity group costs the same as a 1-row group) and
+    amino-acid composition skew (raw AA prefixes cluster on common
+    residues). ``grest[g]`` holds pi's bits below the bucket prefix;
+    ``gstart[g]:gend[g]`` is the group's row range in the (value-sorted)
+    20-byte columns, so the candidate window needs NO per-candidate AA
+    compare. This is the device analogue of the reference's per-group
+    candidate lists (`KmerMatcher.cpp:362-406`). Each search step costs
+    ONE int32 gather (TPU HBM gathers are the hot path's bottleneck)."""
 
-    rest: jax.Array     # [N] int32 AA bits below the bucket prefix
+    grest: jax.Array    # [G] int32 permuted-AA bits below the bucket prefix
+    gstart: jax.Array   # [G] int32 first row of each AA group
+    gend: jax.Array     # [G] int32 one-past-last row of each AA group
     lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast; dna part)
     d48lo: jax.Array    # [N] int32 expanded-base bits 0..31 ((1,) if reduced)
     d48hi: jax.Array    # [N] int32 expanded-base bits 32..47 ((1,) if reduced)
     taxids: jax.Array   # [N] int32
-    prefix: jax.Array   # [2^prefix_bits + 1] int32 bucket start offsets
+    prefix: jax.Array   # [2^prefix_bits + 1] int32 bucket GROUP offsets
     n: int
     search_iters: int   # static binary-search depth within a bucket
     prefix_bits: int
@@ -168,16 +190,35 @@ def build_dev_index(
     """Split + bucket the sorted u64 table for the 32-bit search path."""
     n = len(values)
     aa_shift = 32 if reduced else 24
-    pb = pick_prefix_bits(n)
+    aa_bits = 32 if reduced else 40
+    aa = values >> np.uint64(aa_shift)
+    new_g = np.ones(n, bool)
+    if n:
+        new_g[1:] = aa[1:] != aa[:-1]
+    starts = np.nonzero(new_g)[0]
+    n_groups = len(starts)
+    pb = pick_prefix_bits(max(n_groups, 1))
     rb = rest_bits(reduced, pb)
-    rest = ((values >> np.uint64(aa_shift))
-            & np.uint64((1 << rb) - 1)).astype(np.int32)
+    if n_groups:
+        from ..native.sort import argsort_pair
+
+        pi = aa_permute(aa[starts], aa_bits)
+        order = argsort_pair(pi)
+        pi_s = pi[order]
+        grest = (pi_s & np.uint64((1 << rb) - 1)).astype(np.int32)
+        gstart = starts[order].astype(np.int32)
+        gend = np.append(starts[1:], n)[order].astype(np.int32)
+        gbuckets = (pi_s >> np.uint64(rb)).astype(np.int64)
+    else:  # degenerate empty table: one unreachable group
+        grest = np.full(1, -1, np.int32)
+        gstart = np.zeros(1, np.int32)
+        gend = np.zeros(1, np.int32)
+        gbuckets = np.zeros(0, np.int64)
     lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-    prefixes = (values >> np.uint64(64 - pb)).astype(np.int64)
-    counts = np.bincount(prefixes, minlength=1 << pb)
+    counts = np.bincount(gbuckets, minlength=1 << pb)
     prefix = np.zeros((1 << pb) + 1, np.int64)
     np.cumsum(counts, out=prefix[1:])
-    max_bucket = int(counts.max()) if n else 1
+    max_bucket = int(counts.max()) if n_groups else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
     # reduced mode scores via the 11x11 LUT on codon-number fields, not the
     # expanded-base XOR path; d48 columns collapse to (1,) dummies there.
@@ -189,7 +230,9 @@ def build_dev_index(
         d48lo = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         d48hi = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
     return DevIndex(
-        rest=jax.device_put(rest),
+        grest=jax.device_put(grest),
+        gstart=jax.device_put(gstart),
+        gend=jax.device_put(gend),
         lo32=jax.device_put(lo32),
         d48lo=jax.device_put(d48lo),
         d48hi=jax.device_put(d48hi),
@@ -218,7 +261,8 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _classify_core(
-    db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
+    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
+    db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -272,29 +316,39 @@ def _classify_core(
     bc32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     )
-    # amino-acid identity: (bucket = top PREFIX_BITS bits, rest = AA bits
-    # below them). The whole u64 lower-bound compare reduces to ONE int32
-    # gather per search step because entries within a bucket are sorted by
-    # rest, and AA-equal candidates never cross a bucket boundary.
+    # amino-acid identity: permuted key pi(AA) split as (bucket = top
+    # prefix_bits, rest = bits below). The permutation (odd multiply, a
+    # bijection) uniformizes bucket loads, and the whole u64 lower-bound
+    # compare reduces to ONE int32 gather per search step because groups
+    # within a bucket are sorted by rest.
     rb = rest_bits(reduced, prefix_bits)
-    q_rest = (
-        (q_values >> jnp.uint64(32 if reduced else 24))
-        & jnp.uint64((1 << rb) - 1)
-    ).astype(jnp.int32)
-    bucket = (q_values >> jnp.uint64(64 - prefix_bits)).astype(jnp.int32)
+    aa_bits = 32 if reduced else 40
+    q_aa = q_values >> jnp.uint64(32 if reduced else 24)
+    q_pi = (q_aa * jnp.uint64(AA_PERM_MULT)) & jnp.uint64(
+        (1 << aa_bits) - 1
+    )
+    q_rest = (q_pi & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
+    bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
 
-    # ---- bucketed lower-bound search for (bucket, rest, dna=0)
+    # ---- bucketed lower-bound search over DISTINCT AA groups: depth is
+    # the Poisson-uniform bucket load, independent of row and AA skew
+    n_g = db_grest.shape[0]
     lo = db_prefix[bucket]
-    hi = db_prefix[bucket + 1]
+    bucket_end = db_prefix[bucket + 1]
+    hi = bucket_end
     for _ in range(search_iters):
         active = lo < hi
         mid = (lo + hi) >> 1
-        mid_c = jnp.minimum(mid, jnp.int32(max(n_db - 1, 0)))
-        less = db_rest[mid_c] < q_rest
+        mid_c = jnp.minimum(mid, jnp.int32(max(n_g - 1, 0)))
+        less = db_grest[mid_c] < q_rest
         lo = jnp.where(active & less, mid + 1, lo)
         hi = jnp.where(active & ~less, mid, hi)
-    start = lo
-    bucket_end = db_prefix[bucket + 1]
+    g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
+    hit = q_valid & (lo < bucket_end) & (db_grest[g_c] == q_rest)
+    start = db_gstart[g_c]
+    # row range of the matched group; empty (start, start) on miss —
+    # the candidate window needs no per-candidate AA compare at all
+    gend = jnp.where(hit, db_gend[g_c], start)
 
     two_tier = cap2 > cap and ov_budget > 0
     n_safe = jnp.int32(max(n_db - 1, 0))
@@ -311,17 +365,12 @@ def _classify_core(
         q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
         q_d48hi = bc32(q_d48 >> jnp.uint64(32))
 
-    def tier(starts, rests, ends, active, capv, d48lo_q, d48hi_q, lo_q,
+    def tier(starts, ends, active, capv, d48lo_q, d48hi_q, lo_q,
              fwd_sel):
         """One capped gather + Hamming + min-cutoff pass (vectorized)."""
         idx = starts[:, None] + jnp.arange(capv, dtype=jnp.int32)[None, :]
         idx_c = jnp.minimum(idx, n_safe)
-        c_rest = db_rest[idx_c]
-        same_aa = (
-            (idx < ends[:, None])
-            & (c_rest == rests[:, None])
-            & active[:, None]
-        )
+        same_aa = (idx < ends[:, None]) & active[:, None]
         if reduced:
             # LUT distances over 4-bit codon fields (11x11 table is NOT
             # base-level Hamming, so no XOR trick); DNA part == lo32.
@@ -341,17 +390,12 @@ def _classify_core(
 
     # ---- tier 1: small cap for every query
     idx_c, keep, hsum, h16, t_dna = tier(
-        start, q_rest, bucket_end, q_valid, cap,
+        start, gend, hit, cap,
         None if reduced else q_d48lo, None if reduced else q_d48hi,
         q_lo if reduced else None, fwd_q,
     )
-    # overflow: the entry just past the cap window still shares the AA
-    over_idx = jnp.minimum(start + cap, n_safe)
-    over = (
-        q_valid
-        & (start + cap < bucket_end)
-        & (db_rest[over_idx] == q_rest)
-    )
+    # overflow: the equal-AA group extends past the cap window
+    over = start + cap < gend
 
     if two_tier:
         # compact the overflowed queries and re-gather them at cap2; their
@@ -365,11 +409,10 @@ def _classify_core(
         )
         ov_pad = ov_idx >= Q
         ov_safe = jnp.minimum(ov_idx, Q - 1)
+        start2 = jnp.where(ov_pad, 0, start[ov_safe])
+        gend2 = jnp.where(ov_pad, 0, gend[ov_safe])
         idx2_c, keep2, hsum2, h16_2, t_dna2 = tier(
-            jnp.where(ov_pad, 0, start[ov_safe]),
-            q_rest[ov_safe],
-            jnp.where(ov_pad, 0, bucket_end[ov_safe]),
-            ~ov_pad, cap2,
+            start2, gend2, ~ov_pad, cap2,
             None if reduced else q_d48lo[ov_safe],
             None if reduced else q_d48hi[ov_safe],
             q_lo[ov_safe] if reduced else None,
@@ -377,13 +420,7 @@ def _classify_core(
         )
         keep = keep & ~over[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
-        start2 = jnp.where(ov_pad, 0, start[ov_safe])
-        over2_idx = jnp.minimum(start2 + cap2, n_safe)
-        over2 = (
-            ~ov_pad
-            & (start2 + cap2 < jnp.where(ov_pad, 0, bucket_end[ov_safe]))
-            & (db_rest[over2_idx] == q_rest[ov_safe])
-        )
+        over2 = ~ov_pad & (start2 + cap2 < gend2)
         n_over_cap = jnp.sum(over2.astype(jnp.int32))
         flat_keep = jnp.concatenate([keep.reshape(-1), keep2.reshape(-1)])
         total_slots = Q * cap + ov_budget * cap2
@@ -502,7 +539,8 @@ def _classify_core(
     ),
 )
 def _classify_batch_impl(
-    db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix,
+    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
+    db_prefix,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -521,7 +559,8 @@ def _classify_batch_impl(
     ov_budget: int = 0,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
-        db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, tax2species,
+        db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
+        db_prefix, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=n_db, search_iters=search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -561,8 +600,8 @@ def classify_batch_indexed(
     ov_budget: int = 0,
 ) -> BatchMatches:
     return _classify_batch_impl(
-        index.rest, index.lo32, index.d48lo, index.d48hi, index.taxids,
-        index.prefix, tax2species,
+        index.grest, index.gstart, index.gend, index.lo32, index.d48lo,
+        index.d48hi, index.taxids, index.prefix, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..classify.pipeline import (
     PREFIX_BITS,
     _classify_batch_impl,
+    aa_permute,
     expand_db_dna48,
 )
 
@@ -48,12 +49,13 @@ def shard_index_aa_aligned(
     reduced: bool = False,
 ):
     """Split the sorted table into AA-aligned, equal-padded shards in the
-    32-bit split representation used by the device pipeline.
+    32-bit split + group-table representation used by the device pipeline.
 
-    Returns (rest, lo32, d48lo, d48hi, tax [S, Npad] each,
-    prefix [S, 2^PREFIX_BITS+1], n_pad, search_iters). Padding uses
-    all-ones rest words no real metamer can produce (and the prefix table
-    only covers real rows, so searches never reach padding).
+    Returns (grest/gstart/gend [S, Gpad] each,
+    lo32/d48lo/d48hi/tax [S, Npad] each, prefix [S, 2^prefix_bits + 1],
+    n_pad, search_iters). Group padding uses rest = -1 (no real permuted
+    key produces it) and zero-width row ranges; the prefix table only
+    covers real groups, so searches never reach padding.
     """
     from ..classify.pipeline import pick_prefix_bits, rest_bits
 
@@ -69,35 +71,61 @@ def shard_index_aa_aligned(
     bounds.append(n)
     chunks = [(values[a:b], taxids[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
     pad = max(max((len(c[0]) for c in chunks), default=1), 1)
-    pb = pick_prefix_bits(pad)
-    out_rest = np.full((n_shards, pad), -1, np.int32)
+
+    # per-shard distinct-AA group tables, permuted-key order (see
+    # pipeline.DevIndex)
+    aa_bits = 32 if reduced else 40
+    shard_starts = []
+    for v, _ in chunks:
+        if len(v):
+            saa = v >> np.uint64(aa_shift)
+            ng = np.ones(len(v), bool)
+            ng[1:] = saa[1:] != saa[:-1]
+            shard_starts.append(np.nonzero(ng)[0])
+        else:
+            shard_starts.append(np.zeros(0, np.int64))
+    g_pad = max(max((len(s) for s in shard_starts), default=1), 1)
+    pb = pick_prefix_bits(g_pad)
+    rb = rest_bits(reduced, pb)
+
+    out_grest = np.full((n_shards, g_pad), -1, np.int32)
+    out_gstart = np.zeros((n_shards, g_pad), np.int32)
+    out_gend = np.zeros((n_shards, g_pad), np.int32)
     out_lo = np.full((n_shards, pad), -1, np.int32)
     out_d48lo = np.zeros((n_shards, pad), np.int32)
     out_d48hi = np.zeros((n_shards, pad), np.int32)
     out_t = np.zeros((n_shards, pad), np.int32)
     prefix = np.zeros((n_shards, (1 << pb) + 1), np.int32)
     iters = 1
-    rb = rest_bits(reduced, pb)
     for i, (v, t) in enumerate(chunks):
-        out_rest[i, : len(v)] = (
-            (v >> np.uint64(aa_shift)) & np.uint64((1 << rb) - 1)
-        ).astype(np.int32)
+        starts = shard_starts[i]
+        g = len(starts)
+        if g:
+            pi = aa_permute(v[starts] >> np.uint64(aa_shift), aa_bits)
+            order = np.argsort(pi, kind="stable")
+            pi_s = pi[order]
+            out_grest[i, :g] = (
+                pi_s & np.uint64((1 << rb) - 1)
+            ).astype(np.int32)
+            out_gstart[i, :g] = starts[order].astype(np.int32)
+            out_gend[i, :g] = np.append(starts[1:], len(v))[order].astype(
+                np.int32)
         out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         d48 = (np.zeros(len(v), np.uint64) if reduced
                else expand_db_dna48(v, kmer_format))
         out_d48lo[i, : len(v)] = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         out_d48hi[i, : len(v)] = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
         out_t[i, : len(t)] = t.astype(np.int32)
-        # prefix table over REAL entries only: searches never reach the
-        # padding (pad values have an impossible AA; equality masks them)
-        counts = np.bincount(
-            (v >> np.uint64(64 - pb)).astype(np.int64),
-            minlength=1 << pb,
-        )
-        np.cumsum(counts, out=prefix[i, 1:])
-        if len(v):
+        # prefix table over REAL groups only: searches never reach padding
+        if g:
+            counts = np.bincount(
+                (pi_s >> np.uint64(rb)).astype(np.int64),
+                minlength=1 << pb,
+            )
+            np.cumsum(counts, out=prefix[i, 1:])
             iters = max(iters, int(np.ceil(np.log2(max(2, counts.max() + 1)))))
-    return out_rest, out_lo, out_d48lo, out_d48hi, out_t, prefix, pad, iters
+    return (out_grest, out_gstart, out_gend, out_lo, out_d48lo, out_d48hi,
+            out_t, prefix, pad, iters)
 
 
 def build_sharded_classify(
@@ -114,13 +142,14 @@ def build_sharded_classify(
 ):
     """shard_map'd classify step over (data, db)."""
 
-    def local_step(db_rest, db_lo, db_d48lo, db_d48hi, db_tax, db_prefix, t2s,
+    def local_step(db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi,
+                   db_tax, db_prefix, t2s,
                    codes, lens, pos_off, qid_off):
         # prefix width is encoded in the (static) table shape
         pb = (db_prefix.shape[-1] - 1).bit_length() - 1
         bm = _classify_batch_impl(
-            db_rest[0], db_lo[0], db_d48lo[0], db_d48hi[0], db_tax[0],
-            db_prefix[0], t2s,
+            db_grest[0], db_gstart[0], db_gend[0], db_lo[0], db_d48lo[0],
+            db_d48hi[0], db_tax[0], db_prefix[0], t2s,
             codes, lens, pos_off, qid_off,
             n_db=n_pad, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -138,7 +167,7 @@ def build_sharded_classify(
 
     in_specs = (
         P("db", None), P("db", None), P("db", None), P("db", None),
-        P("db", None), P("db", None), P(),
+        P("db", None), P("db", None), P("db", None), P("db", None), P(),
         P("data", None), P("data"), P("data"), P("data"),
     )
     out_specs = (P("data"), P("data"))

@@ -61,29 +61,32 @@ def main():
             acc = jnp.sum(bc32(q_values & jnp.uint64(0xFFFFFFFF)))
             if stage == "extract":
                 return acc
-            q_rest = ((q_values >> jnp.uint64(24))
-                      & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
-            bucket = (q_values >> jnp.uint64(64 - pb)).astype(jnp.int32)
+            q_pi = ((q_values >> jnp.uint64(24)) * jnp.uint64(P.AA_PERM_MULT)
+                    ) & jnp.uint64((1 << 40) - 1)
+            q_rest = (q_pi & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
+            bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
+            n_g = index.grest.shape[0]
             lo = index.prefix[bucket]
-            hi = index.prefix[bucket + 1]
+            bucket_end = index.prefix[bucket + 1]
+            hi = bucket_end
             for _ in range(iters):
                 active = lo < hi
                 mid = (lo + hi) >> 1
-                mid_c = jnp.minimum(mid, jnp.int32(max(n_db - 1, 0)))
-                less = index.rest[mid_c] < q_rest
+                mid_c = jnp.minimum(mid, jnp.int32(max(n_g - 1, 0)))
+                less = index.grest[mid_c] < q_rest
                 lo = jnp.where(active & less, mid + 1, lo)
                 hi = jnp.where(active & ~less, mid, hi)
-            start = lo
-            acc = acc + jnp.sum(start)
+            g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
+            hit = q_valid & (lo < bucket_end) & (index.grest[g_c] == q_rest)
+            start = index.gstart[g_c]
+            gend = jnp.where(hit, index.gend[g_c], start)
+            acc = acc + jnp.sum(start) + jnp.sum(gend)
             if stage == "search":
                 return acc
-            bucket_end = index.prefix[bucket + 1]
             n_safe = jnp.int32(max(n_db - 1, 0))
             idx = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
             idx_c = jnp.minimum(idx, n_safe)
-            c_rest = index.rest[idx_c]
-            same_aa = ((idx < bucket_end[:, None])
-                       & (c_rest == q_rest[:, None]) & q_valid[:, None])
+            same_aa = (idx < gend[:, None]) & hit[:, None]
             acc = acc + jnp.sum(same_aa.astype(jnp.int32))
             if stage == "gather_rest":
                 return acc
@@ -110,9 +113,36 @@ def main():
             acc = acc + jnp.sum(rows)
             if stage == "compact":
                 return acc
+            is_pad = rows >= Q * cap
+            safe2 = jnp.minimum(rows, Q * cap - 1)
+            qi = (safe2 // cap).astype(jnp.int32)
+            ci = (safe2 % cap).astype(jnp.int32)
+            midx = idx_c[qi, ci]
+            row_hsum = hsum[qi, ci]
+            row_h16 = h_fwd[qi, ci]
+            W = mm.value.shape[2]
+            w_s = max(W, 1)
+            m_row = qi // (6 * w_s)
+            m_frame_raw = (qi // w_s) % 6
+            m_w = qi % w_s
+            pos0 = mm.pos[:, :, 0]
+            sign = jnp.array([1, 1, 1, -1, -1, -1], jnp.int32)
+            m_pos = jnp.where(
+                is_pad, jnp.int32(2**31 - 1),
+                pos0[m_row, m_frame_raw] + sign[m_frame_raw] * 3 * m_w)
+            acc = acc + jnp.sum(m_pos) + jnp.sum(row_hsum) + jnp.sum(row_h16)
+            if stage == "tail_arith":
+                return acc
+            m_taxid = index.taxids[midx]
+            m_dna = jnp.where(is_pad, jnp.int32(2**31 - 1),
+                              index.lo32[midx] & jnp.int32(0xFFFFFF))
+            acc = acc + jnp.sum(m_taxid) + jnp.sum(m_dna)
+            if stage == "tail_gather":
+                return acc
             raise ValueError(stage)
 
-        stages = ["extract", "search", "gather_rest", "hamming", "compact"]
+        stages = ["extract", "search", "gather_rest", "hamming", "compact",
+                  "tail_arith", "tail_gather"]
         jits = {s: jax.jit(functools.partial(front, stage=s)) for s in stages}
 
         # full current program for reference
