@@ -92,8 +92,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
     ),
 )
 def _fused_classify_tax(
-    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
-    db_prefix,
+    db,
     tax2species,
     dt, min_depth, rl,
     codes, lens, pos_offsets, qid_offsets,
@@ -115,8 +114,7 @@ def _fused_classify_tax(
 
     s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts = (
         _classify_core(
-            db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
-            db_prefix, tax2species,
+            db, tax2species,
             codes, lens, pos_offsets, qid_offsets,
             n_db=n_db, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -341,9 +339,7 @@ class DeviceTaxonomer:
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
         args = (
-            index.grest, index.gstart, index.gend, index.lo32, index.d48lo,
-            index.d48hi, index.taxids, index.prefix, d_species, self.dt,
-            self.min_depth, rl,
+            index.db, d_species, self.dt, self.min_depth, rl,
             codes, lens, pos_offsets, qid_offsets,
         )
         kw = dict(

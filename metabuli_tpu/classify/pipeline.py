@@ -111,24 +111,33 @@ class DevIndex(NamedTuple):
     groups are ordered by the PERMUTED key pi(AA) = AA * AA_PERM_MULT
     (mod 2^aa_bits, a bijection), whose top bits pick the prefix bucket —
     permutation makes bucket loads Poisson-uniform, so the search depth
-    is ~4 steps at any DB size, independent of both AA-group row skew
+    is ~3-4 steps at any DB size, independent of both AA-group row skew
     (a 128-row low-complexity group costs the same as a 1-row group) and
     amino-acid composition skew (raw AA prefixes cluster on common
-    residues). ``grest[g]`` holds pi's bits below the bucket prefix;
-    ``gstart[g]:gend[g]`` is the group's row range in the (value-sorted)
-    20-byte columns, so the candidate window needs NO per-candidate AA
-    compare. This is the device analogue of the reference's per-group
-    candidate lists (`KmerMatcher.cpp:362-406`). Each search step costs
-    ONE int32 gather (TPU HBM gathers are the hot path's bottleneck)."""
+    residues). The candidate window is bounded by the group end, so it
+    needs NO per-candidate AA compare. This is the device analogue of
+    the reference's per-group candidate lists (`KmerMatcher.cpp:362-406`).
 
-    grest: jax.Array    # [G] int32 permuted-AA bits below the bucket prefix
-    gstart: jax.Array   # [G] int32 first row of each AA group
-    gend: jax.Array     # [G] int32 one-past-last row of each AA group
-    lo32: jax.Array     # [N] int32 (bits 31..0, bit-cast; dna part)
-    d48lo: jax.Array    # [N] int32 expanded-base bits 0..31 ((1,) if reduced)
-    d48hi: jax.Array    # [N] int32 expanded-base bits 32..47 ((1,) if reduced)
-    taxids: jax.Array   # [N] int32
-    prefix: jax.Array   # [2^prefix_bits + 1] int32 bucket GROUP offsets
+    ``db`` is the tuple of device arrays consumed by ``_classify_core``.
+    TPU HBM random gathers are the hot path's bottleneck, and their cost
+    scales with the number of 32-BIT ELEMENTS fetched (a u64 gather
+    lowers to two i32 gathers), so the layout keeps the repeatedly-probed
+    search key narrow (i32 ``grest``) while columns fetched once at the
+    same index pack into u64 pairs:
+
+      standard:  (grest  i32 [G]   pi bits below the bucket prefix,
+                  gstart i32 [G]   first row of the group,
+                  gend   i32 [G]   one-past-last row,
+                  taxdna u64 [N]   value_lo32 << 32 | taxid,
+                  d48    u64 [N]   expanded-base codons,
+                  prefix i32 [2^prefix_bits + 1]  bucket group offsets)
+      reduced:   (grest, gstart, gend, lo32 i32 [N], taxids i32 [N],
+                  prefix)
+                 (reduced scores via the 11x11 LUT on lo32 in the tier,
+                 so the dna word is already fetched there)
+    """
+
+    db: tuple           # device arrays, layout above
     n: int
     search_iters: int   # static binary-search depth within a bucket
     prefix_bits: int
@@ -214,30 +223,25 @@ def build_dev_index(
         gstart = np.zeros(1, np.int32)
         gend = np.zeros(1, np.int32)
         gbuckets = np.zeros(0, np.int64)
-    lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
     counts = np.bincount(gbuckets, minlength=1 << pb)
     prefix = np.zeros((1 << pb) + 1, np.int64)
     np.cumsum(counts, out=prefix[1:])
     max_bucket = int(counts.max()) if n_groups else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
-    # reduced mode scores via the 11x11 LUT on codon-number fields, not the
-    # expanded-base XOR path; d48 columns collapse to (1,) dummies there.
+    taxids_u = np.ascontiguousarray(taxids, np.int32).view(np.uint32)
     if reduced:
-        d48lo = np.zeros(1, np.int32)
-        d48hi = np.zeros(1, np.int32)
+        # reduced mode scores via the 11x11 LUT on codon-number fields,
+        # not the expanded-base XOR path; lo32 is fetched in the tier.
+        lo32 = (values & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(
+            np.int32)
+        db = (grest, gstart, gend, lo32, taxids_u.view(np.int32),
+              prefix.astype(np.int32))
     else:
+        taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
         d48 = expand_db_dna48(values, kmer_format)
-        d48lo = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        d48hi = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        db = (grest, gstart, gend, taxdna, d48, prefix.astype(np.int32))
     return DevIndex(
-        grest=jax.device_put(grest),
-        gstart=jax.device_put(gstart),
-        gend=jax.device_put(gend),
-        lo32=jax.device_put(lo32),
-        d48lo=jax.device_put(d48lo),
-        d48hi=jax.device_put(d48hi),
-        taxids=jax.device_put(np.ascontiguousarray(taxids, np.int32)),
-        prefix=jax.device_put(prefix.astype(np.int32)),
+        db=tuple(jax.device_put(a) for a in db),
         n=n,
         search_iters=iters,
         prefix_bits=pb,
@@ -261,8 +265,7 @@ def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _classify_core(
-    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
-    db_prefix,
+    db,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -300,6 +303,10 @@ def _classify_core(
     with padding at the tail — and the host taxonomer performs the cheap
     per-read sort instead (its reads are independent, so a global device
     sort is wasted work on the host path)."""
+    if reduced:
+        db_grest, db_gstart, db_gend, db_lo, db_tax, db_prefix = db
+    else:
+        db_grest, db_gstart, db_gend, db_taxdna, db_d48, db_prefix = db
     B, L = codes.shape
     mm = encode.extract_metamers(
         codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
@@ -331,7 +338,9 @@ def _classify_core(
     bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
 
     # ---- bucketed lower-bound search over DISTINCT AA groups: depth is
-    # the Poisson-uniform bucket load, independent of row and AA skew
+    # the Poisson-uniform bucket load, independent of row and AA skew.
+    # Each step probes ONE i32 (gather cost on TPU scales with 32-bit
+    # elements fetched, so the loop key stays narrow).
     n_g = db_grest.shape[0]
     lo = db_prefix[bucket]
     bucket_end = db_prefix[bucket + 1]
@@ -378,9 +387,11 @@ def _classify_core(
             hsum, h_fwd, h_rev = hamming_all_reduced(lo_q[:, None], t_dna)
         else:
             t_dna = None
+            dd = db_d48[idx_c]  # ONE u64 gather for both 32-bit halves
             hsum, h_fwd, h_rev = hamming_dna48_split(
                 d48lo_q[:, None], d48hi_q[:, None],
-                db_d48lo[idx_c], db_d48hi[idx_c],
+                bc32(dd & jnp.uint64(0xFFFFFFFF)),
+                bc32(dd >> jnp.uint64(32)),
             )
         hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
         cutoff = jnp.minimum(jnp.min(hsum_m, axis=1) * 2, 7)
@@ -467,25 +478,41 @@ def _classify_core(
         row_tdna = t_dna[qi, ci] if reduced else None
 
     # qid/frame/pos derive from the flat index arithmetically (gathers only
-    # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts)
+    # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts); the
+    # (qid, pos0) pair packs into one u64 word -> ONE gather per row
     w_s = max(W, 1)  # W==0 never yields matches; avoid div-by-zero tracing
     m_row = qi // (6 * w_s)
     m_frame_raw = (qi // w_s) % 6
     m_w = qi % w_s
     pos0 = mm.pos[:, :, 0] + pos_offsets[:, None]  # [B, 6]
+    # bias keeps the packed low word nonnegative (pos0 >= -2 pre-window
+    # clamps on degenerate short reads, whose rows are never selected)
+    qp = (
+        (qid_offsets.astype(jnp.uint32).astype(jnp.uint64)[:, None]
+         << jnp.uint64(32))
+        | (pos0 + 8).astype(jnp.uint32).astype(jnp.uint64)
+    )  # [B, 6]
+    qpw = qp[m_row, m_frame_raw]
     sign = jnp.array([1, 1, 1, -1, -1, -1], jnp.int32)
-    m_qid = jnp.where(is_pad, INT32_MAX, qid_offsets[m_row])
+    m_qid = jnp.where(is_pad, INT32_MAX, bc32(qpw >> jnp.uint64(32)))
     m_frame = jnp.where(is_pad, INT32_MAX, m_frame_raw)
     m_pos = jnp.where(
         is_pad, INT32_MAX,
-        pos0[m_row, m_frame_raw] + sign[m_frame_raw] * 3 * m_w,
+        bc32(qpw & jnp.uint64(0xFFFFFFFF)) - 8
+        + sign[m_frame_raw] * 3 * m_w,
     )
-    # dna/taxid gathers run AFTER compaction (budget rows, not Q*cap)
-    m_taxid = db_tax[midx]
+    # dna/taxid gathers run AFTER compaction (budget rows, not Q*cap);
+    # the standard layout packs (value_lo32, taxid) into one u64 gather
     if reduced:
+        m_taxid = db_tax[midx]
         m_dna = jnp.where(is_pad, INT32_MAX, row_tdna)
     else:
-        m_dna = jnp.where(is_pad, INT32_MAX, db_lo[midx] & jnp.int32(0xFFFFFF))
+        tw = db_taxdna[midx]
+        m_taxid = bc32(tw & jnp.uint64(0xFFFFFFFF))
+        m_dna = jnp.where(
+            is_pad, INT32_MAX,
+            bc32(tw >> jnp.uint64(32)) & jnp.int32(0xFFFFFF),
+        )
     m_ham = jnp.where(is_pad, INT32_MAX, row_hsum)
     m_h16 = jnp.where(is_pad, 0, row_h16)
 
@@ -539,8 +566,7 @@ def _classify_core(
     ),
 )
 def _classify_batch_impl(
-    db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
-    db_prefix,
+    db,
     tax2species,
     codes, lens, pos_offsets, qid_offsets,
     *,
@@ -559,8 +585,7 @@ def _classify_batch_impl(
     ov_budget: int = 0,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
-        db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi, db_tax,
-        db_prefix, tax2species,
+        db, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=n_db, search_iters=search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -600,8 +625,7 @@ def classify_batch_indexed(
     ov_budget: int = 0,
 ) -> BatchMatches:
     return _classify_batch_impl(
-        index.grest, index.gstart, index.gend, index.lo32, index.d48lo,
-        index.d48hi, index.taxids, index.prefix, tax2species,
+        index.db, tax2species,
         codes, lens, pos_offsets, qid_offsets,
         n_db=index.n, search_iters=index.search_iters, cap=cap,
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,

@@ -60,14 +60,11 @@ def distribute_index(values: np.ndarray, taxids: np.ndarray, mesh: Mesh,
     (values, taxids); for DBs too large for one host, substitute per-host
     range loading keyed on `jax.process_index()` before the device_put."""
     n_db = mesh.shape["db"]
-    (s_grest, s_gstart, s_gend, s_lo, s_d48lo, s_d48hi, s_tax, s_prefix,
-     n_pad, iters) = shard_index_aa_aligned(values, taxids, n_db, kmer_format)
+    db, n_pad, iters = shard_index_aa_aligned(values, taxids, n_db,
+                                              kmer_format)
     db_sharding = NamedSharding(mesh, P("db", None))
-    put = lambda x: jax.device_put(x, db_sharding)
-    return (
-        put(s_grest), put(s_gstart), put(s_gend), put(s_lo), put(s_d48lo),
-        put(s_d48hi), put(s_tax), put(s_prefix), n_pad, iters,
-    )
+    db_dev = tuple(jax.device_put(a, db_sharding) for a in db)
+    return db_dev, n_pad, iters
 
 
 def distribute_reads(codes, lens, pos_offsets, qid_offsets, mesh: Mesh):

@@ -49,18 +49,18 @@ def shard_index_aa_aligned(
     reduced: bool = False,
 ):
     """Split the sorted table into AA-aligned, equal-padded shards in the
-    32-bit split + group-table representation used by the device pipeline.
+    packed device layout used by the pipeline (see pipeline.DevIndex).
 
-    Returns (grest/gstart/gend [S, Gpad] each,
-    lo32/d48lo/d48hi/tax [S, Npad] each, prefix [S, 2^prefix_bits + 1],
-    n_pad, search_iters). Group padding uses rest = -1 (no real permuted
-    key produces it) and zero-width row ranges; the prefix table only
+    Returns (db, n_pad, search_iters) where ``db`` is the tuple of
+    [S, ...]-shaped shard arrays. Group padding uses an impossible
+    all-ones rest with zero-width row ranges; the prefix table only
     covers real groups, so searches never reach padding.
     """
-    from ..classify.pipeline import pick_prefix_bits, rest_bits
+    from ..classify.pipeline import aa_permute, pick_prefix_bits, rest_bits
 
     n = len(values)
     aa_shift = 32 if reduced else 24
+    aa_bits = 32 if reduced else 40
     aa = values >> np.uint64(aa_shift)
     bounds = [0]
     for s in range(1, n_shards):
@@ -72,9 +72,6 @@ def shard_index_aa_aligned(
     chunks = [(values[a:b], taxids[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
     pad = max(max((len(c[0]) for c in chunks), default=1), 1)
 
-    # per-shard distinct-AA group tables, permuted-key order (see
-    # pipeline.DevIndex)
-    aa_bits = 32 if reduced else 40
     shard_starts = []
     for v, _ in chunks:
         if len(v):
@@ -91,10 +88,14 @@ def shard_index_aa_aligned(
     out_grest = np.full((n_shards, g_pad), -1, np.int32)
     out_gstart = np.zeros((n_shards, g_pad), np.int32)
     out_gend = np.zeros((n_shards, g_pad), np.int32)
-    out_lo = np.full((n_shards, pad), -1, np.int32)
-    out_d48lo = np.zeros((n_shards, pad), np.int32)
-    out_d48hi = np.zeros((n_shards, pad), np.int32)
-    out_t = np.zeros((n_shards, pad), np.int32)
+    if reduced:
+        out_lo = np.full((n_shards, pad), -1, np.int32)
+        out_t = np.zeros((n_shards, pad), np.int32)
+    else:
+        out_taxdna = np.full(
+            (n_shards, pad), np.uint64(0xFFFFFFFF) << np.uint64(32),
+            np.uint64)
+        out_d48 = np.zeros((n_shards, pad), np.uint64)
     prefix = np.zeros((n_shards, (1 << pb) + 1), np.int32)
     iters = 1
     for i, (v, t) in enumerate(chunks):
@@ -104,28 +105,30 @@ def shard_index_aa_aligned(
             pi = aa_permute(v[starts] >> np.uint64(aa_shift), aa_bits)
             order = np.argsort(pi, kind="stable")
             pi_s = pi[order]
-            out_grest[i, :g] = (
-                pi_s & np.uint64((1 << rb) - 1)
-            ).astype(np.int32)
+            out_grest[i, :g] = (pi_s & np.uint64((1 << rb) - 1)).astype(
+                np.int32)
             out_gstart[i, :g] = starts[order].astype(np.int32)
             out_gend[i, :g] = np.append(starts[1:], len(v))[order].astype(
                 np.int32)
-        out_lo[i, : len(v)] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        d48 = (np.zeros(len(v), np.uint64) if reduced
-               else expand_db_dna48(v, kmer_format))
-        out_d48lo[i, : len(v)] = (d48 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        out_d48hi[i, : len(v)] = (d48 >> np.uint64(32)).astype(np.uint32).view(np.int32)
-        out_t[i, : len(t)] = t.astype(np.int32)
-        # prefix table over REAL groups only: searches never reach padding
-        if g:
+            # prefix over REAL groups only: searches never reach padding
             counts = np.bincount(
-                (pi_s >> np.uint64(rb)).astype(np.int64),
-                minlength=1 << pb,
-            )
+                (pi_s >> np.uint64(rb)).astype(np.int64), minlength=1 << pb)
             np.cumsum(counts, out=prefix[i, 1:])
             iters = max(iters, int(np.ceil(np.log2(max(2, counts.max() + 1)))))
-    return (out_grest, out_gstart, out_gend, out_lo, out_d48lo, out_d48hi,
-            out_t, prefix, pad, iters)
+        if reduced:
+            out_lo[i, : len(v)] = (
+                v & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+            out_t[i, : len(t)] = t.astype(np.int32)
+        else:
+            tu = np.ascontiguousarray(t, np.int32).view(np.uint32)
+            out_taxdna[i, : len(v)] = (
+                (v & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | tu
+            out_d48[i, : len(v)] = expand_db_dna48(v, kmer_format)
+    if reduced:
+        db = (out_grest, out_gstart, out_gend, out_lo, out_t, prefix)
+    else:
+        db = (out_grest, out_gstart, out_gend, out_taxdna, out_d48, prefix)
+    return db, pad, iters
 
 
 def build_sharded_classify(
@@ -142,14 +145,11 @@ def build_sharded_classify(
 ):
     """shard_map'd classify step over (data, db)."""
 
-    def local_step(db_grest, db_gstart, db_gend, db_lo, db_d48lo, db_d48hi,
-                   db_tax, db_prefix, t2s,
-                   codes, lens, pos_off, qid_off):
+    def local_step(db, t2s, codes, lens, pos_off, qid_off):
         # prefix width is encoded in the (static) table shape
-        pb = (db_prefix.shape[-1] - 1).bit_length() - 1
+        pb = (db[-1].shape[-1] - 1).bit_length() - 1
         bm = _classify_batch_impl(
-            db_grest[0], db_gstart[0], db_gend[0], db_lo[0], db_d48lo[0],
-            db_d48hi[0], db_tax[0], db_prefix[0], t2s,
+            tuple(a[0] for a in db), t2s,
             codes, lens, pos_off, qid_off,
             n_db=n_pad, search_iters=search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
@@ -165,9 +165,9 @@ def build_sharded_classify(
         cnts = jax.lax.all_gather(bm.counts, "db")    # [n_db, 3]
         return data[None], cnts[None]
 
+    # the first spec is a pytree prefix covering every leaf of the db tuple
     in_specs = (
-        P("db", None), P("db", None), P("db", None), P("db", None),
-        P("db", None), P("db", None), P("db", None), P("db", None), P(),
+        P("db", None), P(),
         P("data", None), P("data"), P("data"), P("data"),
     )
     out_specs = (P("data"), P("data"))

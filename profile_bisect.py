@@ -61,25 +61,27 @@ def main():
             acc = jnp.sum(bc32(q_values & jnp.uint64(0xFFFFFFFF)))
             if stage == "extract":
                 return acc
+            (db_grest, db_gstart, db_gend, db_taxdna, db_d48,
+             db_prefix) = index.db
             q_pi = ((q_values >> jnp.uint64(24)) * jnp.uint64(P.AA_PERM_MULT)
                     ) & jnp.uint64((1 << 40) - 1)
             q_rest = (q_pi & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
             bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
-            n_g = index.grest.shape[0]
-            lo = index.prefix[bucket]
-            bucket_end = index.prefix[bucket + 1]
+            n_g = db_grest.shape[0]
+            lo = db_prefix[bucket]
+            bucket_end = db_prefix[bucket + 1]
             hi = bucket_end
             for _ in range(iters):
                 active = lo < hi
                 mid = (lo + hi) >> 1
                 mid_c = jnp.minimum(mid, jnp.int32(max(n_g - 1, 0)))
-                less = index.grest[mid_c] < q_rest
+                less = db_grest[mid_c] < q_rest
                 lo = jnp.where(active & less, mid + 1, lo)
                 hi = jnp.where(active & ~less, mid, hi)
             g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
-            hit = q_valid & (lo < bucket_end) & (index.grest[g_c] == q_rest)
-            start = index.gstart[g_c]
-            gend = jnp.where(hit, index.gend[g_c], start)
+            hit = q_valid & (lo < bucket_end) & (db_grest[g_c] == q_rest)
+            start = db_gstart[g_c]
+            gend = jnp.where(hit, db_gend[g_c], start)
             acc = acc + jnp.sum(start) + jnp.sum(gend)
             if stage == "search":
                 return acc
@@ -93,9 +95,11 @@ def main():
             q_d48 = mm.dna48.reshape(-1)
             q_d48lo = bc32(q_d48 & jnp.uint64(0xFFFFFFFF))
             q_d48hi = bc32(q_d48 >> jnp.uint64(32))
+            dd = db_d48[idx_c]
             hsum, h_fwd, h_rev = P.hamming_dna48_split(
                 q_d48lo[:, None], q_d48hi[:, None],
-                index.d48lo[idx_c], index.d48hi[idx_c])
+                bc32(dd & jnp.uint64(0xFFFFFFFF)),
+                bc32(dd >> jnp.uint64(32)))
             hsum_m = jnp.where(same_aa, hsum, jnp.int32(255))
             cutoff = jnp.minimum(jnp.min(hsum_m, axis=1) * 2, 7)
             keep = same_aa & (hsum_m <= cutoff[:, None])
@@ -133,9 +137,10 @@ def main():
             acc = acc + jnp.sum(m_pos) + jnp.sum(row_hsum) + jnp.sum(row_h16)
             if stage == "tail_arith":
                 return acc
-            m_taxid = index.taxids[midx]
+            tw = db_taxdna[midx]
+            m_taxid = bc32(tw & jnp.uint64(0xFFFFFFFF))
             m_dna = jnp.where(is_pad, jnp.int32(2**31 - 1),
-                              index.lo32[midx] & jnp.int32(0xFFFFFF))
+                              bc32(tw >> jnp.uint64(32)) & jnp.int32(0xFFFFFF))
             acc = acc + jnp.sum(m_taxid) + jnp.sum(m_dna)
             if stage == "tail_gather":
                 return acc

@@ -42,13 +42,11 @@ def _run_single(values, taxids, t2s, codes, lens, offs, qids, cap=8, budget=8192
 def _run_sharded(values, taxids, t2s, codes, lens, offs, qids, n_db_shards,
                  cap=8, budget=8192):
     mesh = make_mesh(jax.devices(), n_db=n_db_shards)
-    (s_grest, s_gstart, s_gend, s_lo, s_d48lo, s_d48hi, s_tax, s_prefix,
-     n_pad, iters) = shard_index_aa_aligned(values, taxids, n_db_shards)
+    db, n_pad, iters = shard_index_aa_aligned(values, taxids, n_db_shards)
     step = build_sharded_classify(
         mesh, n_pad=n_pad, search_iters=iters, cap=cap, max_matches=budget
     )
-    out = step(s_grest, s_gstart, s_gend, s_lo, s_d48lo, s_d48hi, s_tax,
-               s_prefix, t2s, codes, lens, offs, qids)
+    out = step(db, t2s, codes, lens, offs, qids)
     return merge_shard_matches(out, len(qids), np.asarray(t2s, np.int32))
 
 
