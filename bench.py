@@ -119,8 +119,9 @@ def main():
     from metabuli_tpu.classify.pipeline import (
         build_dev_index,
         classify_batch_indexed,
-        matches_to_host,
-        prefetch_matches,
+        fetched_to_host,
+        prefetch_counts,
+        start_fetch,
     )
     from metabuli_tpu.classify.taxonomer import TaxonomerParams
     from metabuli_tpu.ops.genetic_code import encode_seqs_padded
@@ -166,11 +167,16 @@ def main():
             bm = classify_batch_indexed(
                 index, d_t2s, codes, lens, offs, qids, **kw
             )
-            prefetch_matches(bm)
+            prefetch_counts(bm)
             return bm, n_chunk
 
-        def drain(bm, n_chunk):
-            m = matches_to_host(bm, t2s, sorted_rows=False, prefetched=True)
+        def begin_fetch(bm, n_chunk):
+            # slice the buffer to the REAL match count and start the async
+            # D2H copy; the previous batch's taxonomer overlaps the transfer
+            return start_fetch(bm), n_chunk
+
+        def drain(fetch, n_chunk):
+            m = fetched_to_host(fetch, t2s, sorted_rows=False)
             starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
             ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
             res, _ = taxonomer.assign_batch(
@@ -180,18 +186,25 @@ def main():
 
         # warmup: compile
         t0 = time.time()
-        drain(*dispatch(*batches[0]))
+        drain(*begin_fetch(*dispatch(*batches[0])))
         sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
 
-        # software pipeline: dispatch batch i+1 (async) before draining i
+        # depth-2 software pipeline: while batch i's sliced match transfer
+        # flows D2H, batch i+1's device program runs and batch i-1's host
+        # taxonomer executes
         t0 = time.time()
         classified = 0
-        pending = dispatch(*batches[0])
+        in_dev = dispatch(*batches[0])  # program in flight
+        in_xfer = None                  # transfer in flight
         for b in batches[1:]:
             nxt = dispatch(*b)
-            classified += drain(*pending)
-            pending = nxt
-        classified += drain(*pending)
+            xfer = begin_fetch(*in_dev)
+            if in_xfer is not None:
+                classified += drain(*in_xfer)
+            in_dev, in_xfer = nxt, xfer
+        classified += drain(*begin_fetch(*in_dev)) + (
+            drain(*in_xfer) if in_xfer is not None else 0
+        )
         dt = time.time() - t0
         value = N_READS / dt
         sys.stderr.write(

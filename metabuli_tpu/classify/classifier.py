@@ -277,9 +277,11 @@ class Classifier:
             return ("fused", args, handle, budget,
                     n_reads, max_read_len, read_lens)
         bm = self._launch(args, self.cap, budget)
-        from .pipeline import prefetch_matches
+        from .pipeline import prefetch_counts
 
-        prefetch_matches(bm)
+        # only the counters prefetch at dispatch; the data buffer is sliced
+        # to the real match count and fetched async by _start_fetch
+        prefetch_counts(bm)
         return ("plain", args, bm, budget)
 
     def _launch(self, args, cap, budget):
@@ -379,6 +381,51 @@ class Classifier:
         self.stats["kmers"] += info["total_kmers"]
         self.stats["matches"] += info["n_matches"]
         return results, (args, budget)
+
+    def _start_fetch(self, ctx):
+        """Resolve the plain path's overflow retries from the (prefetched)
+        counters alone, then start the async sliced D2H transfer of the
+        real match rows. Returns a ``MatchFetch`` handle for
+        ``_finish_fetch``; the caller overlaps the transfer with the
+        previous batch's host taxonomer."""
+        from .pipeline import prefetch_counts, start_fetch
+
+        _, args, bm, budget = ctx[:4]
+        t0 = time.time()
+        while True:
+            counts = np.asarray(bm.counts)
+            n_matches, n_over_cap = int(counts[0]), int(counts[1])
+            n_ov = int(counts[3]) if counts.shape[0] > 3 else 0
+            if n_ov > self._ov_budget_used > 0:
+                # tier-2 routing list overflowed: retry with a bigger one
+                self._ov_rows = int(n_ov * 1.3) + 1024
+            elif n_over_cap > 0 and self.cap < self.index.max_group:
+                self.cap = min(self.index.max_group, self.cap * 4)
+            elif n_matches > budget:
+                budget = int(n_matches * 1.2) + 1024
+            else:
+                break
+            bm = self._launch(args, self.cap, budget)
+            prefetch_counts(bm)
+        fetch = start_fetch(bm)
+        self.stats["device_s"] += time.time() - t0
+        self.stats["kmers"] += int(counts[2])
+        self.stats["matches"] += n_matches
+        ratio = n_matches / max(int(counts[2]), 1)
+        self._obs_ratio = max(self._obs_ratio or 0.0, ratio)
+        if self._ov_budget_used:
+            self._ov_rows = max(self._ov_rows or 0, n_ov)
+        return fetch
+
+    def _finish_fetch(self, fetch):
+        """Wait for a ``_start_fetch`` transfer and build the match dict."""
+        from .pipeline import fetched_to_host
+
+        t0 = time.time()
+        m = fetched_to_host(fetch, self._species_np,
+                            sorted_rows=self._sort_device)
+        self.stats["device_s"] += time.time() - t0
+        return m
 
     def _drain_device(self, ctx):
         """Fetch results; retry with larger cap/budget on overflow
@@ -486,6 +533,30 @@ class Classifier:
         self.stats["tax_s"] += time.time() - t0
         return out
 
+    def _emit_batch(self, fh, metas, results, tax_counts, total_reads,
+                    first, mappings, all_results):
+        """Write one batch's classifications + accumulate clade counts/EM."""
+        self.stats["reads"] += len(metas)
+        rows_out = [
+            (meta.name, rc, meta.read_len)
+            for meta, rc in zip(metas, results)
+        ]
+        self.reporter.write_classifications(fh, rows_out, first=first)
+        for rc in results:
+            tax_counts[rc.taxid if rc.is_classified else 0] = (
+                tax_counts.get(rc.taxid if rc.is_classified else 0, 0) + 1
+            )
+        if self.par.em:
+            base = total_reads
+            for i, rc in enumerate(results):
+                for sp, sc in rc.species_scores:
+                    mappings.append((base + i, sp, sc))
+            all_results.extend(
+                (meta.name, rc, meta.read_len)
+                for meta, rc in zip(metas, results)
+            )
+        return total_reads + len(metas), False
+
     # ------------------------------------------------------------------- main
     def classify_file(
         self,
@@ -521,65 +592,90 @@ class Classifier:
         mappings = [] if self.par.em else None
         all_results = [] if self.par.em else None
         with open(cls_path, "a" if skip else "w") as fh:
-            # software pipeline: the next batch's device program is dispatched
-            # (async) before the current batch's host work runs
-            pending = None
+            # depth-2 software pipeline: while batch i's device program runs
+            # and batch i-1's sliced match transfer flows D2H, batch i-2's
+            # host taxonomer executes (results are written in order)
+            pending = None  # (metas, dev_ctx): device program in flight
+            infly = None    # (metas, drain ctx): D2H transfer in flight
             batch_iter = self._iter_batches(q1, q2, skip=skip)
-            while True:
-                nxt = next(batch_iter, None)
-                if nxt is not None:
-                    nxt_ctx = (nxt[0], self._dispatch_device(nxt[1]))
-                else:
-                    nxt_ctx = None
-                if pending is None:
-                    if nxt_ctx is None:
-                        break
-                    pending = nxt_ctx
-                    continue
-                metas, dev_ctx = pending
-                pending = nxt_ctx
-                if dev_ctx[0] == "fused":
-                    results, fallback = self._drain_fused(dev_ctx)
-                    if results is None:
-                        # taxonomer grid overflow: host fallback through the
-                        # match path (rare; pathological match density)
-                        f_args, f_budget = fallback
-                        t0 = time.time()
-                        bm = self._launch(f_args, self.cap, f_budget)
-                        m = matches_to_host(bm, self._species_np)
-                        self.stats["device_s"] += time.time() - t0
-                        results = self._assign_batch(
-                            metas, m, force_host=True
-                        )
-                else:
-                    m = self._drain_device(dev_ctx)
-                    if self.device_taxonomer is not None:
-                        # warmup batch: seed the fused grid sizes
-                        self.device_taxonomer.set_hints(
-                            m, self.taxonomer.p.dna_shift
-                        )
+            done = False
+            while not done or pending is not None or infly is not None:
+                nxt_ctx = None
+                if not done:
+                    nxt = next(batch_iter, None)
+                    if nxt is None:
+                        done = True
+                    else:
+                        nxt_ctx = (nxt[0], self._dispatch_device(nxt[1]))
+                new_infly = None
+                warmup = None
+                if pending is not None:
+                    p_metas, dev_ctx = pending
+                    if dev_ctx[0] == "plain":
+                        fetch = self._start_fetch(dev_ctx)
+                        if (self.device_taxonomer is not None
+                                and not self.device_taxonomer.hints):
+                            # warmup batch: drain synchronously so its match
+                            # dict seeds the fused grid sizes before the
+                            # NEXT dispatch (infly is empty here — every
+                            # batch goes synchronous until hints exist)
+                            warmup = (p_metas, self._finish_fetch(fetch))
+                        else:
+                            # counts-driven retries + async sliced transfer
+                            new_infly = (p_metas, ("plainfetch", fetch))
+                    else:
+                        # fused/chunked contexts drain when processed below
+                        new_infly = (p_metas, dev_ctx)
+                # process the transfer-in-flight batch (oldest first: infly
+                # predates warmup, so emission order == batch order)
+                if infly is not None:
+                    metas, dev_ctx = infly
+                    if dev_ctx[0] == "plainfetch":
+                        m = self._finish_fetch(dev_ctx[1])
+                        if self.device_taxonomer is not None:
+                            # keep growing the fused grid-size hints
+                            self.device_taxonomer.set_hints(
+                                m, self.taxonomer.p.dna_shift
+                            )
+                        results = self._assign_batch(metas, m,
+                                                     force_host=True)
+                    elif dev_ctx[0] == "fused":
+                        results, fallback = self._drain_fused(dev_ctx)
+                        if results is None:
+                            # taxonomer grid overflow: host fallback through
+                            # the match path (rare; pathological density)
+                            f_args, f_budget = fallback
+                            t0 = time.time()
+                            bm = self._launch(f_args, self.cap, f_budget)
+                            m = matches_to_host(bm, self._species_np)
+                            self.stats["device_s"] += time.time() - t0
+                            results = self._assign_batch(
+                                metas, m, force_host=True
+                            )
+                    else:
+                        m = self._drain_device(dev_ctx)
+                        if self.device_taxonomer is not None:
+                            self.device_taxonomer.set_hints(
+                                m, self.taxonomer.p.dna_shift
+                            )
+                        results = self._assign_batch(metas, m,
+                                                     force_host=True)
+                    total_reads, first = self._emit_batch(
+                        fh, metas, results, tax_counts, total_reads, first,
+                        mappings, all_results,
+                    )
+                if warmup is not None:
+                    metas, m = warmup
+                    self.device_taxonomer.set_hints(
+                        m, self.taxonomer.p.dna_shift
+                    )
                     results = self._assign_batch(metas, m, force_host=True)
-                self.stats["reads"] += len(metas)
-                rows_out = [
-                    (meta.name, rc, meta.read_len)
-                    for meta, rc in zip(metas, results)
-                ]
-                self.reporter.write_classifications(fh, rows_out, first=first)
-                first = False
-                for rc in results:
-                    tax_counts[rc.taxid if rc.is_classified else 0] = (
-                        tax_counts.get(rc.taxid if rc.is_classified else 0, 0) + 1
+                    total_reads, first = self._emit_batch(
+                        fh, metas, results, tax_counts, total_reads, first,
+                        mappings, all_results,
                     )
-                if self.par.em:
-                    base = total_reads
-                    for i, rc in enumerate(results):
-                        for sp, sc in rc.species_scores:
-                            mappings.append((base + i, sp, sc))
-                    all_results.extend(
-                        (meta.name, rc, meta.read_len)
-                        for meta, rc in zip(metas, results)
-                    )
-                total_reads += len(metas)
+                infly = new_infly
+                pending = nxt_ctx
 
         with open(report_path, "w") as fh:
             self.reporter.write_report(fh, tax_counts, total_reads)

@@ -429,32 +429,55 @@ def _classify_core(
             q_lo[ov_safe] if reduced else None,
             fwd_q[ov_safe],
         )
+    # per-slot payload packed next to the partition key: h16 (16b) +
+    # hamming (3b; kept rows have hsum <= min-cutoff <= 7) ride through the
+    # compaction sort, so no [Q, cap]-array re-gathers after it
+    pay1 = (h16 << 3) | (hsum & 7)
+    if two_tier:
         keep = keep & ~over[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
         over2 = ~ov_pad & (start2 + cap2 < gend2)
         n_over_cap = jnp.sum(over2.astype(jnp.int32))
         flat_keep = jnp.concatenate([keep.reshape(-1), keep2.reshape(-1)])
+        flat_pay = jnp.concatenate(
+            [pay1.reshape(-1), ((h16_2 << 3) | (hsum2 & 7)).reshape(-1)]
+        )
+        if reduced:
+            flat_dna = jnp.concatenate(
+                [t_dna.reshape(-1), t_dna2.reshape(-1)]
+            )
         total_slots = Q * cap + ov_budget * cap2
     else:
         n_ov = jnp.int32(0)
         n_over_cap = jnp.sum(over.astype(jnp.int32))
         flat_keep = keep.reshape(-1)
+        flat_pay = pay1.reshape(-1)
+        if reduced:
+            flat_dna = t_dna.reshape(-1)
         total_slots = Q * cap
 
-    # ---- compaction to a fixed budget of flat rows (cumsum + scatter;
-    # cheaper than jnp.nonzero's sort-based path on TPU)
-    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
-    n_matches = pos[-1] + 1
-    scatter_idx = jnp.where(
-        flat_keep & (pos < max_matches), pos, jnp.int32(max_matches)
-    )
-    rows = (
-        jnp.full(max_matches, total_slots, jnp.int32)
-        .at[scatter_idx]
-        .set(jnp.arange(total_slots, dtype=jnp.int32), mode="drop")
-    )
-    is_pad = rows >= total_slots
+    # ---- compaction to a fixed budget of flat rows via a PARTITION SORT:
+    # one sort on (kept ? slot : INT32_MAX) moves kept slots to the front
+    # in slot order (byte-identical to a stable compaction) and carries the
+    # per-slot payload as a non-key operand — cheaper on TPU than a
+    # scatter, and it saves the [Q, cap] re-gathers the scatter needed
+    n_matches = jnp.sum(flat_keep.astype(jnp.int32))
+    slot = jnp.arange(total_slots, dtype=jnp.int32)
+    part_key = jnp.where(flat_keep, slot, INT32_MAX)
+    if reduced:
+        s_key, s_pay, s_dna = jax.lax.sort(
+            (part_key, flat_pay, flat_dna), num_keys=1
+        )
+        row_tdna = s_dna[:max_matches]
+    else:
+        s_key, s_pay = jax.lax.sort((part_key, flat_pay), num_keys=1)
+        row_tdna = None
+    rows = s_key[:max_matches]
+    s_pay = s_pay[:max_matches]
+    is_pad = rows == INT32_MAX
     safe = jnp.minimum(rows, total_slots - 1)
+    row_hsum = s_pay & 7
+    row_h16 = s_pay >> 3
     if two_tier:
         in2 = safe >= Q * cap
         safe1 = jnp.minimum(safe, Q * cap - 1)
@@ -464,18 +487,15 @@ def _classify_core(
         oq = (r2 // cap2).astype(jnp.int32)
         ci2 = (r2 % cap2).astype(jnp.int32)
         qi = jnp.where(in2, ov_safe[oq], qi1)
-        midx = jnp.where(in2, idx2_c[oq, ci2], idx_c[qi1, ci1])
-        sel = lambda a2, a1: jnp.where(in2, a2[oq, ci2], a1[qi1, ci1])
-        row_hsum = sel(hsum2, hsum)
-        row_h16 = sel(h16_2, h16)
-        row_tdna = sel(t_dna2, t_dna) if reduced else None
+        midx = jnp.where(
+            in2,
+            jnp.minimum(start2[oq] + ci2, n_safe),
+            jnp.minimum(start[qi1] + ci1, n_safe),
+        )
     else:
         qi = (safe // cap).astype(jnp.int32)
         ci = (safe % cap).astype(jnp.int32)
-        midx = idx_c[qi, ci]
-        row_hsum = hsum[qi, ci]
-        row_h16 = h16[qi, ci]
-        row_tdna = t_dna[qi, ci] if reduced else None
+        midx = jnp.minimum(start[qi] + ci, n_safe)
 
     # qid/frame/pos derive from the flat index arithmetically (gathers only
     # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts); the
@@ -680,6 +700,72 @@ def prefetch_matches(bm: BatchMatches) -> None:
                 return
 
 
+class MatchFetch(NamedTuple):
+    """An in-flight (possibly async) D2H transfer of one batch's matches."""
+
+    data: object        # device array [W, n_pad] (or np array), slice of data
+    counts: np.ndarray  # host counts [3-4]
+    n_true: int         # true match count (may exceed the buffer on overflow)
+
+
+def prefetch_counts(bm: BatchMatches) -> None:
+    """Start the async D2H copy of just the counters (call right after
+    dispatch). By drain time the counts are host-local, so the data slice
+    length is known without a blocking device roundtrip."""
+    fn = getattr(bm.counts, "copy_to_host_async", None)
+    if fn is not None:
+        try:
+            fn()
+        except Exception:  # platform without async copies
+            pass
+
+
+def start_fetch(bm: BatchMatches) -> MatchFetch:
+    """Begin the D2H transfer of the REAL match rows only.
+
+    Reads the (prefetched) counters, slices the device buffer to the next
+    power of two >= n_matches (so only O(log M) slice programs ever
+    compile; remote compiles are expensive on tunneled TPU platforms) and
+    starts an async copy of the slice. The returned handle is finished by
+    ``fetched_to_host`` — host work (e.g. the previous batch's taxonomer)
+    can run while the transfer flows. On transfer-bound links (tunneled
+    dev chips at ~40MB/s; real PCIe less so) this cuts the drain cost by
+    the buffer-slack factor vs fetching the whole budget buffer."""
+    counts = np.asarray(bm.counts)
+    n_true = int(counts[0])
+    W, M = bm.data.shape
+    n = min(n_true, M)
+    if n == 0:
+        return MatchFetch(np.zeros((W, 0), np.int32), counts, n_true)
+    if isinstance(bm.data, np.ndarray):
+        return MatchFetch(bm.data, counts, n_true)
+    if n >= M // 2:
+        data = bm.data
+    else:
+        n_pad = 1024
+        while n_pad < n:
+            n_pad *= 2
+        data = bm.data[:, :n_pad]
+    fn = getattr(data, "copy_to_host_async", None)
+    if fn is not None:
+        try:
+            fn()
+        except Exception:
+            pass
+    return MatchFetch(data, counts, n_true)
+
+
+def fetched_to_host(
+    f: MatchFetch, species_table: np.ndarray = None,
+    sorted_rows: bool = True,
+) -> dict:
+    """Finish a ``start_fetch`` transfer -> host match dict."""
+    n = min(f.n_true, np.asarray(f.data).shape[1]) if f.n_true else 0
+    data = np.asarray(f.data)[:, :n]
+    return _unpack_match_data(data, f.counts, f.n_true, species_table,
+                              sorted_rows)
+
+
 def matches_to_host(
     bm: BatchMatches, species_table: np.ndarray = None,
     sorted_rows: bool = True, prefetched: bool = False,
@@ -714,6 +800,15 @@ def matches_to_host(
             n_pad *= 2
         n_pad = min(n_pad, M)
         data = np.asarray(bm.data[:, :n_pad])[:, :n]
+    return _unpack_match_data(data, counts, n_true, species_table,
+                              sorted_rows)
+
+
+def _unpack_match_data(
+    data: np.ndarray, counts: np.ndarray, n_true: int,
+    species_table: np.ndarray, sorted_rows: bool,
+) -> dict:
+    W, n = data.shape
     if W == 4:  # pack4 layout
         h16 = (data[0] >> 14) & 0xFFFF
         ham = np.zeros(n, np.int32)
