@@ -89,7 +89,11 @@ def combine_paths(
      s_sh16, s_eh16, s_valid) = s
     s_valid = s_valid.astype(bool)
 
-    # group = (read, species) run
+    # group = (read, species) run. Paths are SORTED, so each group's rows
+    # are one contiguous run: the [P, G] grids are windowed GATHERS from
+    # the flat arrays at the per-group run start (one scatter-min builds
+    # the run-start table) — far cheaper on TPU than scattering every
+    # path row into the grids.
     M = s_read.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
     new_g = jnp.ones(M, bool)
@@ -99,33 +103,39 @@ def combine_paths(
     new_g = new_g & s_valid
     gid = jnp.cumsum(new_g.astype(jnp.int32)) - 1
     gid = jnp.where(s_valid, gid, n_groups)
-    run_start = jax.lax.cummax(jnp.where(new_g, idx, 0))
-    slot = idx - run_start
+    n_valid = jnp.sum(s_valid.astype(jnp.int32))
 
-    ok = s_valid & (gid < n_groups) & (slot < p_max)
-    over = s_valid & ((gid >= n_groups) | (slot >= p_max))
-    fallback = (
-        jnp.zeros(n_groups + 1, bool)
-        .at[jnp.minimum(gid, n_groups)].max(over)[:n_groups]
+    gstart_tab = (
+        jnp.full(n_groups + 2, M, jnp.int32)
+        .at[jnp.where(new_g, jnp.minimum(gid, n_groups + 1), n_groups + 1)]
+        .min(idx, mode="drop")
     )
-    g_i = jnp.where(ok, gid, n_groups)
-    s_i = jnp.where(ok, slot, 0)
+    gstart = gstart_tab[:n_groups]                      # [G]
+    gend = jnp.minimum(gstart_tab[1 : n_groups + 1], n_valid)
+    run_len = jnp.maximum(gend - gstart, 0)             # [G]
+    # host-recombine flag: more paths than device slots. (Groups past the
+    # table surface through the caller's g_budget overflow counter, as in
+    # the scatter formulation.)
+    fallback = run_len > p_max
+    win = gstart[None, :] + jnp.arange(p_max, dtype=jnp.int32)[:, None]
+    occ = win < gend[None, :]                           # [P, G]
+    win_c = jnp.minimum(win, M - 1)
 
     def grid(x, fill, dtype):
-        # [P, G] layout: the big group axis stays minor (TPU lanes)
-        g = jnp.full((p_max, n_groups + 1), fill, dtype)
-        return g.at[s_i, g_i].set(x.astype(dtype), mode="drop")[:, :n_groups]
+        v = x[win_c].astype(dtype)
+        return jnp.where(occ, v, fill)
 
-    G_occ = grid(ok, False, bool)
+    G_occ = occ
     G_start = grid(s_start, 0, jnp.int32)
     G_end = grid(s_end, -1, jnp.int32)
     G_score = grid(s_score, 0, jnp.float32)
     G_ham = grid(s_ham, 0, jnp.int32)
     G_sh16 = grid(s_sh16, 0, jnp.int32)
     G_eh16 = grid(s_eh16, 0, jnp.int32)
-    group_read = grid(s_read, big, jnp.int32).min(axis=0)
-    group_species = grid(s_species, 0, jnp.int32).max(axis=0)
-    group_valid = G_occ.any(axis=0)
+    gs_c = jnp.minimum(gstart, M - 1)
+    group_valid = run_len > 0
+    group_read = jnp.where(group_valid, s_read[gs_c], big)
+    group_species = jnp.where(group_valid, s_species[gs_c], 0)
 
     nb = n_groups
 
@@ -211,18 +221,18 @@ def combine_paths(
     score = jnp.where(group_valid, score, 0.0)
 
     # compact the paths of fallback groups so the host can redo exactly
-    # those groups (cumsum + scatter, same pattern as compact_paths)
+    # those groups (partition sort, same pattern as compact_paths)
     in_ov = s_valid & fallback[jnp.minimum(gid, n_groups - 1)] \
         & (gid < n_groups)
-    pos_ov = jnp.cumsum(in_ov.astype(jnp.int32)) - 1
-    n_ov = pos_ov[-1] + 1
-    scatter = jnp.where(in_ov & (pos_ov < ov_budget), pos_ov,
-                        jnp.int32(ov_budget))
-    rows = (
-        jnp.full(ov_budget, M, jnp.int32)
-        .at[scatter].set(idx, mode="drop")
+    n_ov = jnp.sum(in_ov.astype(jnp.int32))
+    rows = jax.lax.sort(
+        jnp.where(in_ov, idx, jnp.int32(2**31 - 1))
     )
-    pad = rows >= M
+    if rows.shape[0] < ov_budget:  # budget may exceed the path capacity
+        rows = jnp.pad(rows, (0, ov_budget - rows.shape[0]),
+                       constant_values=2**31 - 1)
+    rows = rows[:ov_budget]
+    pad = rows == jnp.int32(2**31 - 1)
     safe = jnp.minimum(rows, M - 1)
     take = lambda a, fill: jnp.where(pad, fill, a[safe])
     return CombineResult(

@@ -37,17 +37,17 @@ def compact_paths(chain_result, *, budget: int) -> FlatPaths:
     em = res.emit_mask  # [W1, K, NB] (block axis minor: TPU lane-friendly)
     w1, k, nb = em.shape
     flat = em.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    n_paths = pos[-1] + 1
-    scatter_idx = jnp.where(
-        flat & (pos < budget), pos, jnp.int32(budget)
-    )
-    rows = (
-        jnp.full(budget, w1 * nb * k, jnp.int32)
-        .at[scatter_idx]
-        .set(jnp.arange(w1 * nb * k, dtype=jnp.int32), mode="drop")
-    )
-    pad = rows >= w1 * nb * k
+    n_paths = jnp.sum(flat.astype(jnp.int32))
+    # partition sort: (emitted ? slot : MAX) moves emitted slots to the
+    # front in slot order — byte-identical to a stable scatter compaction
+    # and cheaper on TPU (see pipeline._classify_core)
+    slot = jnp.arange(w1 * nb * k, dtype=jnp.int32)
+    rows = jax.lax.sort(jnp.where(flat, slot, INT32_MAX))
+    if rows.shape[0] < budget:  # budget may exceed the grid capacity
+        rows = jnp.pad(rows, (0, budget - rows.shape[0]),
+                       constant_values=2**31 - 1)
+    rows = rows[:budget]
+    pad = rows == INT32_MAX
     safe = jnp.minimum(rows, w1 * nb * k - 1)
     b_idx = safe % nb
 

@@ -43,6 +43,32 @@ def device_taxonomy(tax) -> DeviceTaxonomy:
     )
 
 
+def seg_broadcast(flag, val):
+    """Propagate ``val`` forward from flagged rows through each run
+    (segmented broadcast as an associative scan — scans are VPU-cheap on
+    TPU where per-element scatters/gathers cost ~10ns each)."""
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av)
+
+    return jax.lax.associative_scan(op, (flag, val))[1]
+
+
+def seg_suffix_or(blk_last, val):
+    """Segmented suffix-OR: row i gets OR(val[i:]) within its run, where
+    ``blk_last`` marks each run's last row."""
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv | (~bf & av)
+
+    f, v = jax.lax.associative_scan(
+        op, (jnp.flip(blk_last), jnp.flip(val))
+    )
+    return jnp.flip(v)
+
+
 def lca_pairs(dt: DeviceTaxonomy, a: jax.Array, b: jax.Array) -> jax.Array:
     """Vectorized LCA of internal-id arrays; 0 propagates the other side."""
     fa = dt.euler_first[jnp.maximum(a, 0)]
@@ -80,17 +106,22 @@ def quotient_best(
     # quotients span frames, but matches arrive frame-major — re-sort so
     # each (read, species, quotient) set is one contiguous segment
     # (`filterRedundantMatches` walks the whole species range, all frames).
-    # hamming (<=7 after the 2*min cutoff, <=56 worst case) packs with the
-    # taxid payload; tie order within a segment is immaterial (LCA below).
+    # The 4th KEY is (hamming << 25 | euler_first[taxid]): within a segment
+    # the minimum-hamming ties come first, ordered by Euler first-occurrence
+    # — so the tie set's extremal Euler pair (all the LCA needs) falls out
+    # of segment-head/ tie-block-end SCANS, with no scatter tables at all.
+    # hamming <= 7 post-cutoff; euler positions < 2^25 (16M-node taxonomies).
     big_key = jnp.int32(2**31 - 1)
     k_qid = jnp.where(valid, qid, big_key)
-    qid, species, quot, hamtax = jax.lax.sort(
-        (k_qid, species, quot, (hamming << 26) | taxid),
-        num_keys=3,
+    ef_all = jnp.clip(
+        dt.euler_first[jnp.maximum(taxid, 0)], 0, (1 << 25) - 1
+    )
+    hamef_key = (jnp.minimum(hamming, 63) << 25) | ef_all
+    qid, species, quot, hamef = jax.lax.sort(
+        (k_qid, species, quot, hamef_key),
+        num_keys=4,
     )
     valid = qid != big_key
-    hamming = jnp.where(valid, hamtax >> 26, 255)
-    taxid = hamtax & jnp.int32((1 << 26) - 1)
     seg_new = jnp.ones(M, bool)
     seg_new = seg_new.at[1:].set(
         ~(
@@ -100,47 +131,35 @@ def quotient_best(
         )
     )
     seg_new = seg_new | ~valid
-    seg = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
 
-    # per-segment min hamming: scatter-min into a segment table, gather back
-    big = jnp.int32(255)
-    h = jnp.where(valid, hamming, big)
-    n_seg_cap = M
-    seg_c = jnp.minimum(seg, n_seg_cap)
-    table = (
-        jnp.full(n_seg_cap + 1, big, jnp.int32)
-        .at[seg_c]
-        .min(h, mode="drop")
-    )
-    minh = table[seg_c]
-    is_tie = valid & (h == minh)
-
-    # LCA over each segment's tie set = LCA of the two members whose Euler
-    # first-occurrences are extremal (classic Euler-tour property). Since
-    # euler_node[euler_first[x]] == x, two plain int32 scatter-reductions of
-    # the first-occurrence positions identify the pair, and the range-min
-    # LCA runs directly on those positions over the compacted rows —
-    # no log-rounds, exact for any tie-set size.
-    ef = dt.euler_first[jnp.maximum(taxid, 0)]
-    big_ef = jnp.int32(2**30)
-    efmin = (
-        jnp.full(n_seg_cap + 1, big_ef, jnp.int32)
-        .at[seg_c].min(jnp.where(is_tie, ef, big_ef), mode="drop")
-    )
-    efmax = (
-        jnp.full(n_seg_cap + 1, -1, jnp.int32)
-        .at[seg_c].max(jnp.where(is_tie, ef, -1), mode="drop")
+    # segment head carries (min hamming, min Euler-first) of the tie set
+    head_hamef = seg_broadcast(seg_new, hamef)
+    ham_row = hamef >> 25
+    efmin_row = head_hamef & jnp.int32((1 << 25) - 1)
+    # tie-block end carries the max Euler-first: blocks are (segment, ham)
+    # runs; reverse-broadcast ef from each block's last row
+    blk_new = seg_new.at[1:].set(seg_new[1:] | (ham_row[1:] != ham_row[:-1]))
+    blk_last = jnp.concatenate([blk_new[1:], jnp.ones(1, bool)])
+    ef_row = hamef & jnp.int32((1 << 25) - 1)
+    efmax_row = jnp.flip(
+        seg_broadcast(jnp.flip(blk_last), jnp.flip(ef_row))
     )
 
     first_of_seg = seg_new & valid
-    (rows,) = jnp.nonzero(
-        first_of_seg, size=max_rows, fill_value=M
+    # partition sort (see pipeline._classify_core): segment heads compact
+    # to the front in slot order, cheaper than nonzero's scatter lowering
+    slot = jnp.arange(M, dtype=jnp.int32)
+    rows = jax.lax.sort(
+        jnp.where(first_of_seg, slot, jnp.int32(2**31 - 1))
     )
-    pad = rows >= M
+    if rows.shape[0] < max_rows:  # budget may exceed the match capacity
+        rows = jnp.pad(rows, (0, max_rows - rows.shape[0]),
+                       constant_values=2**31 - 1)
+    rows = rows[:max_rows]
+    pad = rows == jnp.int32(2**31 - 1)
     safe = jnp.minimum(rows, M - 1)
-    seg_r = seg_c[safe]
-    lo_r = jnp.clip(efmin[seg_r], 0, dt.euler_node.shape[0] - 1)
-    hi_r = jnp.clip(efmax[seg_r], lo_r, dt.euler_node.shape[0] - 1)
+    lo_r = jnp.clip(efmin_row[safe], 0, dt.euler_node.shape[0] - 1)
+    hi_r = jnp.clip(efmax_row[safe], lo_r, dt.euler_node.shape[0] - 1)
     length = hi_r - lo_r + 1
     kk = 31 - jax.lax.clz(length)
     left = dt.sparse[kk, lo_r]

@@ -429,10 +429,20 @@ def _classify_core(
             q_lo[ov_safe] if reduced else None,
             fwd_q[ov_safe],
         )
-    # per-slot payload packed next to the partition key: h16 (16b) +
-    # hamming (3b; kept rows have hsum <= min-cutoff <= 7) ride through the
-    # compaction sort, so no [Q, cap]-array re-gathers after it
+    # per-slot payloads ride through the compaction sort so nothing has to
+    # be re-gathered after it: h16 (16b) + hamming (3b; kept rows have
+    # hsum <= min-cutoff <= 7) pack into one word; qid and pos are plain
+    # broadcasts of per-query values (broadcasts are layout ops — the
+    # [B, 6]-table gathers they replace cost ~10ns/element on TPU)
     pay1 = (h16 << 3) | (hsum & 7)
+    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)   # [Q]
+    q_qid = jnp.broadcast_to(
+        qid_offsets[:, None, None], (B, 6, W)
+    ).reshape(-1)                                               # [Q]
+
+    def slots1(x):
+        return jnp.broadcast_to(x[:, None], (Q, cap)).reshape(-1)
+
     if two_tier:
         keep = keep & ~over[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
@@ -442,6 +452,14 @@ def _classify_core(
         flat_pay = jnp.concatenate(
             [pay1.reshape(-1), ((h16_2 << 3) | (hsum2 & 7)).reshape(-1)]
         )
+
+        def slots2(x):
+            return jnp.broadcast_to(
+                x[ov_safe][:, None], (ov_budget, cap2)
+            ).reshape(-1)
+
+        flat_qid = jnp.concatenate([slots1(q_qid), slots2(q_qid)])
+        flat_pos = jnp.concatenate([slots1(q_pos), slots2(q_pos)])
         if reduced:
             flat_dna = jnp.concatenate(
                 [t_dna.reshape(-1), t_dna2.reshape(-1)]
@@ -452,6 +470,8 @@ def _classify_core(
         n_over_cap = jnp.sum(over.astype(jnp.int32))
         flat_keep = keep.reshape(-1)
         flat_pay = pay1.reshape(-1)
+        flat_qid = slots1(q_qid)
+        flat_pos = slots1(q_pos)
         if reduced:
             flat_dna = t_dna.reshape(-1)
         total_slots = Q * cap
@@ -464,16 +484,27 @@ def _classify_core(
     n_matches = jnp.sum(flat_keep.astype(jnp.int32))
     slot = jnp.arange(total_slots, dtype=jnp.int32)
     part_key = jnp.where(flat_keep, slot, INT32_MAX)
+    def padded(x):  # the budget may exceed the slot capacity
+        if x.shape[0] < max_matches:
+            fill = INT32_MAX if x.dtype == jnp.int32 else 0
+            x = jnp.pad(x, (0, max_matches - x.shape[0]),
+                        constant_values=fill)
+        return x[:max_matches]
+
     if reduced:
-        s_key, s_pay, s_dna = jax.lax.sort(
-            (part_key, flat_pay, flat_dna), num_keys=1
+        s_key, s_pay, s_qid, s_pos, s_dna = jax.lax.sort(
+            (part_key, flat_pay, flat_qid, flat_pos, flat_dna), num_keys=1
         )
-        row_tdna = s_dna[:max_matches]
+        row_tdna = padded(s_dna)
     else:
-        s_key, s_pay = jax.lax.sort((part_key, flat_pay), num_keys=1)
+        s_key, s_pay, s_qid, s_pos = jax.lax.sort(
+            (part_key, flat_pay, flat_qid, flat_pos), num_keys=1
+        )
         row_tdna = None
-    rows = s_key[:max_matches]
-    s_pay = s_pay[:max_matches]
+    rows = padded(s_key)
+    s_pay = padded(s_pay)
+    row_qid = padded(s_qid)
+    row_pos = padded(s_pos)
     is_pad = rows == INT32_MAX
     safe = jnp.minimum(rows, total_slots - 1)
     row_hsum = s_pay & 7
@@ -497,30 +528,13 @@ def _classify_core(
         ci = (safe % cap).astype(jnp.int32)
         midx = jnp.minimum(start[qi] + ci, n_safe)
 
-    # qid/frame/pos derive from the flat index arithmetically (gathers only
-    # into the SMALL [B]/[B,6] tables, not the [Q]-sized broadcasts); the
-    # (qid, pos0) pair packs into one u64 word -> ONE gather per row
+    # qid/pos arrive as compaction-sort payloads (no per-row table
+    # gathers); frame derives from the flat index arithmetically
     w_s = max(W, 1)  # W==0 never yields matches; avoid div-by-zero tracing
-    m_row = qi // (6 * w_s)
     m_frame_raw = (qi // w_s) % 6
-    m_w = qi % w_s
-    pos0 = mm.pos[:, :, 0] + pos_offsets[:, None]  # [B, 6]
-    # bias keeps the packed low word nonnegative (pos0 >= -2 pre-window
-    # clamps on degenerate short reads, whose rows are never selected)
-    qp = (
-        (qid_offsets.astype(jnp.uint32).astype(jnp.uint64)[:, None]
-         << jnp.uint64(32))
-        | (pos0 + 8).astype(jnp.uint32).astype(jnp.uint64)
-    )  # [B, 6]
-    qpw = qp[m_row, m_frame_raw]
-    sign = jnp.array([1, 1, 1, -1, -1, -1], jnp.int32)
-    m_qid = jnp.where(is_pad, INT32_MAX, bc32(qpw >> jnp.uint64(32)))
+    m_qid = jnp.where(is_pad, INT32_MAX, row_qid)
     m_frame = jnp.where(is_pad, INT32_MAX, m_frame_raw)
-    m_pos = jnp.where(
-        is_pad, INT32_MAX,
-        bc32(qpw & jnp.uint64(0xFFFFFFFF)) - 8
-        + sign[m_frame_raw] * 3 * m_w,
-    )
+    m_pos = jnp.where(is_pad, INT32_MAX, row_pos)
     # dna/taxid gathers run AFTER compaction (budget rows, not Q*cap);
     # the standard layout packs (value_lo32, taxid) into one u64 gather
     if reduced:

@@ -1,0 +1,95 @@
+"""Profile the fused program with jax.profiler; print top device ops."""
+
+import glob
+import gzip
+import json
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import metabuli_tpu  # noqa: F401
+import bench as B
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    from metabuli_tpu.classify.device_taxonomer import DeviceTaxonomer
+    from metabuli_tpu.classify.pipeline import (
+        build_dev_index, classify_batch_indexed, matches_to_host)
+    from metabuli_tpu.classify.taxonomer import TaxonomerParams
+    from metabuli_tpu.ops.genetic_code import encode_seqs_padded
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tax, genomes, rng = B.build_world(tmp)
+        z = np.load("/tmp/prof_db.npz")
+        values, taxids, cap = z["values"], z["taxids"], int(z["cap"])
+        reads = B.sample_reads(genomes, rng)
+        index = build_dev_index(values, taxids)
+        d_t2s = jax.device_put(tax.species_of.astype(np.int32))
+        tp = TaxonomerParams()
+        dtx = DeviceTaxonomer(tp, tax)
+        read_len = 3 * ((B.READ_LEN - 2) // 3)
+        chunk = reads[: B.BATCH]
+        codes, lens = encode_seqs_padded(chunk, 160)
+        offs = np.zeros(len(chunk), np.int32)
+        qids = np.arange(len(chunk), dtype=np.int32)
+        rl = np.full(B.BATCH, read_len, np.int32)
+        max_matches = B.BATCH * 300
+
+        bm = classify_batch_indexed(
+            index, d_t2s, codes, lens, offs, qids,
+            cap=max(1, cap), max_matches=max_matches)
+        m = matches_to_host(bm, tax.species_of.astype(np.int32))
+        dtx.set_hints(m, tp.dna_shift)
+
+        def run():
+            h = dtx.dispatch_fused(
+                index, d_t2s, codes, lens, offs, qids,
+                n_reads=B.BATCH, max_read_len=read_len,
+                cap=max(1, cap), max_matches=max_matches,
+                reduced=False, syncmer=False, smer_len=5, kmer_format=2,
+                read_lens_by_qid=rl)
+            np.asarray(h[1])
+
+        run()
+        shutil.rmtree("/tmp/jaxtrace_f", ignore_errors=True)
+        with jax.profiler.trace("/tmp/jaxtrace_f"):
+            run()
+
+    tr = sorted(glob.glob("/tmp/jaxtrace_f/**/*.trace.json.gz",
+                          recursive=True))[-1]
+    data = json.load(gzip.open(tr))
+    events = data["traceEvents"]
+    # device-lane events: aggregate durations by op name
+    agg = {}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        pid = e.get("pid", 0)
+        cat = e.get("cat", "")
+        args = e.get("args", {})
+        # keep likely-XLA-op events
+        key = (pid, name.split(".")[0])
+        agg.setdefault(key, [0.0, 0])
+        agg[key][0] += e["dur"] / 1e3
+        agg[key][1] += 1
+    # identify process names
+    pnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+    print("processes:", pnames)
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:45]
+    for (pid, name), (dur, cnt) in rows:
+        print(f"{dur:9.1f} ms  x{cnt:<5d} pid={pnames.get(pid, pid)}  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
