@@ -86,6 +86,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         # classify statics
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
+        "packed_search",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -100,7 +101,7 @@ def _fused_classify_tax(
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
     kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
-    ov_budget,
+    ov_budget, packed_search=False,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -120,6 +121,7 @@ def _fused_classify_tax(
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
             prefix_bits=prefix_bits, cap2=cap2, ov_budget=cap_ov_budget,
+            packed_search=packed_search,
         )
     )
     valid = s_qid != INT32_MAX
@@ -156,20 +158,29 @@ def _fused_classify_tax(
         (rr[1:] != rr[:-1]) | (rs[1:] != rs[:-1]) | (rt[1:] != rt[:-1])
     )
     new = new & vrow
-    run_id = jnp.cumsum(new.astype(jnp.int32)) - 1
     R = rr.shape[0]
-    run_counts = (
-        jnp.zeros(R + 1, jnp.int32)
-        .at[jnp.where(vrow, run_id, R)].add(1, mode="drop")
-    )
     n_taxcnt = jnp.sum(new.astype(jnp.int32))
-    (firsts,) = jnp.nonzero(new, size=taxcnt_budget, fill_value=R)
-    tpad = firsts >= R
+    # run lengths via next-head positions (head compaction by partition
+    # sort; nonzero/scatter lowerings cost ~10ns per source row)
+    idx_r = jnp.arange(R, dtype=jnp.int32)
+    firsts = jax.lax.sort(jnp.where(new, idx_r, jnp.int32(2**31 - 1)))
+    if firsts.shape[0] < taxcnt_budget:
+        firsts = jnp.pad(firsts, (0, taxcnt_budget - firsts.shape[0]),
+                         constant_values=2**31 - 1)
+    firsts = firsts[:taxcnt_budget]
+    tpad = firsts == jnp.int32(2**31 - 1)
     tsafe = jnp.minimum(firsts, R - 1)
+    # NB: jnp.sum promotes int32 -> int64 under x64; an int64 operand
+    # would silently upcast the packed output concat and shift its layout
+    n_valid_rows = jnp.sum(vrow.astype(jnp.int32)).astype(jnp.int32)
+    next_head = jnp.concatenate(
+        [firsts[1:], jnp.full(1, 2**31 - 1, jnp.int32)]
+    )
+    run_end = jnp.minimum(next_head, n_valid_rows)
     t_read = jnp.where(tpad, INT32_MAX, rr[tsafe])
     t_species = jnp.where(tpad, INT32_MAX, rs[tsafe])
     t_taxid = jnp.where(tpad, 0, rt[tsafe])
-    t_count = jnp.where(tpad, 0, run_counts[jnp.where(tpad, 0, run_id[tsafe])])
+    t_count = jnp.where(tpad, 0, run_end - tsafe)
 
     # bit flags so the retry ladder can target the exhausted resource;
     # path-slot (p_max) overflow is NOT fatal — those groups' paths ship to
@@ -313,8 +324,10 @@ class DeviceTaxonomer:
             "nb": n_blocks,
             "k": int(ties.max()) if len(ties) else 1,
             # paths are bounded by blocks x path starts; observed data shows
-            # ~1-2 per block, keep 4x headroom inside the pow2 rounding
-            "paths": 4 * n_blocks,
+            # ~1-2 per block (2x seed + fused_sizes' 1.5x + pow2 rounding
+            # give >= 3x headroom; drain_fused folds in observed counts and
+            # the overflow retry ladder recompiles if a batch still bursts)
+            "paths": 2 * n_blocks,
             "rows": int(segs.sum()),
             "groups": int(groups.sum()),
             # distinct (read, species, taxid) triples aggregate far below
@@ -347,7 +360,8 @@ class DeviceTaxonomer:
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
             prefix_bits=index.prefix_bits, cap2=cap2,
-            cap_ov_budget=cap_ov_budget, **sizes,
+            cap_ov_budget=cap_ov_budget,
+            packed_search=index.packed_search, **sizes,
         )
         try:
             packed, counts = _fused_classify_tax(*args, **kw)

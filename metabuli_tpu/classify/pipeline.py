@@ -141,6 +141,7 @@ class DevIndex(NamedTuple):
     n: int
     search_iters: int   # static binary-search depth within a bucket
     prefix_bits: int
+    packed_search: bool = False  # compact search layout (see below)
 
 
 def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
@@ -228,7 +229,26 @@ def build_dev_index(
     np.cumsum(counts, out=prefix[1:])
     max_bucket = int(counts.max()) if n_groups else 1
     iters = max(1, int(np.ceil(np.log2(max(2, max_bucket + 1)))))
+    max_group = int((gend - gstart).max()) if n_groups else 1
     taxids_u = np.ascontiguousarray(taxids, np.int32).view(np.uint32)
+    # Compact search layout (element count is what TPU gathers charge for):
+    #   prefix_packed i32 [2^pb]: bucket start(23b) << 8 | load(8b) — ONE
+    #     element instead of the (start, end) pair;
+    #   gbounds u64 [G]: rest(17b) << 47 | start(31b) << 16 | cnt(16b) —
+    #     ONE u64 (2 elements) yields tag verify + row range, instead of
+    #     three separate i32 gathers.
+    rb_fits = rest_bits(reduced, pb) <= 17
+    import os as _os
+
+    packed = (
+        not reduced
+        and not _os.environ.get("METABULI_TPU_NO_PACKED_SEARCH")
+        and rb_fits
+        and n_groups < (1 << 23)
+        and max_bucket <= 255
+        and max_group <= 0xFFFF
+        and n < (1 << 31)
+    )
     if reduced:
         # reduced mode scores via the 11x11 LUT on codon-number fields,
         # not the expanded-base XOR path; lo32 is fetched in the tier.
@@ -236,6 +256,18 @@ def build_dev_index(
             np.int32)
         db = (grest, gstart, gend, lo32, taxids_u.view(np.int32),
               prefix.astype(np.int32))
+    elif packed:
+        taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
+        d48 = expand_db_dna48(values, kmer_format)
+        prefix_packed = (
+            (prefix[:-1].astype(np.int64) << 8) | counts.astype(np.int64)
+        ).astype(np.int32)
+        gbounds = (
+            (grest.astype(np.uint64) << np.uint64(47))
+            | (gstart.astype(np.uint64) << np.uint64(16))
+            | (gend - gstart).astype(np.uint64)
+        )
+        db = (grest, gbounds, taxdna, d48, prefix_packed)
     else:
         taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
         d48 = expand_db_dna48(values, kmer_format)
@@ -245,6 +277,7 @@ def build_dev_index(
         n=n,
         search_iters=iters,
         prefix_bits=pb,
+        packed_search=packed,
     )
 
 
@@ -281,6 +314,7 @@ def _classify_core(
     prefix_bits: int = PREFIX_BITS,
     cap2: int = 0,
     ov_budget: int = 0,
+    packed_search: bool = False,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
 
@@ -305,6 +339,8 @@ def _classify_core(
     sort is wasted work on the host path)."""
     if reduced:
         db_grest, db_gstart, db_gend, db_lo, db_tax, db_prefix = db
+    elif packed_search:
+        db_grest, db_gbounds, db_taxdna, db_d48, db_prefix_packed = db
     else:
         db_grest, db_gstart, db_gend, db_taxdna, db_d48, db_prefix = db
     B, L = codes.shape
@@ -342,8 +378,14 @@ def _classify_core(
     # Each step probes ONE i32 (gather cost on TPU scales with 32-bit
     # elements fetched, so the loop key stays narrow).
     n_g = db_grest.shape[0]
-    lo = db_prefix[bucket]
-    bucket_end = db_prefix[bucket + 1]
+    if packed_search:
+        # ONE element for the bucket bounds, one u64 for verify+range
+        pc = db_prefix_packed[bucket]
+        lo = (pc >> 8) & jnp.int32(0x7FFFFF)
+        bucket_end = lo + (pc & 255)
+    else:
+        lo = db_prefix[bucket]
+        bucket_end = db_prefix[bucket + 1]
     hi = bucket_end
     for _ in range(search_iters):
         active = lo < hi
@@ -353,11 +395,19 @@ def _classify_core(
         lo = jnp.where(active & less, mid + 1, lo)
         hi = jnp.where(active & ~less, mid, hi)
     g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
-    hit = q_valid & (lo < bucket_end) & (db_grest[g_c] == q_rest)
-    start = db_gstart[g_c]
-    # row range of the matched group; empty (start, start) on miss —
-    # the candidate window needs no per-candidate AA compare at all
-    gend = jnp.where(hit, db_gend[g_c], start)
+    if packed_search:
+        gb = db_gbounds[g_c]
+        g_tag = bc32(gb >> jnp.uint64(47))
+        start = bc32((gb >> jnp.uint64(16)) & jnp.uint64(0x7FFFFFFF))
+        cnt = bc32(gb & jnp.uint64(0xFFFF))
+        hit = q_valid & (lo < bucket_end) & (g_tag == q_rest)
+        gend = jnp.where(hit, start + cnt, start)
+    else:
+        hit = q_valid & (lo < bucket_end) & (db_grest[g_c] == q_rest)
+        start = db_gstart[g_c]
+        # row range of the matched group; empty (start, start) on miss —
+        # the candidate window needs no per-candidate AA compare at all
+        gend = jnp.where(hit, db_gend[g_c], start)
 
     two_tier = cap2 > cap and ov_budget > 0
     n_safe = jnp.int32(max(n_db - 1, 0))
@@ -596,7 +646,7 @@ def _classify_core(
     static_argnames=(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
-        "cap2", "ov_budget",
+        "cap2", "ov_budget", "packed_search",
     ),
 )
 def _classify_batch_impl(
@@ -617,6 +667,7 @@ def _classify_batch_impl(
     prefix_bits: int = PREFIX_BITS,
     cap2: int = 0,
     ov_budget: int = 0,
+    packed_search: bool = False,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
         db, tax2species,
@@ -625,6 +676,7 @@ def _classify_batch_impl(
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
         prefix_bits=prefix_bits, cap2=cap2, ov_budget=ov_budget,
+        packed_search=packed_search,
     )
     if pack4:
         # 4-word transfer layout (standard alphabet, qid < 2^14):
@@ -665,7 +717,7 @@ def classify_batch_indexed(
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
         pack4=pack4, prefix_bits=index.prefix_bits, cap2=cap2,
-        ov_budget=ov_budget,
+        ov_budget=ov_budget, packed_search=index.packed_search,
     )
 
 

@@ -65,30 +65,23 @@ def main():
                           recursive=True))[-1]
     data = json.load(gzip.open(tr))
     events = data["traceEvents"]
-    # device-lane events: aggregate durations by op name
+    # device ops aggregated by source file:line
     agg = {}
-    total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        name = e.get("name", "")
-        pid = e.get("pid", 0)
-        cat = e.get("cat", "")
+        if e.get("pid") != 3:
+            continue
         args = e.get("args", {})
-        # keep likely-XLA-op events
-        key = (pid, name.split(".")[0])
+        src = args.get("source", "")
+        src = src.replace("/root/repo/metabuli_tpu/", "")
+        key = src or e.get("name", "").split(".")[0]
         agg.setdefault(key, [0.0, 0])
         agg[key][0] += e["dur"] / 1e3
         agg[key][1] += 1
-    # identify process names
-    pnames = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pnames[e["pid"]] = e["args"].get("name", "")
-    print("processes:", pnames)
-    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:45]
-    for (pid, name), (dur, cnt) in rows:
-        print(f"{dur:9.1f} ms  x{cnt:<5d} pid={pnames.get(pid, pid)}  {name[:90]}")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]
+    for key, (dur, cnt) in rows:
+        print(f"{dur:9.1f} ms  x{cnt:<5d} {key[:110]}")
 
 
 if __name__ == "__main__":
