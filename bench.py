@@ -111,20 +111,25 @@ def sample_reads(genomes, rng):
 
 
 def main():
+    import os
     import tempfile
 
     import jax
 
+    from metabuli_tpu.classify.device_taxonomer import DeviceTaxonomer
     from metabuli_tpu.classify.native_taxonomer import NativeTaxonomer
     from metabuli_tpu.classify.pipeline import (
         build_dev_index,
         classify_batch_indexed,
         fetched_to_host,
+        matches_to_host,
         prefetch_counts,
         start_fetch,
     )
     from metabuli_tpu.classify.taxonomer import TaxonomerParams
     from metabuli_tpu.ops.genetic_code import encode_seqs_padded
+
+    use_fused = os.environ.get("METABULI_BENCH_PATH", "fused") == "fused"
 
     with tempfile.TemporaryDirectory() as tmp:
         tax, genomes, rng = build_world(tmp)
@@ -158,54 +163,107 @@ def main():
             )
 
         max_matches = BATCH * 230
-        # fast host-taxonomer path: no device-wide sort (native per-read
-        # sort instead), 4-word packed transfer
-        kw = dict(cap=max(1, cap), max_matches=max_matches,
-                  sort_device=False, pack4=True)
 
-        def dispatch(codes, lens, offs, qids, n_chunk):
+        if use_fused:
+            # fused device taxonomer: matches never leave HBM; only the
+            # ~170KB group/taxcount tensors transfer per batch (the
+            # dev-chip tunnel link runs at ~40MB/s, so the plain path's
+            # per-batch ~13MB match transfer dominates there)
+            tp = TaxonomerParams()
+            dtx = DeviceTaxonomer(tp, tax)
+            rl = np.full(BATCH, read_len, np.int32)
+
+            # warmup: one plain batch seeds the fused grid-size hints
+            t0 = time.time()
             bm = classify_batch_indexed(
-                index, d_t2s, codes, lens, offs, qids, **kw
+                index, d_t2s, *batches[0][:4],
+                cap=max(1, cap), max_matches=max_matches,
             )
-            prefetch_counts(bm)
-            return bm, n_chunk
+            m = matches_to_host(bm, t2s)
+            dtx.set_hints(m, tp.dna_shift)
 
-        def begin_fetch(bm, n_chunk):
-            # slice the buffer to the REAL match count and start the async
-            # D2H copy; the previous batch's taxonomer overlaps the transfer
-            return start_fetch(bm), n_chunk
+            def dispatch(b):
+                codes, lens, offs, qids, n_chunk = b
+                h = dtx.dispatch_fused(
+                    index, d_t2s, codes, lens, offs, qids,
+                    n_reads=n_chunk, max_read_len=read_len,
+                    cap=max(1, cap), max_matches=max_matches,
+                    reduced=False, syncmer=False, smer_len=5, kmer_format=2,
+                    read_lens_by_qid=rl[:n_chunk],
+                )
+                return h, b
 
-        def drain(fetch, n_chunk):
-            m = fetched_to_host(fetch, t2s, sorted_rows=False)
-            starts = np.searchsorted(m["qid"], np.arange(n_chunk), side="left")
-            ends = np.searchsorted(m["qid"], np.arange(n_chunk), side="right")
-            res, _ = taxonomer.assign_batch(
-                m, starts, ends, np.full(n_chunk, read_len, np.int32)
+            def drain(h, b):
+                n_chunk = b[4]
+                results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
+                while results is None:  # grid overflow: relaunch (hints
+                    # already folded in the observed sizes)
+                    h, _ = dispatch(b)
+                    results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
+                return sum(r.is_classified for r in results)
+
+            drain(*dispatch(batches[0]))
+            sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
+
+            t0 = time.time()
+            classified = 0
+            pending = dispatch(batches[0])
+            for b in batches[1:]:
+                nxt = dispatch(b)
+                classified += drain(*pending)
+                pending = nxt
+            classified += drain(*pending)
+            dt = time.time() - t0
+        else:
+            # fast host-taxonomer path: no device-wide sort (native per-read
+            # sort instead), 4-word packed transfer
+            kw = dict(cap=max(1, cap), max_matches=max_matches,
+                      sort_device=False, pack4=True)
+
+            def dispatch(codes, lens, offs, qids, n_chunk):
+                bm = classify_batch_indexed(
+                    index, d_t2s, codes, lens, offs, qids, **kw
+                )
+                prefetch_counts(bm)
+                return bm, n_chunk
+
+            def begin_fetch(bm, n_chunk):
+                # slice the buffer to the REAL match count and start the
+                # async D2H copy; the previous batch's taxonomer overlaps
+                # the transfer
+                return start_fetch(bm), n_chunk
+
+            def drain(fetch, n_chunk):
+                m = fetched_to_host(fetch, t2s, sorted_rows=False)
+                starts = np.searchsorted(m["qid"], np.arange(n_chunk), "left")
+                ends = np.searchsorted(m["qid"], np.arange(n_chunk), "right")
+                res, _ = taxonomer.assign_batch(
+                    m, starts, ends, np.full(n_chunk, read_len, np.int32)
+                )
+                return sum(r.is_classified for r in res)
+
+            # warmup: compile
+            t0 = time.time()
+            drain(*begin_fetch(*dispatch(*batches[0])))
+            sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
+
+            # depth-2 software pipeline: while batch i's sliced match
+            # transfer flows D2H, batch i+1's device program runs and
+            # batch i-1's host taxonomer executes
+            t0 = time.time()
+            classified = 0
+            in_dev = dispatch(*batches[0])  # program in flight
+            in_xfer = None                  # transfer in flight
+            for b in batches[1:]:
+                nxt = dispatch(*b)
+                xfer = begin_fetch(*in_dev)
+                if in_xfer is not None:
+                    classified += drain(*in_xfer)
+                in_dev, in_xfer = nxt, xfer
+            classified += drain(*begin_fetch(*in_dev)) + (
+                drain(*in_xfer) if in_xfer is not None else 0
             )
-            return sum(r.is_classified for r in res)
-
-        # warmup: compile
-        t0 = time.time()
-        drain(*begin_fetch(*dispatch(*batches[0])))
-        sys.stderr.write(f"warmup (compile): {time.time()-t0:.1f}s\n")
-
-        # depth-2 software pipeline: while batch i's sliced match transfer
-        # flows D2H, batch i+1's device program runs and batch i-1's host
-        # taxonomer executes
-        t0 = time.time()
-        classified = 0
-        in_dev = dispatch(*batches[0])  # program in flight
-        in_xfer = None                  # transfer in flight
-        for b in batches[1:]:
-            nxt = dispatch(*b)
-            xfer = begin_fetch(*in_dev)
-            if in_xfer is not None:
-                classified += drain(*in_xfer)
-            in_dev, in_xfer = nxt, xfer
-        classified += drain(*begin_fetch(*in_dev)) + (
-            drain(*in_xfer) if in_xfer is not None else 0
-        )
-        dt = time.time() - t0
+            dt = time.time() - t0
         value = N_READS / dt
         sys.stderr.write(
             f"{N_READS} reads in {dt:.2f}s; classified {classified} "
