@@ -182,14 +182,22 @@ def main():
             m = matches_to_host(bm, t2s)
             dtx.set_hints(m, tp.dna_shift)
 
+            # two-tier candidate cap: almost every AA group in this DB has
+            # one row, so tier 1 gathers a single candidate per k-mer and
+            # the rare multi-row groups re-gather at the full cap
+            cap1 = 1 if cap > 1 else max(1, cap)
+            cap2 = max(1, cap) if cap > 1 else 0
+            ovb = 65536 if cap > 1 else 0
+
             def dispatch(b):
                 codes, lens, offs, qids, n_chunk = b
                 h = dtx.dispatch_fused(
                     index, d_t2s, codes, lens, offs, qids,
                     n_reads=n_chunk, max_read_len=read_len,
-                    cap=max(1, cap), max_matches=max_matches,
+                    cap=cap1, max_matches=max_matches,
                     reduced=False, syncmer=False, smer_len=5, kmer_format=2,
                     read_lens_by_qid=rl[:n_chunk],
+                    cap2=cap2, cap_ov_budget=ovb,
                 )
                 return h, b
 
@@ -200,6 +208,8 @@ def main():
                     # already folded in the observed sizes)
                     h, _ = dispatch(b)
                     results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
+                assert info["n_over_cap"] == 0, "cap retry needed"
+                assert not ovb or info["n_ov_cap"] <= ovb, "ov budget"
                 return sum(r.is_classified for r in results)
 
             drain(*dispatch(batches[0]))

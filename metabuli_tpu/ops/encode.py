@@ -125,15 +125,24 @@ def extract_metamers(
     _fwd = _r | (aa_tab_np << 6) | (num_tab_np << 11)
     _rev = _rc3 | (aa_tab_np[_rc3] << 6) | (num_tab_np[_rc3] << 11)
     _sent = 31 << 6
-    combo = jnp.asarray(np.concatenate(
-        [_fwd | (_rev << 15), [_sent | (_sent << 15)]]).astype(np.int32))
+    combo_np = np.concatenate(
+        [_fwd | (_rev << 15), [_sent | (_sent << 15)]]).astype(np.int32)
 
     ci32 = codes.astype(jnp.int32)
     trip = (ci32[:, : L - 2] << 4) | (ci32[:, 1 : L - 1] << 2) | ci32[:, 2:]
     trip_ok = (
         (ci32[:, : L - 2] < 4) & (ci32[:, 1 : L - 1] < 4) & (ci32[:, 2:] < 4)
     )
-    z = combo[jnp.where(trip_ok, trip, jnp.int32(64))]  # [B, L-2]
+    # 64-way constant lookup as a binary select tree (6 rounds of where):
+    # a per-element HBM gather costs ~10ns on TPU; the select tree is pure
+    # fused VPU work over the [B, L-2] triple matrix
+    trip_c = jnp.where(trip_ok, trip, 0)
+    lvl = [jnp.int32(int(v)) for v in combo_np[:64]]
+    for bit in range(6):
+        sel = (trip_c >> bit) & 1
+        lvl = [jnp.where(sel == 1, lvl[2 * i + 1], lvl[2 * i])
+               for i in range(len(lvl) // 2)]
+    z = jnp.where(trip_ok, lvl[0], jnp.int32(int(combo_np[64])))  # [B, L-2]
     zf = z & jnp.int32(0x7FFF)
     zr = z >> 15
 
