@@ -25,9 +25,9 @@ BASELINE_READS_PER_S = 20_000.0
 
 N_GENOMES = 8
 GENOME_LEN = 200_000
-N_READS = 16_384
+N_READS = 32_768
 READ_LEN = 150
-BATCH = 4096
+BATCH = 8192
 
 
 def build_world(tmp):
