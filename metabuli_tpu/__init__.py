@@ -30,10 +30,20 @@ _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: compiles of the fused classify program are
 # expensive (especially via remote-compile TPU tunnels); cache them on disk.
+# The directory is keyed by the backend fingerprint (platform env + XLA
+# flags) so differently-tuned backends never round-trip through each
+# other's entries (XLA warns about tuning-flag mismatches otherwise).
+import hashlib as _hashlib
+
+_flags = _os.environ.get("XLA_FLAGS", "")
+_fp = "" if not _flags else (
+    "_" + _hashlib.sha1(_flags.encode()).hexdigest()[:10]
+)
 _cache_dir = _os.environ.get(
     "METABULI_TPU_CACHE",
     _os.path.expanduser("~/.cache/metabuli_tpu_xla_")
-    + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_"),
+    + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    + _fp,
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
