@@ -74,6 +74,62 @@ def accession_of(header_name: str) -> str:
     return header_name.split()[0]
 
 
+@dataclass
+class AccEntry:
+    """One accession from the build pre-scan (location, not content)."""
+
+    species: int    # internal species id
+    fasta_idx: int  # which input file
+    order: int      # record index within the file
+    length: int
+    taxid: int      # internal taxid the sequence is indexed under
+    offset: int     # byte range within the (plain) FASTA file
+    end: int
+
+
+def get_accession_batches(
+    entries: list[AccEntry], buffer_kmers: int = 1 << 30
+) -> list[list[AccEntry]]:
+    """Group accessions into per-(species, fasta) batches with the
+    reference's cut rules (`IndexCreator::getAccessionBatches`,
+    `/root/reference/src/commons/IndexCreator.cpp:735-785`):
+
+      - accessions ordered by (species, whichFasta, order);
+      - a batch never spans a (species, fasta) boundary;
+      - within a run, cut when the estimated k-mer count (0.4 bases/k-mer)
+        would exceed the buffer, the base sum would pass 100 Mbp, the
+        batch already holds 300 sequences, or it holds more than 100
+        sequences and the base sum would pass 50 Mbp;
+      - batches are processed in ascending total-length order (`:492-495`).
+
+    Batching only shapes memory use — the extracted k-mer set (and so the
+    final DB) is identical however the sequences are grouped.
+    """
+    ordered = sorted(entries, key=lambda e: (e.species, e.fasta_idx, e.order))
+    batches: list[list[AccEntry]] = []
+    cur: list[AccEntry] = []
+    cur_len = 0
+    for e in ordered:
+        boundary = cur and (
+            cur[0].species != e.species or cur[0].fasta_idx != e.fasta_idx
+        )
+        cut = cur and (
+            (cur_len + e.length) * 0.4 > buffer_kmers
+            or cur_len + e.length > 100_000_000
+            or len(cur) >= 300
+            or (len(cur) > 100 and cur_len + e.length > 50_000_000)
+        )
+        if boundary or cut:
+            batches.append(cur)
+            cur, cur_len = [], 0
+        cur.append(e)
+        cur_len += e.length
+    if cur:
+        batches.append(cur)
+    batches.sort(key=lambda b: sum(e.length for e in b))
+    return batches
+
+
 class IndexBuilder:
     def __init__(self, params: BuildParams, taxonomy: Taxonomy,
                  flush_dir: str | None = None):
@@ -327,6 +383,120 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy) -> list[SeqTask]:
     return out
 
 
+def _build_streaming(
+    db_dir, fasta_files, scans, acc2taxid, tax, params, builder,
+) -> dict:
+    """Batch-streamed build: accessions grouped by the reference's batch
+    rules (`get_accession_batches`) and loaded by byte-range seek, so
+    peak memory holds one batch (<= ~100 Mbp) instead of every input
+    sequence. Gene prediction trains once per species on its longest
+    sequence and the trainer is dropped when the species' last batch is
+    done (`IndexCreator.cpp:758-783`)."""
+    entries: list[AccEntry] = []
+    acc_rows = []
+    skipped = 0
+    for fi, recs in enumerate(scans):
+        for ri, rec in enumerate(recs):
+            acc = accession_of(rec.name)
+            org = acc2taxid.get(acc) or acc2taxid.get(acc.split(".")[0])
+            if not org:
+                skipped += 1
+                continue
+            internal = tax.to_internal(org)
+            if internal < 0:
+                skipped += 1
+                continue
+            sp = int(tax.species_of[internal])
+            entries.append(
+                AccEntry(sp, fi, ri, rec.length, internal, rec.offset,
+                         rec.end)
+            )
+            acc_rows.append((acc, org))
+    buffer_kmers = max(1 << 22, (params.max_ram << 30) >> 5)
+    batches = get_accession_batches(entries, buffer_kmers=buffer_kmers)
+
+    handles = {}
+
+    def load(e: AccEntry) -> bytes:
+        fh = handles.get(e.fasta_idx)
+        if fh is None:
+            fh = handles[e.fasta_idx] = open(fasta_files[e.fasta_idx], "rb")
+        return fasta.read_fasta_at(fh, e.offset, e.end)
+
+    trainers: dict[int, object] = {}
+    remaining: dict[int, int] = {}
+    train_entry: dict[int, AccEntry] = {}
+    if params.gene_prediction:
+        for b in batches:
+            sp = b[0].species
+            remaining[sp] = remaining.get(sp, 0) + 1
+        for e in entries:
+            t = train_entry.get(e.species)
+            if t is None or e.length > t.length:
+                train_entry[e.species] = e
+
+    n_input_seqs = 0
+    try:
+        for batch in batches:
+            tasks = [
+                SeqTask(load(e), e.taxid, e.species) for e in batch
+            ]
+            n_input_seqs += len(tasks)
+            if params.gene_prediction:
+                sp = batch[0].species
+                gp = trainers.get(sp)
+                if gp is None:
+                    from .genes import GenePredictor
+
+                    gp = GenePredictor()
+                    gp.train(load(train_entry[sp]))
+                    trainers[sp] = gp
+                tasks = _predict_with_trainer(gp, tasks)
+                remaining[sp] -= 1
+                if remaining[sp] == 0:
+                    del trainers[sp]
+            builder.add_sequences(tasks)
+    finally:
+        for fh in handles.values():
+            fh.close()
+
+    stats = builder.finalize(db_dir, params.db_name)
+    stats["sequences"] = n_input_seqs
+    stats["skipped_accessions"] = skipped
+    with open(os.path.join(db_dir, "acc2taxid.map"), "w") as fh:
+        fh.write("accession\ttaxID\n")
+        for acc, taxid in acc_rows:
+            fh.write(f"{acc}\t{taxid}\n")
+    return stats
+
+
+def _predict_with_trainer(gp, tasks: list[SeqTask]) -> list[SeqTask]:
+    """Gene-block extraction for one batch with a trained predictor
+    (the per-sequence part of ``predict_gene_blocks``). The intergenic
+    list resets to the post-train seed per batch (the reference seeds a
+    fresh ProdigalWrapper per AccessionBatch), so results don't depend
+    on the ascending-length batch processing order."""
+    from .genes import revcomp
+
+    gp.reset_intergenic()
+    out: list[SeqTask] = []
+    for t in tasks:
+        seq = t.seq
+        if not gp.same_strand(seq):
+            seq = revcomp(seq)
+        bs, be, bt = gp.extended_orfs(seq)
+        for i in range(len(bs)):
+            s = max(0, int(bs[i]))
+            e = min(len(seq) - 1, int(be[i]))
+            if e - s + 1 < 24:
+                continue
+            block = seq[s : e + 1]
+            if int(bt[i]) == -1:
+                block = revcomp(block)
+            out.append(SeqTask(block, t.taxid, t.species, single_frame=True))
+    return out
+
+
 def build_database(
     db_dir: str,
     fasta_list: str,
@@ -352,6 +522,15 @@ def build_database(
 
     with open(fasta_list) as fh:
         fasta_files = [line.strip() for line in fh if line.strip()]
+
+    # batch-streamed path (plain FASTA, no CDS bypass, no accession-level
+    # taxa): bounded memory at any input size
+    if not cds_map and params.accession_level != 1:
+        scans = [fasta.scan_fasta(p) for p in fasta_files]
+        if all(s is not None for s in scans):
+            return _build_streaming(
+                db_dir, fasta_files, scans, acc2taxid, tax, params, builder
+            )
 
     tasks: list[SeqTask] = []
     acc_rows = []

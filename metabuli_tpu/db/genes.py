@@ -69,6 +69,17 @@ class GenePredictor:
                 self._inter.ctypes, ctypes.c_int64(INTER_CAP),
             )
             self._n_inter = ctypes.c_int64(int(n))
+        # snapshot the freshly-seeded list so per-batch processing can
+        # reset to the post-training state (the reference seeds a new
+        # ProdigalWrapper per AccessionBatch, `IndexCreator.cpp:1128-1218`)
+        self._inter0 = self._inter.copy()
+        self._n_inter0 = int(self._n_inter.value)
+
+    def reset_intergenic(self):
+        """Restore the intergenic 23-mer list to its post-train state."""
+        if getattr(self, "_inter0", None) is not None:
+            self._inter[:] = self._inter0
+            self._n_inter = ctypes.c_int64(self._n_inter0)
 
     def minhash(self, seq: bytes) -> np.ndarray:
         out = np.zeros(MINHASH_CAP + 1, np.uint64)

@@ -206,6 +206,60 @@ def _read_fastq(fh) -> Iterator[SeqRecord]:
         yield SeqRecord(name, comment, seq, qual)
 
 
+class FastaEntry:
+    """Index entry from ``scan_fasta``: sequence location, not content."""
+
+    __slots__ = ("name", "length", "offset", "end")
+
+    def __init__(self, name, length, offset, end):
+        self.name = name
+        self.length = length
+        self.offset = offset
+        self.end = end
+
+
+def scan_fasta(path: str):
+    """Index a PLAIN (uncompressed) FASTA: per record (name, seq length,
+    byte offset of the '>' line, byte offset one past the record).
+
+    Returns None for gzip/FASTQ inputs (callers fall back to in-memory
+    reading). The index lets the DB build load accession batches by seek
+    instead of holding every sequence in RAM (the streaming analogue of
+    the reference's mmap + AccessionBatch scheme,
+    `/root/reference/src/commons/IndexCreator.cpp:735-785`)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1)
+        if head != b">":
+            return None
+        fh.seek(0)
+        entries = []
+        name = None
+        start = 0
+        length = 0
+        pos = 0
+        for line in fh:
+            if line.startswith(b">"):
+                if name is not None:
+                    entries.append(FastaEntry(name, length, start, pos))
+                name, _ = _split_header(line[1:])
+                start = pos
+                length = 0
+            else:
+                length += len(line.rstrip(b"\r\n"))
+            pos += len(line)
+        if name is not None:
+            entries.append(FastaEntry(name, length, start, pos))
+    return entries
+
+
+def read_fasta_at(fh, offset: int, end: int) -> bytes:
+    """Load one record's sequence bytes from a ``scan_fasta`` entry."""
+    fh.seek(offset)
+    data = fh.read(end - offset)
+    nl = data.find(b"\n")
+    return data[nl + 1:].replace(b"\n", b"").replace(b"\r", b"")
+
+
 def count_records(path: str) -> tuple[int, int]:
     """(record count, total bases) — the QueryIndexer pre-scan
     (`/root/reference/src/commons/QueryIndexer.cpp:30-147`)."""

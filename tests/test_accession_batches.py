@@ -1,0 +1,60 @@
+"""Reference accession-batching rules (`IndexCreator.cpp:735-785`)."""
+
+import numpy as np
+
+from metabuli_tpu.db.build import AccEntry, get_accession_batches
+
+
+def E(sp, fi, order, length):
+    return AccEntry(sp, fi, order, length, taxid=sp, offset=0, end=0)
+
+
+def test_species_and_fasta_boundaries():
+    entries = [E(1, 0, 0, 10), E(2, 0, 1, 10), E(1, 1, 0, 10), E(1, 0, 1, 10)]
+    batches = get_accession_batches(entries)
+    keys = sorted(
+        tuple((e.species, e.fasta_idx) for e in b) for b in batches
+    )
+    # one batch per (species, fasta) pair; species 1 / fasta 0 holds both
+    assert keys == [((1, 0), (1, 0)), ((1, 1),), ((2, 0),)]
+
+
+def test_sequence_count_cut():
+    entries = [E(1, 0, i, 10) for i in range(650)]
+    batches = get_accession_batches(entries)
+    assert [len(b) for b in sorted(batches, key=lambda b: -len(b))] == [
+        300, 300, 50]
+
+
+def test_length_sum_cut():
+    # 3 x 60 Mbp: 100 Mbp rule cuts after every sequence pair would pass it
+    entries = [E(1, 0, i, 60_000_000) for i in range(3)]
+    batches = get_accession_batches(entries)
+    assert sorted(len(b) for b in batches) == [1, 1, 1]
+
+
+def test_mid_count_length_cut():
+    # >100 seqs and >50 Mbp cuts even below the 100 Mbp rule
+    entries = [E(1, 0, i, 400_000) for i in range(200)]
+    batches = get_accession_batches(entries)
+    assert max(len(b) for b in batches) <= 126
+    assert sum(len(b) for b in batches) == 200
+
+
+def test_buffer_kmer_cut_and_length_order():
+    entries = [E(1, 0, 0, 3000), E(1, 0, 1, 3000), E(2, 0, 0, 10)]
+    batches = get_accession_batches(entries, buffer_kmers=2000)
+    # 3000 * 0.4 > 2000 -> each big sequence is its own batch; batches
+    # come back in ascending total length
+    lens = [sum(e.length for e in b) for b in batches]
+    assert lens == sorted(lens)
+    assert sorted(len(b) for b in batches) == [1, 1, 1]
+
+
+def test_order_preserved_within_species():
+    rng = np.random.default_rng(0)
+    entries = [E(1, 0, i, int(rng.integers(1, 100))) for i in range(40)]
+    rng.shuffle(entries)
+    batches = get_accession_batches(entries)
+    flat = [e.order for b in batches for e in b]
+    assert flat == sorted(flat)
