@@ -124,6 +124,29 @@ def _fused_classify_tax(
             packed_search=packed_search,
         )
     )
+    return taxonomer_tail(
+        s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts,
+        dt, min_depth, rl,
+        path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
+        taxcnt_budget=taxcnt_budget, dna_shift=dna_shift, p_max=p_max,
+        n_blocks=n_blocks, w=w, k=k, max_shift=max_shift,
+        ov_budget=ov_budget, kmer_format=kmer_format,
+    )
+
+
+def taxonomer_tail(
+    s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts,
+    dt, min_depth, rl, *,
+    path_budget, g_budget, max_rows, taxcnt_budget, dna_shift, p_max,
+    n_blocks, w, k, max_shift, ov_budget, kmer_format,
+):
+    """Sorted match columns -> (packed small tensors, counters).
+
+    The device taxonomer blocks shared by the single-chip fused program
+    and the sharded (mesh) fused program: chain DP -> path compaction ->
+    combine -> group compaction -> quotient reduction -> taxcnt runs."""
+    from .device_compact import compact_groups, compact_paths
+
     valid = s_qid != INT32_MAX
     s_frame = jnp.where(valid, s_packed & 7, 0)
     s_ham = jnp.where(valid, (s_packed >> 3) & 0xFF, 0)

@@ -481,26 +481,34 @@ def _classify_core(
         )
     # per-slot payloads ride through the compaction sort so nothing has to
     # be re-gathered after it: h16 (16b) + hamming (3b; kept rows have
-    # hsum <= min-cutoff <= 7) pack into one word; qid and pos are plain
-    # broadcasts of per-query values (broadcasts are layout ops — the
-    # [B, 6]-table gathers they replace cost ~10ns/element on TPU)
-    pay1 = (h16 << 3) | (hsum & 7)
+    # hsum <= min-cutoff <= 7) + frame (3b) pack into one word; qid, pos
+    # and the db row index are broadcasts/copies of per-slot values
+    # (broadcasts are layout ops — the table gathers they replace cost
+    # ~10ns/element on TPU)
     q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)   # [Q]
     q_qid = jnp.broadcast_to(
         qid_offsets[:, None, None], (B, 6, W)
     ).reshape(-1)                                               # [Q]
 
+    def payw(h16v, hsumv, framev):
+        return (h16v << 6) | ((hsumv & 7) << 3) | framev[:, None]
+
     def slots1(x):
         return jnp.broadcast_to(x[:, None], (Q, cap)).reshape(-1)
 
+    pay1 = payw(h16, hsum, q_frame)
     if two_tier:
         keep = keep & ~over[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
         over2 = ~ov_pad & (start2 + cap2 < gend2)
         n_over_cap = jnp.sum(over2.astype(jnp.int32))
         flat_keep = jnp.concatenate([keep.reshape(-1), keep2.reshape(-1)])
-        flat_pay = jnp.concatenate(
-            [pay1.reshape(-1), ((h16_2 << 3) | (hsum2 & 7)).reshape(-1)]
+        flat_pay = jnp.concatenate([
+            pay1.reshape(-1),
+            payw(h16_2, hsum2, q_frame[ov_safe]).reshape(-1),
+        ])
+        flat_midx = jnp.concatenate(
+            [idx_c.reshape(-1), idx2_c.reshape(-1)]
         )
 
         def slots2(x):
@@ -520,6 +528,7 @@ def _classify_core(
         n_over_cap = jnp.sum(over.astype(jnp.int32))
         flat_keep = keep.reshape(-1)
         flat_pay = pay1.reshape(-1)
+        flat_midx = idx_c.reshape(-1)
         flat_qid = slots1(q_qid)
         flat_pos = slots1(q_pos)
         if reduced:
@@ -542,46 +551,28 @@ def _classify_core(
         return x[:max_matches]
 
     if reduced:
-        s_key, s_pay, s_qid, s_pos, s_dna = jax.lax.sort(
-            (part_key, flat_pay, flat_qid, flat_pos, flat_dna), num_keys=1
+        s_key, s_pay, s_qid, s_pos, s_midx, s_dna = jax.lax.sort(
+            (part_key, flat_pay, flat_qid, flat_pos, flat_midx, flat_dna),
+            num_keys=1,
         )
         row_tdna = padded(s_dna)
     else:
-        s_key, s_pay, s_qid, s_pos = jax.lax.sort(
-            (part_key, flat_pay, flat_qid, flat_pos), num_keys=1
+        s_key, s_pay, s_qid, s_pos, s_midx = jax.lax.sort(
+            (part_key, flat_pay, flat_qid, flat_pos, flat_midx), num_keys=1
         )
         row_tdna = None
     rows = padded(s_key)
     s_pay = padded(s_pay)
     row_qid = padded(s_qid)
     row_pos = padded(s_pos)
+    midx = jnp.clip(padded(s_midx), 0, n_safe)
     is_pad = rows == INT32_MAX
-    safe = jnp.minimum(rows, total_slots - 1)
-    row_hsum = s_pay & 7
-    row_h16 = s_pay >> 3
-    if two_tier:
-        in2 = safe >= Q * cap
-        safe1 = jnp.minimum(safe, Q * cap - 1)
-        qi1 = (safe1 // cap).astype(jnp.int32)
-        ci1 = (safe1 % cap).astype(jnp.int32)
-        r2 = jnp.clip(safe - Q * cap, 0, ov_budget * cap2 - 1)
-        oq = (r2 // cap2).astype(jnp.int32)
-        ci2 = (r2 % cap2).astype(jnp.int32)
-        qi = jnp.where(in2, ov_safe[oq], qi1)
-        midx = jnp.where(
-            in2,
-            jnp.minimum(start2[oq] + ci2, n_safe),
-            jnp.minimum(start[qi1] + ci1, n_safe),
-        )
-    else:
-        qi = (safe // cap).astype(jnp.int32)
-        ci = (safe % cap).astype(jnp.int32)
-        midx = jnp.minimum(start[qi] + ci, n_safe)
+    row_hsum = (s_pay >> 3) & 7
+    row_h16 = s_pay >> 6
+    m_frame_raw = s_pay & 7
 
-    # qid/pos arrive as compaction-sort payloads (no per-row table
-    # gathers); frame derives from the flat index arithmetically
-    w_s = max(W, 1)  # W==0 never yields matches; avoid div-by-zero tracing
-    m_frame_raw = (qi // w_s) % 6
+    # qid/pos/frame/db-row arrive as compaction-sort payloads — nothing
+    # re-derives through per-row gathers after the compaction
     m_qid = jnp.where(is_pad, INT32_MAX, row_qid)
     m_frame = jnp.where(is_pad, INT32_MAX, m_frame_raw)
     m_pos = jnp.where(is_pad, INT32_MAX, row_pos)

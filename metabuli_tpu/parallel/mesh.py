@@ -213,3 +213,104 @@ def merge_shard_matches(stacked, n_reads: int, species_table=None):
     out["n_matches"] = int(counts[:, :, 0].sum())
     out["n_over_cap"] = int(counts[:, :, 1].sum())
     return out
+
+
+def build_sharded_fused(
+    mesh: Mesh,
+    *,
+    n_pad: int,
+    search_iters: int,
+    cap: int,
+    max_matches: int,
+    sizes: dict,
+    reduced: bool = False,
+    syncmer: bool = False,
+    smer_len: int = 5,
+    kmer_format: int = 2,
+):
+    """shard_map'd FUSED classify+taxonomer over a (data, db) mesh.
+
+    Each (data, db) device matches its read slice against its index shard
+    (`pipeline._classify_core`), the db axis all_gathers the per-shard
+    sorted match columns over ICI, one merge sort restores the reference
+    match order, and the device-taxonomer tail
+    (`device_taxonomer.taxonomer_tail`) runs on the merged rows — so, as
+    on a single chip, only the small packed group/taxcount tensors ever
+    leave the devices. The tail runs redundantly on each db-axis device
+    of a data row (its inputs are all_gathered); outputs are identical
+    across that axis.
+
+    Call as fn(db, t2s, dt, min_depth, rl, codes, lens, pos_off, qid_off)
+    with reads partitioned contiguously across the data axis (local qids
+    per row); returns (packed [n_data, P], counts [n_data, 11]).
+    """
+    import jax.numpy as jnp
+
+    from ..classify.device_taxonomer import taxonomer_tail
+    from ..classify.pipeline import _classify_core
+
+    tail_kw = dict(
+        path_budget=sizes["path_budget"], g_budget=sizes["g_budget"],
+        max_rows=sizes["max_rows"], taxcnt_budget=sizes["taxcnt_budget"],
+        dna_shift=sizes["dna_shift"], p_max=sizes["p_max"],
+        n_blocks=sizes["n_blocks"], w=sizes["w"], k=sizes["k"],
+        max_shift=sizes["max_shift"], ov_budget=sizes["ov_budget"],
+        kmer_format=kmer_format,
+    )
+
+    def local_step(db, t2s, dt_l, min_depth_l, rl, codes, lens, pos_off,
+                   qid_off):
+        pb = (db[-1].shape[-1] - 1).bit_length() - 1
+        s_cols = _classify_core(
+            tuple(a[0] for a in db), t2s,
+            codes, lens, pos_off, qid_off,
+            n_db=n_pad, search_iters=search_iters, cap=cap,
+            max_matches=max_matches, reduced=reduced, syncmer=syncmer,
+            smer_len=smer_len, kmer_format=kmer_format, prefix_bits=pb,
+        )
+        s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts = s_cols
+        # merge the db axis: all_gather the sorted per-shard columns (ICI),
+        # then one sort restores the reference match order across shards
+        g = [jax.lax.all_gather(c, "db").reshape(-1)
+             for c in (s_qid, s_species, s_pos, s_dna, s_taxid, s_packed)]
+        INT32_MAX = jnp.int32(2**31 - 1)
+        is_pad = g[0] == INT32_MAX
+        ham = (g[5] >> 3) & 0xFF
+        frame = jnp.where(is_pad, INT32_MAX, g[5] & 7)
+        if reduced:
+            k_dna = jnp.where(is_pad, INT32_MAX, g[3] ^ jnp.int32(-(2**31)))
+            keys = (g[0], g[1], frame, g[2],
+                    jnp.where(is_pad, INT32_MAX, ham), k_dna)
+        else:
+            keys = (g[0], g[1], frame, g[2],
+                    jnp.where(is_pad, INT32_MAX, (ham << 24) | g[3]))
+        merged = jax.lax.sort(
+            keys + (g[2], g[3], g[4], g[5]), num_keys=len(keys)
+        )
+        m_qid, m_species = merged[0], merged[1]
+        off = len(keys)
+        m_pos, m_dna, m_taxid, m_packed = merged[off:off + 4]
+        gc = jax.lax.all_gather(cls_counts, "db")  # [n_db, 4]
+        # total_kmers is per data ROW (every db shard saw the same reads)
+        tot_counts = jnp.stack([
+            gc[:, 0].sum(), gc[:, 1].sum(), gc[0, 2], gc[:, 3].sum(),
+        ]).astype(jnp.int32)
+        packed, counts = taxonomer_tail(
+            m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, tot_counts,
+            dt_l, min_depth_l, rl, **tail_kw,
+        )
+        return packed[None], counts[None]
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("db", None),   # db tuple (pytree prefix)
+            P(), P(), P(),   # t2s, dt (pytree prefix), min_depth
+            P("data"),       # read lens (contiguous rows per data slice)
+            P("data", None), P("data"), P("data"), P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)

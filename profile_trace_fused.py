@@ -47,13 +47,17 @@ def main():
         m = matches_to_host(bm, tax.species_of.astype(np.int32))
         dtx.set_hints(m, tp.dna_shift)
 
+        cap1 = 1 if cap > 1 else max(1, cap)
+        cap2 = max(1, cap) if cap > 1 else 0
+        ovb = 65536 if cap > 1 else 0
+
         def run():
             h = dtx.dispatch_fused(
                 index, d_t2s, codes, lens, offs, qids,
                 n_reads=B.BATCH, max_read_len=read_len,
-                cap=max(1, cap), max_matches=max_matches,
+                cap=cap1, max_matches=max_matches,
                 reduced=False, syncmer=False, smer_len=5, kmer_format=2,
-                read_lens_by_qid=rl)
+                read_lens_by_qid=rl, cap2=cap2, cap_ov_budget=ovb)
             np.asarray(h[1])
 
         run()
