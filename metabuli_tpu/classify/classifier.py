@@ -111,10 +111,22 @@ class Classifier:
         from .chunked import BYTES_PER_ENTRY, ChunkedIndex
         from .pipeline import build_dev_index
 
+        # Reference quirk replicated for bit-identity: the merge-join loops
+        # guard on `diffIdxPos != numOfDiffIdx` BEFORE consuming the decoded
+        # k-mer (`KmerMatcher.cpp:363-406`, same in matchMetamers :979-:993),
+        # so the LAST k-mer of the database can never become a candidate.
+        # Verified against the compiled reference
+        # (tests/test_reference_differential.py): a query hitting the final
+        # DB entry matches here but not in the reference. Exclude that row
+        # from the searchable table (it stays in the on-disk DB for
+        # updateDB/validate purposes).
+        search_values = self.index.values[:-1]
+        search_taxids = self.index.taxids[:-1]
+
         hbm_budget = int(params.max_ram) << 30
         if len(self.index.values) * BYTES_PER_ENTRY > hbm_budget:
             self.chunked_index = ChunkedIndex(
-                self.index.values, self.index.taxids.astype(np.int32),
+                search_values, search_taxids.astype(np.int32),
                 kmer_format=params.kmer_format, hbm_budget_bytes=hbm_budget,
                 reduced=bool(params.reduced_aa),
             )
@@ -122,7 +134,7 @@ class Classifier:
         else:
             self.chunked_index = None
             self.dev_index = build_dev_index(
-                self.index.values, self.index.taxids.astype(np.int32),
+                search_values, search_taxids.astype(np.int32),
                 kmer_format=params.kmer_format,
                 reduced=bool(params.reduced_aa),
             )

@@ -90,8 +90,13 @@ class Taxonomy:
     ) -> "Taxonomy":
         """Parse nodes/names/merged dmp files (taxonkit-compatible).
 
-        Internal IDs are assigned in nodes.dmp encounter order starting at 1
-        (matching the densification idea of `TaxonomyWrapper.cpp` loadNodes).
+        Internal IDs are assigned exactly like the reference's
+        `TaxonomyWrapper::loadNodes` (`TaxonomyWrapper.cpp:148-195`): walking
+        nodes.dmp line by line, the line's taxid gets the next unused
+        internal ID if unseen, THEN its parent taxid gets the next one if
+        unseen. (Row-order-only assignment diverges whenever a parent is
+        referenced before its own definition line, which would change every
+        internal taxid stored in the DB from that point on.)
         """
         org_ids: list[int] = []
         org_parent: list[int] = []
@@ -106,10 +111,16 @@ class Taxonomy:
                 org_parent.append(int(cols[1]))
                 org_rank.append(cols[2])
 
-        n = len(org_ids)
-        org2int = {}
-        for i, taxid in enumerate(org_ids):
-            org2int[taxid] = i + 1
+        org2int: dict[int, int] = {}
+        next_id = 0
+        for taxid, p_org in zip(org_ids, org_parent):
+            if taxid not in org2int:
+                next_id += 1
+                org2int[taxid] = next_id
+            if p_org not in org2int:
+                next_id += 1
+                org2int[p_org] = next_id
+        n = next_id
 
         # merged.dmp: old -> new taxid aliases
         merged = {}
@@ -141,20 +152,22 @@ class Taxonomy:
                 pool.append(s)
             return idx[s]
 
-        parent = np.zeros(n + 1, np.int32)
+        parent = np.arange(n + 1, dtype=np.int32)  # defaults: self-parent
         rank_id = np.zeros(n + 1, np.int32)
         name_id = np.zeros(n + 1, np.int32)
         internal2org = np.zeros(n + 1, np.int64)
         intern("", ranks, rank_idx_of)
         intern("unclassified", names, name_idx_of)
-        for i in range(n):
-            iid = i + 1
+        for org, iid in org2int.items():
+            internal2org[iid] = org
+            name_id[iid] = intern(name_of.get(org, str(org)), names, name_idx_of)
+        for i in range(len(org_ids)):
+            iid = org2int[org_ids[i]]
             p_org = org_parent[i]
-            p_org = merged.get(p_org, p_org)
+            if p_org not in org2int:  # lenient: resolve via merged alias
+                p_org = merged.get(p_org, p_org)
             parent[iid] = org2int.get(p_org, iid)
             rank_id[iid] = intern(org_rank[i], ranks, rank_idx_of)
-            name_id[iid] = intern(name_of.get(org_ids[i], str(org_ids[i])), names, name_idx_of)
-            internal2org[iid] = org_ids[i]
 
         tax = cls(
             parent=parent,

@@ -66,7 +66,7 @@ class ClassifyParams:
     print_lineage: int = 0
     max_gap: int = 0
     max_shift: int = 0
-    min_ss_match: int = 2
+    min_ss_match: int = 0  # LocalParameters.cpp:532 (stored by Taxonomer but unused)
     validate_input: int = 0
     validate_db: int = 0
     taxonomy_path: str = ""

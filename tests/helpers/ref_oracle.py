@@ -27,34 +27,41 @@ _HARNESSES = {
         ["common.cpp", "TaxonomyWrapper.cpp", "LocalUtil.cpp"],
         [],
     ),
-    "match_oracle": (
-        ["match_oracle.cpp", "support.cpp"],
-        ["common.cpp", "TaxonomyWrapper.cpp", "LocalUtil.cpp",
-         "KmerMatcher.cpp", "printBinary.cpp"],
-        [],
-    ),
-    "taxonomer_oracle": (
-        ["taxonomer_oracle.cpp", "support.cpp"],
-        ["common.cpp", "TaxonomyWrapper.cpp", "LocalUtil.cpp",
-         "Taxonomer.cpp", "printBinary.cpp"],
-        [],
-    ),
-    "indexer_oracle": (
-        ["indexer_oracle.cpp", "support.cpp"],
-        ["common.cpp", "TaxonomyWrapper.cpp", "LocalUtil.cpp",
-         "IndexCreator.cpp", "KmerExtractor.cpp", "SeqIterator.cpp",
-         "ProdigalWrapper.cpp", "printBinary.cpp",
-         "QueryIndexer.cpp", "Reporter.cpp", "KmerMatcher.cpp",
-         "Taxonomer.cpp", "Classifier.cpp", "QueryFilter.cpp"],
-        ["-fopenmp", "-I", REF_PRODIGAL,
-         os.path.join(REF_PRODIGAL, "bitmap.cpp"),
-         os.path.join(REF_PRODIGAL, "dprog.cpp"),
-         os.path.join(REF_PRODIGAL, "gene.cpp"),
-         os.path.join(REF_PRODIGAL, "metagenomic.cpp"),
-         os.path.join(REF_PRODIGAL, "node.cpp"),
-         os.path.join(REF_PRODIGAL, "prodigalsequence.cpp")],
-    ),
 }
+
+_FULL_STACK_REF = [
+    "common.cpp", "TaxonomyWrapper.cpp", "LocalUtil.cpp", "printBinary.cpp",
+    "SeqIterator.cpp", "ProdigalWrapper.cpp", "KmerExtractor.cpp",
+    "QueryIndexer.cpp", "KmerMatcher.cpp", "Taxonomer.cpp", "Reporter.cpp",
+    "Classifier.cpp", "IndexCreator.cpp",
+]
+_FULL_STACK_EXTRA = [
+    "-fopenmp", "-I", REF_PRODIGAL, "-I", "/root/reference/src/uniref",
+    "-I", "/root/reference/lib/yxml",
+    os.path.join(REF_PRODIGAL, "bitmap.cpp"),
+    os.path.join(REF_PRODIGAL, "dprog.cpp"),
+    os.path.join(REF_PRODIGAL, "gene.cpp"),
+    os.path.join(REF_PRODIGAL, "metagenomic.cpp"),
+    os.path.join(REF_PRODIGAL, "node.cpp"),
+    os.path.join(REF_PRODIGAL, "prodigalsequence.cpp"),
+    "/root/reference/src/uniref/UnirefTree.cpp",
+    "/root/reference/lib/yxml/yxml.c",
+]
+
+_HARNESSES.update({
+    "classify_oracle": (
+        ["classify_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
+    "build_oracle": (
+        ["build_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
+})
 
 
 def build(name: str) -> str:
@@ -74,7 +81,9 @@ def build(name: str) -> str:
         ):
             return out
         cmd = (
-            ["g++", "-O2", "-g", "-std=c++17", "-I", stub_dir, "-I", REF_COMMONS]
+            ["g++", "-O2", "-g", "-std=c++17",
+             "-include", os.path.join(stub_dir, "oracle_prelude.h"),
+             "-I", stub_dir, "-I", REF_COMMONS]
             + extra
             + srcs
             + ["-o", out + ".tmp", "-lz"]

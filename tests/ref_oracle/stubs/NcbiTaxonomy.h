@@ -291,6 +291,48 @@ public:
         return result;
     }
 
+    std::unordered_map<TaxID, std::vector<TaxID>> getParentToChildren() const {
+        std::unordered_map<TaxID, std::vector<TaxID>> parentToChildren;
+        for (size_t i = 0; i < maxNodes; ++i) {
+            if (taxonNodes[i].parentTaxId != taxonNodes[i].taxId) {
+                parentToChildren[taxonNodes[i].parentTaxId].push_back(
+                    taxonNodes[i].taxId);
+            }
+        }
+        return parentToChildren;
+    }
+
+    // Kraken2-style report accounting (Reporter.cpp:121-122): per-taxon
+    // counts roll up to every ancestor; children lists keep only taxa that
+    // appear in the clade counts.
+    std::unordered_map<TaxID, TaxonCounts> getCladeCounts(
+        const std::unordered_map<TaxID, unsigned int> &taxonCounts,
+        const std::unordered_map<TaxID, std::vector<TaxID>> &parentToChildren)
+        const {
+        std::unordered_map<TaxID, TaxonCounts> cladeCounts;
+        for (const auto &entry : taxonCounts) {
+            cladeCounts[entry.first].taxCount = entry.second;
+            cladeCounts[entry.first].cladeCount += entry.second;
+            if (!nodeExists(entry.first)) continue;
+            TaxonNode const *taxon = taxonNode(entry.first);
+            while (taxon->parentTaxId != taxon->taxId &&
+                   nodeExists(taxon->parentTaxId)) {
+                taxon = taxonNode(taxon->parentTaxId);
+                cladeCounts[taxon->taxId].cladeCount += entry.second;
+            }
+        }
+        for (auto &entry : cladeCounts) {
+            auto it = parentToChildren.find(entry.first);
+            if (it == parentToChildren.end()) continue;
+            for (TaxID child : it->second) {
+                if (cladeCounts.find(child) != cladeCounts.end()) {
+                    entry.second.children.push_back(child);
+                }
+            }
+        }
+        return cladeCounts;
+    }
+
     std::unordered_map<TaxID, TaxonCounts> getCladeCounts(
         const std::unordered_map<TaxID, unsigned int> &taxonCounts) const {
         std::unordered_map<TaxID, TaxonCounts> cladeCounts;

@@ -9,6 +9,9 @@
 Parameters *Parameters::instance = nullptr;
 int Debug::debugLevel = Debug::ERROR;  // keep oracle stdout clean
 
+// IndexCreator.cpp:12 references the binary's version string
+const char *version = "oracle";
+
 void Parameters::initParameterSingleton() { instance = new LocalParameters(); }
 
 LocalParameters::LocalParameters() {
