@@ -138,11 +138,13 @@ class StreamingDbWriter:
     """Block-streamed diffIdx/info/split writer (write_db_files, streamed).
 
     Accepts globally sorted blocks; maintains the delta-encoding carry and
-    the reference's split-checkpoint protocol (`IndexCreator.h:436-448`):
-    checkpoints are multiples of total_estimate/(split_num-1); when the
-    written-info count crosses a checkpoint the writer arms, and the next
-    amino-acid change records a split entry (previous value, u16 count
-    after it, index of the first k-mer of the new AA group).
+    the reference's split-checkpoint protocol (`IndexCreator.cpp:823-855`,
+    `IndexCreator.h:436-448`): when the written-info count reaches a
+    multiple of total/(split_num-1) the writer arms with that k-mer's AA;
+    the next k-mer whose AA differs is recorded — value, u16 count and
+    info count all INCLUDING it — and checkpoints passed while armed are
+    consumed (byte-identical to the reference writer, locked by
+    tests/test_reference_differential.py build parity).
     """
 
     def __init__(self, db_dir: str, total_estimate: int,
@@ -156,11 +158,11 @@ class StreamingDbWriter:
         self._size_of_split = max(1, total_estimate // max(1, split_num - 1))
         self._splits = np.zeros(split_num, SPLIT_DTYPE)
         self._split_idx = 1
-        self._armed = False
+        self._armed_aa = None  # AA of the checkpoint k-mer while armed
         self._prev_value = 0   # last value written (delta carry)
         self._diff_cnt = 0     # u16 chunks written
         self._info_cnt = 0     # values written
-        self._next_checkpoint = self._size_of_split
+        self._next_off = self._size_of_split  # next checkpoint (writeCnt)
 
     def write_block(self, values: np.ndarray, taxids: np.ndarray) -> None:
         if len(values) == 0:
@@ -170,42 +172,42 @@ class StreamingDbWriter:
         stream.tofile(self._diff_fh)
         np.asarray(taxids, np.uint32).tofile(self._info_fh)
 
-        # split bookkeeping (vectorized over the block)
+        # split bookkeeping (vectorized over the block); indices below are
+        # LOCAL to this block, counts are global
         flags_end = np.nonzero((stream & 0x8000) != 0)[0]
         diff_cnt_after = self._diff_cnt + flags_end + 1
         aa = values >> self._aa_shift
-        prev_aa = (np.uint64(self._prev_value) >> self._aa_shift) \
-            if self._info_cnt else None
-        idx = 0
         n = len(values)
+        g0 = self._info_cnt
+        search = 0  # local index to search an AA change from
         while self._split_idx < self._split_num:
-            if not self._armed:
-                # next index (global) where info_cnt reaches the checkpoint
-                if self._info_cnt + n < self._next_checkpoint:
+            if self._armed_aa is None:
+                if self._next_off > g0 + n:
                     break
-                idx = self._next_checkpoint - self._info_cnt
-                self._armed = True
-                self._next_checkpoint += self._size_of_split
-                if idx >= n:
+                c = self._next_off - 1 - g0  # local; >= 0 (see invariant)
+                self._armed_aa = np.uint64(aa[c])
+                self._next_off += self._size_of_split
+                search = c + 1
+                if search >= n:
                     break
-            # armed: find the first AA change at or after idx
-            if idx == 0 and prev_aa is not None and aa[0] != prev_aa:
-                boundary = 0
-            else:
-                lo = max(idx, 1)
-                changes = np.nonzero(aa[lo:] != aa[lo - 1 : -1])[0]
-                if len(changes) == 0:
-                    break  # AA change not in this block; stay armed
-                boundary = lo + int(changes[0])
-            prev = boundary - 1
-            if prev < 0:
-                ad, dc = self._prev_value, self._diff_cnt
-            else:
-                ad, dc = int(values[prev]), int(diff_cnt_after[prev])
-            self._splits[self._split_idx] = (ad, dc, self._info_cnt + boundary)
+            changes = np.nonzero(aa[search:] != self._armed_aa)[0]
+            if len(changes) == 0:
+                search = n
+                break  # change not in this block; stay armed
+            j = search + int(changes[0])
+            while self._next_off <= g0 + j:
+                self._next_off += self._size_of_split
+            self._splits[self._split_idx] = (
+                int(values[j]), int(diff_cnt_after[j]), g0 + j + 1)
             self._split_idx += 1
-            self._armed = False
-            idx = boundary
+            if self._next_off == g0 + j + 1:
+                self._armed_aa = np.uint64(aa[j])
+                self._next_off += self._size_of_split
+            else:
+                self._armed_aa = None
+            search = j + 1
+            if search >= n:
+                break
 
         self._prev_value = int(values[-1])
         self._diff_cnt += len(stream)
@@ -214,15 +216,6 @@ class StreamingDbWriter:
     def finalize(self) -> int:
         self._diff_fh.close()
         self._info_fh.close()
-        # deduplicate identical boundaries (same as write_db_files)
-        seen = set()
-        for i in range(1, self._split_num):
-            key = (int(self._splits[i]["ADkmer"]),
-                   int(self._splits[i]["diffIdxOffset"]))
-            if self._splits[i]["ADkmer"] != 0 and key in seen:
-                self._splits[i] = (0, 0, 0)
-            elif self._splits[i]["ADkmer"] != 0:
-                seen.add(key)
         self._splits.tofile(self._split_path)
         return self._info_cnt
 
@@ -414,35 +407,36 @@ def write_db_files(
         flags_end = np.nonzero((stream & 0x8000) != 0)[0]
         diff_cnt_after = flags_end + 1  # per k-mer i: chunks written so far
         aa = values >> np.uint64(32 if reduced else 24)
+        # Exact replay of the reference's per-write event machine
+        # (IndexCreator.cpp:823-855): after the k-mers written reaches a
+        # multiple of sizeOfSplit the writer "arms" with that k-mer's AA;
+        # the next k-mer whose AA differs is recorded — value, u16 count
+        # and info count all INCLUDING it — and offsets passed while armed
+        # are consumed (their re-base is a no-op inside one AA group).
         size_of_split = max(1, n // max(1, split_num - 1))
+        aa_change = np.nonzero(aa[1:] != aa[:-1])[0] + 1
         split_idx = 1
-        checkpoints = np.arange(1, split_num) * size_of_split
-        ci = 0
-        # first AA change at or after each checkpoint
-        aa_change = np.nonzero(aa[1:] != aa[:-1])[0] + 1  # index where new AA starts
-        for cp in checkpoints:
-            if split_idx >= split_num:
+        next_off = size_of_split
+        armed_c = None
+        while split_idx < split_num:
+            if armed_c is None:
+                if next_off > n:
+                    break
+                armed_c = next_off - 1
+                next_off += size_of_split
+            k = np.searchsorted(aa_change, armed_c, side="right")
+            if k >= len(aa_change):
                 break
-            j = np.searchsorted(aa_change, cp, side="left")
-            if j >= len(aa_change):
-                break
-            boundary = int(aa_change[j])  # first k-mer of the new AA group
-            prev = boundary - 1
-            splits[split_idx] = (
-                values[prev],
-                int(diff_cnt_after[prev]),
-                boundary,
-            )
+            j = int(aa_change[k])
+            while next_off <= j:
+                next_off += size_of_split
+            splits[split_idx] = (values[j], int(diff_cnt_after[j]), j + 1)
             split_idx += 1
-            ci += 1
-        # deduplicate identical consecutive boundaries
-        seen = set()
-        for i in range(1, split_num):
-            key = (int(splits[i]["ADkmer"]), int(splits[i]["diffIdxOffset"]))
-            if splits[i]["ADkmer"] != 0 and key in seen:
-                splits[i] = (0, 0, 0)
-            elif splits[i]["ADkmer"] != 0:
-                seen.add(key)
+            if next_off == j + 1:
+                armed_c = j
+                next_off += size_of_split
+            else:
+                armed_c = None
     splits.tofile(os.path.join(db_dir, "split"))
 
 

@@ -7,13 +7,18 @@ from metabuli_tpu.db.cds import CdsInfo, divide_cds_noncds, parse_cds_file
 
 def test_parse_cds_file(tmp_path):
     f = tmp_path / "g_cds_from_genomic.fna"
+    # headers lead with [locus_tag=...] like real NCBI files: the reference
+    # starts its bracket scan at an offset into the comment and would skip
+    # a leading [protein_id=...] (IndexCreator.cpp:1294-1300)
     f.write_text(
-        ">lcl|NC_0001.1_cds_NP_1.1_1 [protein_id=NP_1.1] [location=10..60] [gbkey=CDS]\n"
+        ">lcl|NC_0001.1_cds_NP_1.1_1 [locus_tag=LT1] [protein_id=NP_1.1] "
+        "[location=10..60] [gbkey=CDS]\n"
         "ATG\n"
-        ">lcl|NC_0001.1_cds_NP_2.1_2 [protein_id=NP_2.1] "
+        ">lcl|NC_0001.1_cds_NP_2.1_2 [locus_tag=LT2] [protein_id=NP_2.1] "
         "[location=complement(join(100..150,200..250))] [gbkey=CDS]\n"
         "ATG\n"
-        ">lcl|NC_0001.1_cds_3 [pseudo=true] [location=300..350]\nATG\n"
+        ">lcl|NC_0001.1_cds_3 [locus_tag=LT3] [pseudo=true] "
+        "[location=300..350]\nATG\n"
     )
     cds_map = {}
     parse_cds_file(str(f), cds_map)
@@ -31,15 +36,18 @@ def test_divide_cds_noncds():
              CdsInfo("P2", True, [(301, 400)])]
     cds, non = divide_cds_noncds(seq, infos)
     assert len(cds) == 2
-    # boundary extension: 21 bases each side
-    assert len(cds[0]) == 100 + 42
-    assert cds[0][21:-21] == seq[100:200]
+    # boundary extension: (kmerLen-1)=11 codons = 33 bases each side
+    # (SeqIterator.h:46 kmerLen=12, SeqIterator.cpp:195-206)
+    assert len(cds[0]) == 100 + 66
+    assert cds[0][33:-33] == seq[100:200]
     # complement block is the reverse complement of the extended region
     rc = cds[1]
-    want = seq[279:421][::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+    want = seq[267:433][::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
     assert rc == want
-    # non-CDS covers the uncovered gaps
-    assert any(seq[0:100] in b for b in non)
+    # non-CDS block 0 is the leading gap truncated to len(cds[0])
+    # (the reference scans gap i over len(cds[i]) bases,
+    # IndexCreator.cpp:1118-1124)
+    assert non[0] == seq[0:100][: len(cds[0])]
 
 
 def test_build_with_cds_restricts_frames(tmp_path):
@@ -61,7 +69,8 @@ def test_build_with_cds_restricts_frames(tmp_path):
     (tmp_path / "map.tsv").write_text("ACC_1.1\t4\n")
     cds_fa = tmp_path / "cds.fna"
     cds_fa.write_text(
-        ">lcl|ACC_1.1_cds_P1_1 [protein_id=P1.1] [location=31..630]\nATG\n"
+        ">lcl|ACC_1.1_cds_P1_1 [locus_tag=LT1] [protein_id=P1.1] "
+        "[location=31..630]\nATG\n"
     )
     (tmp_path / "cds_list.txt").write_text(str(cds_fa) + "\n")
 
