@@ -155,18 +155,22 @@ def chain_matches(
             :, :, :n_blocks
         ]
 
-    # NB: packing the five grids into one u64 scatter was MEASURED SLOWER
-    # end to end (11.5k vs 17.3k reads/s on the dev chip) — the u64
-    # scatter lowers worse than five i32 ones here; keep the i32 grids.
-    g_occ = grid(ok, False, bool)
-    g_pos = grid(pos, 0, jnp.int32)
-    g_dna = grid(dna, 0, jnp.int32)
-    g_h16 = grid(h16, 0, jnp.int32)
-    g_ham = grid(hamming, 0, jnp.int32)
+    # Grid scatters are the dominant cost of this stage (~10ns/element on
+    # TPU), so the per-row payload is packed into TWO i32 scatters:
+    #   g1 = dna24 << 1 | occ
+    #   g2 = h16 << 8 | hammingSum << 2 | pos%3
+    # pos itself is reconstructed inside the scan as 3*(q0_block + column)
+    # + rem (the column IS the position quotient relative to the block
+    # head). NB: packing all payloads into one u64 scatter was MEASURED
+    # SLOWER end to end (11.5k vs 17.3k reads/s on the dev chip) — u64
+    # scatters lower worse than i32 ones; two i32 scatters is the floor.
+    g1 = grid((dna << 1) | 1, 0, jnp.int32)
+    g2 = grid((h16 << 8) | ((hamming & 63) << 2) | (pos % 3), 0, jnp.int32)
 
     # qid/species/frame are constant within a block: read them at the head
     block_read = jnp.where(hpad, 2**31 - 1, qid[hsafe])
     block_species = jnp.where(hpad, 0, species[hsafe])
+    block_q0 = jnp.where(hpad, 0, q[hsafe])
     block_forward = jnp.where(hpad, False, frame[hsafe] < 3)
     if kmer_format != 2:
         # old format uses isConsecutive (operand roles swapped vs fmt 2)
@@ -175,10 +179,9 @@ def chain_matches(
         jnp.minimum(block_species, min_depth_of_species.shape[0] - 1)
     ]
 
-    base_score = jnp.where(g_occ, _match_score(g_h16), 0.0)
-
     class Carry(NamedTuple):
         n_groups: jax.Array   # [NB] distinct non-empty columns so far
+        q: jax.Array          # [NB] quotient of the previous non-empty group
         occ: jax.Array        # [K, NB]
         dna: jax.Array        # [K, NB]
         h16: jax.Array        # [K, NB] endMatch h16 (the group's own match)
@@ -192,6 +195,7 @@ def chain_matches(
     nb = n_blocks
     init = Carry(
         n_groups=jnp.zeros(nb, jnp.int32),
+        q=jnp.zeros(nb, jnp.int32),
         occ=jnp.zeros((k, nb), bool),
         dna=jnp.zeros((k, nb), jnp.int32),
         h16=jnp.zeros((k, nb), jnp.int32),
@@ -204,19 +208,19 @@ def chain_matches(
     )
 
     def step(carry: Carry, xs):
-        occ_c, pos_c, dna_c, h16_c, ham_c, score_c = xs    # [K, NB] each
+        g1_c, g2_c, c_step = xs                 # [K, NB], [K, NB], []
+        occ_c = (g1_c & 1) == 1
+        dna_c = g1_c >> 1
+        h16_c = g2_c >> 8
+        ham_c = (g2_c >> 2) & 63
+        # reconstruct absolute positions: the column IS the quotient offset
+        pos_c = 3 * (block_q0[None, :] + c_step) + (g2_c & 3)
+        score_c = jnp.where(occ_c, _match_score(h16_c), 0.0)
         has_cur = occ_c[0]
-        cur_col_q = jnp.where(occ_c[0], pos_c[0] // 3, 0)
-        prev_q = jnp.where(carry.occ[0], carry.pos[0] // 3, 0)
         for i in range(1, k):
             has_cur = has_cur | occ_c[i]
-            cur_col_q = jnp.maximum(
-                cur_col_q, jnp.where(occ_c[i], pos_c[i] // 3, 0)
-            )
-            prev_q = jnp.maximum(
-                prev_q, jnp.where(carry.occ[i], carry.pos[i] // 3, 0)
-            )
-        shift = jnp.where(carry.n_groups > 0, cur_col_q - prev_q,
+        cur_col_q = block_q0 + c_step
+        shift = jnp.where(carry.n_groups > 0, cur_col_q - carry.q,
                           jnp.int32(2**30))
         connectable = has_cur & (shift >= 1) & (shift <= max_shift)
 
@@ -289,6 +293,7 @@ def chain_matches(
         pick = lambda new_kb, old_kb: jnp.where(sel[None, :], new_kb, old_kb)
         new_carry = Carry(
             n_groups=carry.n_groups + has_cur.astype(jnp.int32),
+            q=jnp.where(sel, cur_col_q, carry.q),
             occ=pick(occ_c, carry.occ),
             dna=pick(dna_c, carry.dna),
             h16=pick(h16_c, carry.h16),
@@ -301,7 +306,7 @@ def chain_matches(
         )
         return new_carry, out
 
-    xs = (g_occ, g_pos, g_dna, g_h16, g_ham, base_score)
+    xs = (g1, g2, jnp.arange(w, dtype=jnp.int32))
     final, outs = jax.lax.scan(step, init, xs)
 
     # final flush: last group, depth-gated, needs >= 2 distinct groups
