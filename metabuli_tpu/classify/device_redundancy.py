@@ -34,6 +34,15 @@ class DeviceTaxonomy(NamedTuple):
 
 
 def device_taxonomy(tax) -> DeviceTaxonomy:
+    # quotient_best packs euler_first into the low 25 bits of a sort key
+    # (hamming << 25 | euler_first); a longer Euler tour would silently
+    # corrupt LCA taxids, so refuse it outright
+    if len(tax.euler_first) and int(np.max(tax.euler_first)) >= (1 << 25):
+        raise ValueError(
+            f"taxonomy Euler tour too long for the device LCA sort key: "
+            f"max euler_first {int(np.max(tax.euler_first))} >= 2^25 "
+            f"(~16.7M tour entries, ~8.4M nodes); use the host taxonomer"
+        )
     return DeviceTaxonomy(
         euler_first=jax.device_put(np.asarray(tax.euler_first, np.int32)),
         euler_node=jax.device_put(np.asarray(tax.euler_node, np.int32)),
@@ -110,7 +119,8 @@ def quotient_best(
     # the minimum-hamming ties come first, ordered by Euler first-occurrence
     # — so the tie set's extremal Euler pair (all the LCA needs) falls out
     # of segment-head/ tie-block-end SCANS, with no scatter tables at all.
-    # hamming <= 7 post-cutoff; euler positions < 2^25 (16M-node taxonomies).
+    # hamming <= 7 post-cutoff; euler positions < 2^25 (tour = 2N+1 entries,
+    # so ~8.4M nodes — enforced by device_taxonomy()).
     big_key = jnp.int32(2**31 - 1)
     k_qid = jnp.where(valid, qid, big_key)
     ef_all = jnp.clip(

@@ -10,13 +10,12 @@ Re-designs the reference's IndexCreator pipeline
      (`IndexCreator.h:475-629`, FilterMode::DB_CREATION),
   5. write diffIdx / info / split / taxID_list / db.parameters.
 
-Round-1 scope notes (documented gaps vs reference, tracked in PARITY.md):
-  * Gene prediction (Prodigal port) is not yet wired; extraction covers all
-    6 frames of every sequence (a superset of the reference's predicted-ORF
-    frames). Low-complexity masking (mask_mode, native tantan-style HMM)
-    is applied before extraction.
-  * The build is in-memory; the reference's flush-file + k-way merge
-    out-of-core path (`IndexCreator.h:322-472`) lands with the native layer.
+Gene prediction (`--gene-prediction`, predict_gene_blocks), low-complexity
+masking, CDS-info bypass, accession-level mode, and the out-of-core
+flush-file + k-way merge path (`IndexCreator.h:322-472` analogue in
+formats.merge_flush_files) are all wired; remaining parity gaps vs the
+reference are tracked in PARITY.md (chiefly: the gene predictor is a
+same-family self-trainer, not a bit-exact Prodigal port).
 """
 
 from __future__ import annotations
@@ -96,34 +95,40 @@ def get_accession_batches(
 
       - accessions ordered by (species, whichFasta, order);
       - a batch never spans a (species, fasta) boundary;
-      - within a run, cut when the estimated k-mer count (0.4 bases/k-mer)
-        would exceed the buffer, the base sum would pass 100 Mbp, the
-        batch already holds 300 sequences, or it holds more than 100
-        sequences and the base sum would pass 50 Mbp;
+      - a sequence is ADDED first, then the batch is cut when the
+        accumulated per-sequence floor(length*0.4) k-mer estimate exceeds
+        the buffer, the base sum exceeds 100 Mbp, the batch holds more
+        than 300 sequences, or more than 100 sequences with a base sum
+        over 50 Mbp (post-add cut, `IndexCreator.cpp:763-771`);
       - batches are processed in ascending total-length order (`:492-495`).
 
-    Batching only shapes memory use — the extracted k-mer set (and so the
-    final DB) is identical however the sequences are grouped.
+    Batching only shapes memory use with gene prediction off; with it on,
+    batch composition feeds the per-batch intergenic 23-mer accumulation,
+    so matching the reference's cut points exactly matters for DB parity.
     """
     ordered = sorted(entries, key=lambda e: (e.species, e.fasta_idx, e.order))
     batches: list[list[AccEntry]] = []
     cur: list[AccEntry] = []
     cur_len = 0
+    cur_kmers = 0
     for e in ordered:
         boundary = cur and (
             cur[0].species != e.species or cur[0].fasta_idx != e.fasta_idx
         )
-        cut = cur and (
-            (cur_len + e.length) * 0.4 > buffer_kmers
-            or cur_len + e.length > 100_000_000
-            or len(cur) >= 300
-            or (len(cur) > 100 and cur_len + e.length > 50_000_000)
-        )
-        if boundary or cut:
+        if boundary:
             batches.append(cur)
-            cur, cur_len = [], 0
+            cur, cur_len, cur_kmers = [], 0, 0
         cur.append(e)
         cur_len += e.length
+        cur_kmers += int(e.length * 0.4)
+        if (
+            cur_kmers > buffer_kmers
+            or cur_len > 100_000_000
+            or len(cur) > 300
+            or (len(cur) > 100 and cur_len > 50_000_000)
+        ):
+            batches.append(cur)
+            cur, cur_len, cur_kmers = [], 0, 0
     if cur:
         batches.append(cur)
     batches.sort(key=lambda b: sum(e.length for e in b))
@@ -335,7 +340,8 @@ class IndexBuilder:
         }
 
 
-def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy) -> list[SeqTask]:
+def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy,
+                        buffer_kmers: int = 1 << 62) -> list[SeqTask]:
     """Replace whole-sequence tasks with predicted coding blocks.
 
     Per species (mirrors `IndexCreator::fillTargetKmerBuffer`,
@@ -351,7 +357,7 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy) -> list[SeqTask]:
     Prodigal port (its metagenomic models are absent from the reference
     checkout); it also self-trains where the reference would use meta mode
     (training sequence < 100 kb or Eukaryota)."""
-    from .genes import GenePredictor, revcomp
+    from .genes import GenePredictor
 
     out: list[SeqTask] = []
     by_sp: dict[int, list[SeqTask]] = {}
@@ -365,21 +371,28 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy) -> list[SeqTask]:
         gp = GenePredictor()
         train_seq = max(ts, key=lambda t: len(t.seq)).seq
         gp.train(train_seq)
+        # process in reference-style batches (post-add cut rule, same as
+        # get_accession_batches) with a per-batch intergenic reset, so this
+        # in-memory path and the streaming path produce the same DB for
+        # the same inputs (the reference seeds a fresh intergenic list per
+        # AccessionBatch)
+        batch: list[SeqTask] = []
+        blen = 0
+        bkmers = 0
         for t in ts:
-            seq = t.seq
-            if not gp.same_strand(seq):
-                seq = revcomp(seq)
-            bs, be, bt = gp.extended_orfs(seq)
-            for i in range(len(bs)):
-                s = max(0, int(bs[i]))
-                e = min(len(seq) - 1, int(be[i]))
-                if e - s + 1 < 24:
-                    continue
-                block = seq[s : e + 1]
-                if int(bt[i]) == -1:
-                    block = revcomp(block)
-                out.append(SeqTask(block, t.taxid, t.species,
-                                   single_frame=True))
+            batch.append(t)
+            blen += len(t.seq)
+            bkmers += int(len(t.seq) * 0.4)
+            if (
+                bkmers > buffer_kmers
+                or blen > 100_000_000
+                or len(batch) > 300
+                or (len(batch) > 100 and blen > 50_000_000)
+            ):
+                out.extend(_predict_with_trainer(gp, batch))
+                batch, blen, bkmers = [], 0, 0
+        if batch:
+            out.extend(_predict_with_trainer(gp, batch))
     return out
 
 
@@ -585,7 +598,8 @@ def build_database(
             acc_rows.append((acc, org_taxid, acc_org))
     n_input_seqs = len(tasks)
     if params.gene_prediction:
-        tasks = predict_gene_blocks(tasks, tax)
+        buffer_kmers = max(1 << 22, (params.max_ram << 30) >> 5)
+        tasks = predict_gene_blocks(tasks, tax, buffer_kmers)
     builder.add_sequences(tasks)
     stats = builder.finalize(db_dir, params.db_name)
     stats["sequences"] = n_input_seqs

@@ -260,6 +260,15 @@ def build_sharded_fused(
 
     def local_step(db, t2s, dt_l, min_depth_l, rl, codes, lens, pos_off,
                    qid_off):
+        # non-packed index layout only: its prefix table has 2^pb + 1
+        # entries (a packed_search index is a 5-tuple whose prefix array
+        # has 2^pb and would mis-derive pb here)
+        if len(db) != 6:
+            raise ValueError(
+                f"build_sharded_fused expects the 6-array non-packed index "
+                f"layout, got a {len(db)}-tuple (packed_search indexes are "
+                f"not supported on the sharded path)"
+            )
         pb = (db[-1].shape[-1] - 1).bit_length() - 1
         s_cols = _classify_core(
             tuple(a[0] for a in db), t2s,

@@ -20,17 +20,20 @@ def test_species_and_fasta_boundaries():
 
 
 def test_sequence_count_cut():
+    # post-add cut (IndexCreator.cpp:769: orders.size() > 300 AFTER the
+    # append): the 301st sequence lands in the batch that triggers the cut
     entries = [E(1, 0, i, 10) for i in range(650)]
     batches = get_accession_batches(entries)
     assert [len(b) for b in sorted(batches, key=lambda b: -len(b))] == [
-        300, 300, 50]
+        301, 301, 48]
 
 
 def test_length_sum_cut():
-    # 3 x 60 Mbp: 100 Mbp rule cuts after every sequence pair would pass it
+    # 3 x 60 Mbp, post-add: the second sequence pushes the sum past 100 Mbp
+    # and stays in that batch (IndexCreator.cpp:763-771)
     entries = [E(1, 0, i, 60_000_000) for i in range(3)]
     batches = get_accession_batches(entries)
-    assert sorted(len(b) for b in batches) == [1, 1, 1]
+    assert sorted(len(b) for b in batches) == [1, 2]
 
 
 def test_mid_count_length_cut():
@@ -44,11 +47,12 @@ def test_mid_count_length_cut():
 def test_buffer_kmer_cut_and_length_order():
     entries = [E(1, 0, 0, 3000), E(1, 0, 1, 3000), E(2, 0, 0, 10)]
     batches = get_accession_batches(entries, buffer_kmers=2000)
-    # 3000 * 0.4 > 2000 -> each big sequence is its own batch; batches
-    # come back in ascending total length
+    # post-add: the second 3000-base sequence pushes the k-mer estimate
+    # past the buffer and stays in the cut batch; batches come back in
+    # ascending total length
     lens = [sum(e.length for e in b) for b in batches]
     assert lens == sorted(lens)
-    assert sorted(len(b) for b in batches) == [1, 1, 1]
+    assert sorted(len(b) for b in batches) == [1, 2]
 
 
 def test_order_preserved_within_species():
