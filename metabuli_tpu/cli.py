@@ -345,14 +345,28 @@ def _refiner(argv):
 
 
 def _databases(argv):
-    print(
-        "Prebuilt database download is not available in this environment "
-        "(no network egress).\n"
-        "Reference catalogs (RefSeq, GTDB, RefSeq virus) are listed at\n"
-        "https://metabuli.steineggerlab.workers.dev/ — download externally\n"
-        "and point classify at the unpacked directory."
+    from .tools.databases import download_database, print_catalog
+
+    ap = argparse.ArgumentParser(prog="metabuli_tpu databases")
+    ap.add_argument("selection", nargs="?", help="catalog entry name")
+    ap.add_argument("out_db", nargs="?", help="output DB directory")
+    ap.add_argument("tmp", nargs="?", help="tmp dir for the tarball")
+    ap.add_argument("--base-url", default=None,
+                    help="override the catalog base URL (file:// works)")
+    ap.add_argument("--sha256", default=None,
+                    help="verify the tarball against this checksum")
+    args = ap.parse_args(argv)
+    if not args.selection or not args.out_db or not args.tmp:
+        print_catalog()
+        return 0
+    kwargs = {}
+    if args.base_url:
+        kwargs["base_url"] = args.base_url
+    db_dir = download_database(
+        args.selection, args.out_db, args.tmp, checksum=args.sha256, **kwargs
     )
-    return 1
+    print(f"Database ready at {db_dir}")
+    return 0
 
 
 def _mapping2taxon(argv):
@@ -669,7 +683,7 @@ COMMANDS = {
     "printInfo": (_print_info, "Print entries of an info file"),
     "accession2taxid": (_accession2taxid, "Derive accession2taxid for GTDB-style libraries"),
     "classifiedRefiner": (_refiner, "Filter/reshape a classifications TSV"),
-    "databases": (_databases, "Prebuilt database catalog (no egress here)"),
+    "databases": (_databases, "Download and unpack prebuilt databases"),
     "mapping2taxon": (_mapping2taxon, "Map read->accession files to taxids"),
     "add-to-library": (_add_to_library, "Split FASTAs into per-species library files"),
     "make-report": (_make_report, "Regenerate a report from classifications"),
