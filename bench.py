@@ -63,7 +63,7 @@ def build_world(tmp):
 
 
 def build_db(tax, genomes):
-    from metabuli_tpu.db.build import IndexBuilder, SeqTask
+    from metabuli_tpu.db.build import IndexBuilder, SeqTask, predict_gene_blocks
     from metabuli_tpu.params import BuildParams
 
     builder = IndexBuilder(BuildParams(batch_bases=4_000_000), tax)
@@ -71,6 +71,10 @@ def build_db(tax, genomes):
         SeqTask(g, tax.to_internal(sp), int(tax.species_of[tax.to_internal(sp)]))
         for g, sp in genomes
     ]
+    # reference DBs are always gene-predicted (IndexCreator.cpp:1128-1218
+    # runs Prodigal unconditionally): one coding frame per block, not a
+    # 6-frame superset — the bench DB mirrors that pipeline shape
+    tasks = predict_gene_blocks(tasks, tax)
     builder.add_sequences(tasks)
     values = np.concatenate(builder._values)
     taxids = np.concatenate(builder._taxids)

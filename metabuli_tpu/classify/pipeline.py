@@ -359,55 +359,57 @@ def _classify_core(
     bc32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     )
-    # amino-acid identity: permuted key pi(AA) split as (bucket = top
-    # prefix_bits, rest = bits below). The permutation (odd multiply, a
-    # bijection) uniformizes bucket loads, and the whole u64 lower-bound
-    # compare reduces to ONE int32 gather per search step because groups
-    # within a bucket are sorted by rest.
     rb = rest_bits(reduced, prefix_bits)
     aa_bits = 32 if reduced else 40
-    q_aa = q_values >> jnp.uint64(32 if reduced else 24)
-    q_pi = (q_aa * jnp.uint64(AA_PERM_MULT)) & jnp.uint64(
-        (1 << aa_bits) - 1
-    )
-    q_rest = (q_pi & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
-    bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
-
-    # ---- bucketed lower-bound search over DISTINCT AA groups: depth is
-    # the Poisson-uniform bucket load, independent of row and AA skew.
-    # Each step probes ONE i32 (gather cost on TPU scales with 32-bit
-    # elements fetched, so the loop key stays narrow).
     n_g = db_grest.shape[0]
-    if packed_search:
-        # ONE element for the bucket bounds, one u64 for verify+range
-        pc = db_prefix_packed[bucket]
-        lo = (pc >> 8) & jnp.int32(0x7FFFFF)
-        bucket_end = lo + (pc & 255)
-    else:
-        lo = db_prefix[bucket]
-        bucket_end = db_prefix[bucket + 1]
-    hi = bucket_end
-    for _ in range(search_iters):
-        active = lo < hi
-        mid = (lo + hi) >> 1
-        mid_c = jnp.minimum(mid, jnp.int32(max(n_g - 1, 0)))
-        less = db_grest[mid_c] < q_rest
-        lo = jnp.where(active & less, mid + 1, lo)
-        hi = jnp.where(active & ~less, mid, hi)
-    g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
-    if packed_search:
-        gb = db_gbounds[g_c]
-        g_tag = bc32(gb >> jnp.uint64(47))
-        start = bc32((gb >> jnp.uint64(16)) & jnp.uint64(0x7FFFFFFF))
-        cnt = bc32(gb & jnp.uint64(0xFFFF))
-        hit = q_valid & (lo < bucket_end) & (g_tag == q_rest)
-        gend = jnp.where(hit, start + cnt, start)
-    else:
-        hit = q_valid & (lo < bucket_end) & (db_grest[g_c] == q_rest)
-        start = db_gstart[g_c]
-        # row range of the matched group; empty (start, start) on miss —
-        # the candidate window needs no per-candidate AA compare at all
-        gend = jnp.where(hit, db_gend[g_c], start)
+
+    def search_groups(vals, valid_mask):
+        """Bucketed lower-bound search over DISTINCT AA groups: depth is
+        the Poisson-uniform bucket load, independent of row and AA skew.
+        Each step probes ONE i32 (gather cost on TPU scales with 32-bit
+        elements fetched, so the loop key stays narrow). The permutation
+        (odd multiply, a bijection) uniformizes bucket loads; the whole
+        u64 lower-bound compare reduces to one i32 gather per step because
+        groups within a bucket are sorted by rest."""
+        q_aa = vals >> jnp.uint64(32 if reduced else 24)
+        q_pi = (q_aa * jnp.uint64(AA_PERM_MULT)) & jnp.uint64(
+            (1 << aa_bits) - 1
+        )
+        q_rest = (q_pi & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
+        bucket = (q_pi >> jnp.uint64(rb)).astype(jnp.int32)
+        if packed_search:
+            # ONE element for the bucket bounds, one u64 for verify+range
+            pc = db_prefix_packed[bucket]
+            lo = (pc >> 8) & jnp.int32(0x7FFFFF)
+            bucket_end = lo + (pc & 255)
+        else:
+            lo = db_prefix[bucket]
+            bucket_end = db_prefix[bucket + 1]
+        hi = bucket_end
+        for _ in range(search_iters):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            mid_c = jnp.minimum(mid, jnp.int32(max(n_g - 1, 0)))
+            less = db_grest[mid_c] < q_rest
+            lo = jnp.where(active & less, mid + 1, lo)
+            hi = jnp.where(active & ~less, mid, hi)
+        g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
+        if packed_search:
+            gb = db_gbounds[g_c]
+            g_tag = bc32(gb >> jnp.uint64(47))
+            s = bc32((gb >> jnp.uint64(16)) & jnp.uint64(0x7FFFFFFF))
+            cnt = bc32(gb & jnp.uint64(0xFFFF))
+            h = valid_mask & (lo < bucket_end) & (g_tag == q_rest)
+            e = jnp.where(h, s + cnt, s)
+        else:
+            h = valid_mask & (lo < bucket_end) & (db_grest[g_c] == q_rest)
+            s = db_gstart[g_c]
+            # row range of the matched group; empty (start, start) on miss —
+            # the candidate window needs no per-candidate AA compare at all
+            e = jnp.where(h, db_gend[g_c], s)
+        return s, e, h
+
+    start, gend, hit = search_groups(q_values, q_valid)
 
     two_tier = cap2 > cap and ov_budget > 0
     n_safe = jnp.int32(max(n_db - 1, 0))

@@ -163,6 +163,15 @@ class IndexBuilder:
         # group into padded sub-batches by size so the padded matrix stays
         # small; single-frame (CDS) tasks batch separately
         tasks = sorted(tasks, key=lambda t: (t.single_frame, len(t.seq)))
+
+        def padded_cost(n):
+            # device cost is the PADDED matrix, not raw bases: gene/CDS
+            # blocks are short and pad to the length bucket
+            b = 384
+            while b < n + 2:
+                b *= 2
+            return b
+
         batch: list[SeqTask] = []
         batch_bases = 0
         for t in tasks:
@@ -170,7 +179,7 @@ class IndexBuilder:
                 self._extract_batch(batch)
                 batch, batch_bases = [], 0
             batch.append(t)
-            batch_bases += max(64, len(t.seq))
+            batch_bases += padded_cost(len(t.seq))
             if batch_bases >= par.batch_bases:
                 self._extract_batch(batch)
                 batch, batch_bases = [], 0
@@ -182,7 +191,7 @@ class IndexBuilder:
         # bucket the padded length and batch size so only a few device
         # program shapes ever compile
         max_len = max(len(t.seq) for t in batch) + 2
-        bucket = 3072
+        bucket = 384
         while bucket < max_len:
             bucket *= 2
         codes, lens = encode_seqs_padded([t.seq for t in batch], max_len=bucket)
