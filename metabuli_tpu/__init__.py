@@ -28,6 +28,14 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Optional platform override (e.g. METABULI_TPU_PLATFORM=cpu to force the
+# CLI onto host devices). Needed because a sitecustomize-registered PJRT
+# plugin may overwrite jax_platforms AFTER the JAX_PLATFORMS env var is
+# read; a config update before first backend use still wins.
+_plat = _os.environ.get("METABULI_TPU_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 # Persistent compilation cache: compiles of the fused classify program are
 # expensive (especially via remote-compile TPU tunnels); cache them on disk.
 # The directory is keyed by the backend fingerprint (platform env + XLA
@@ -42,7 +50,7 @@ _fp = "" if not _flags else (
 _cache_dir = _os.environ.get(
     "METABULI_TPU_CACHE",
     _os.path.expanduser("~/.cache/metabuli_tpu_xla_")
-    + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    + (_plat or _os.environ.get("JAX_PLATFORMS", "default")).replace(",", "_")
     + _fp,
 )
 try:

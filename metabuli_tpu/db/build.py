@@ -164,29 +164,61 @@ class IndexBuilder:
         # small; single-frame (CDS) tasks batch separately
         tasks = sorted(tasks, key=lambda t: (t.single_frame, len(t.seq)))
 
-        def padded_cost(n):
-            # device cost is the PADDED matrix, not raw bases: gene/CDS
-            # blocks are short and pad to the length bucket
+        def bucket_of(n):
+            # length bucket of the padded code matrix (matches
+            # _extract_batch's rounding)
             b = 384
             while b < n + 2:
                 b *= 2
             return b
 
+        def bpad_of(n):
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        # Device-memory backpressure: the extraction tensors are sized by
+        # the PADDED matrix [b_pad, bucket] where bucket is the batch MAX
+        # length — mixing one long sequence into thousands of short gene
+        # blocks multiplies EVERY row's cost, so the cut must account the
+        # true padded product, not a per-task sum (the HBM analogue of the
+        # reference's buffer reserve/un-reserve retry,
+        # `/root/reference/src/commons/IndexCreator.cpp:1237-1241`).
         batch: list[SeqTask] = []
-        batch_bases = 0
         for t in tasks:
-            if batch and batch[0].single_frame != t.single_frame:
-                self._extract_batch(batch)
-                batch, batch_bases = [], 0
+            if batch:
+                cost = bpad_of(len(batch) + 1) * bucket_of(len(t.seq))
+                if batch[0].single_frame != t.single_frame or (
+                    cost > par.batch_bases
+                ):
+                    self._extract_batch(batch)
+                    batch = []
             batch.append(t)
-            batch_bases += padded_cost(len(t.seq))
-            if batch_bases >= par.batch_bases:
-                self._extract_batch(batch)
-                batch, batch_bases = [], 0
         if batch:
             self._extract_batch(batch)
 
     def _extract_batch(self, batch: list[SeqTask]):
+        """Extract one padded batch on device; on device OOM, split the
+        batch and retry (un-reserve/retry analogue of
+        `IndexCreator.cpp:1237-1241`)."""
+        try:
+            self._extract_batch_once(batch)
+        except Exception as e:  # jaxlib error types vary by platform
+            if "RESOURCE_EXHAUSTED" not in str(e) or len(batch) == 1:
+                raise
+            import sys
+
+            print(
+                f"extract batch of {len(batch)} OOMed on device; "
+                "splitting and retrying",
+                file=sys.stderr,
+            )
+            mid = len(batch) // 2
+            self._extract_batch(batch[:mid])
+            self._extract_batch(batch[mid:])
+
+    def _extract_batch_once(self, batch: list[SeqTask]):
         par = self.par
         # bucket the padded length and batch size so only a few device
         # program shapes ever compile
