@@ -155,14 +155,25 @@ class StreamingDbWriter:
         self._split_path = os.path.join(db_dir, "split")
         self._split_num = split_num
         self._aa_shift = np.uint64(32 if reduced else 24)
-        self._size_of_split = max(1, total_estimate // max(1, split_num - 1))
+        # reference: sizeOfSplit = total/(splitNum-1) with NO floor — a
+        # tiny DB (total < splitNum-1) gets sizeOfSplit == 0 and an
+        # all-zero split file; the offset list holds only splitNum-1
+        # finite checkpoints (idx 1..splitNum-1, then UINT64_MAX)
+        self._size_of_split = total_estimate // max(1, split_num - 1)
         self._splits = np.zeros(split_num, SPLIT_DTYPE)
         self._split_idx = 1
         self._armed_aa = None  # AA of the checkpoint k-mer while armed
         self._prev_value = 0   # last value written (delta carry)
         self._diff_cnt = 0     # u16 chunks written
         self._info_cnt = 0     # values written
-        self._next_off = self._size_of_split  # next checkpoint (writeCnt)
+        self._offset_idx = 1   # next entry of the finite offset list
+
+    def _next_off(self):
+        """Next checkpoint writeCnt, or None for the UINT64_MAX sentinel
+        (offset list exhausted / sizeOfSplit == 0)."""
+        if self._size_of_split == 0 or self._offset_idx >= self._split_num:
+            return None
+        return self._offset_idx * self._size_of_split
 
     def write_block(self, values: np.ndarray, taxids: np.ndarray) -> None:
         if len(values) == 0:
@@ -182,11 +193,12 @@ class StreamingDbWriter:
         search = 0  # local index to search an AA change from
         while self._split_idx < self._split_num:
             if self._armed_aa is None:
-                if self._next_off > g0 + n:
+                no = self._next_off()
+                if no is None or no > g0 + n:
                     break
-                c = self._next_off - 1 - g0  # local; >= 0 (see invariant)
+                c = no - 1 - g0  # local; >= 0 (see invariant)
                 self._armed_aa = np.uint64(aa[c])
-                self._next_off += self._size_of_split
+                self._offset_idx += 1
                 search = c + 1
                 if search >= n:
                     break
@@ -195,14 +207,20 @@ class StreamingDbWriter:
                 search = n
                 break  # change not in this block; stay armed
             j = search + int(changes[0])
-            while self._next_off <= g0 + j:
-                self._next_off += self._size_of_split
+            # offsets passed while armed are consumed (their re-arm is a
+            # no-op inside one AA group)
+            while True:
+                no = self._next_off()
+                if no is None or no > g0 + j:
+                    break
+                self._offset_idx += 1
             self._splits[self._split_idx] = (
                 int(values[j]), int(diff_cnt_after[j]), g0 + j + 1)
             self._split_idx += 1
-            if self._next_off == g0 + j + 1:
+            no = self._next_off()
+            if no is not None and no == g0 + j + 1:
                 self._armed_aa = np.uint64(aa[j])
-                self._next_off += self._size_of_split
+                self._offset_idx += 1
             else:
                 self._armed_aa = None
             search = j + 1
@@ -413,28 +431,35 @@ def write_db_files(
         # the next k-mer whose AA differs is recorded — value, u16 count
         # and info count all INCLUDING it — and offsets passed while armed
         # are consumed (their re-base is a no-op inside one AA group).
-        size_of_split = max(1, n // max(1, split_num - 1))
+        # NO floor on sizeOfSplit (tiny DBs get 0 => an all-zero split
+        # file), and only splitNum-1 finite offsets exist (idx
+        # 1..splitNum-1, then UINT64_MAX)
+        size_of_split = n // max(1, split_num - 1)
         aa_change = np.nonzero(aa[1:] != aa[:-1])[0] + 1
         split_idx = 1
-        next_off = size_of_split
+        offset_idx = 1
+        next_off = lambda: (offset_idx * size_of_split
+                            if size_of_split and offset_idx < split_num
+                            else None)
         armed_c = None
         while split_idx < split_num:
             if armed_c is None:
-                if next_off > n:
+                no = next_off()
+                if no is None or no > n:
                     break
-                armed_c = next_off - 1
-                next_off += size_of_split
+                armed_c = no - 1
+                offset_idx += 1
             k = np.searchsorted(aa_change, armed_c, side="right")
             if k >= len(aa_change):
                 break
             j = int(aa_change[k])
-            while next_off <= j:
-                next_off += size_of_split
+            while (no := next_off()) is not None and no <= j:
+                offset_idx += 1
             splits[split_idx] = (values[j], int(diff_cnt_after[j]), j + 1)
             split_idx += 1
-            if next_off == j + 1:
+            if (no := next_off()) is not None and no == j + 1:
                 armed_c = j
-                next_off += size_of_split
+                offset_idx += 1
             else:
                 armed_c = None
     splits.tofile(os.path.join(db_dir, "split"))

@@ -164,9 +164,12 @@ class Taxonomy:
         for i in range(len(org_ids)):
             iid = org2int[org_ids[i]]
             p_org = org_parent[i]
-            if p_org not in org2int:  # lenient: resolve via merged alias
-                p_org = merged.get(p_org, p_org)
-            parent[iid] = org2int.get(p_org, iid)
+            # every parent taxid got an internal id in the first pass, so
+            # no merged-alias resolution happens here (nor in the
+            # reference: TaxonomyWrapper::loadNodes never consults
+            # merged.dmp for parents)
+            assert p_org in org2int
+            parent[iid] = org2int[p_org]
             rank_id[iid] = intern(org_rank[i], ranks, rank_idx_of)
 
         tax = cls(

@@ -172,6 +172,43 @@ def test_streaming_writer_matches_write_db_files():
                 assert fa.read() == fb.read(), f
 
 
+def test_tiny_db_split_semantics():
+    """Reference split protocol on tiny DBs (`IndexCreator.cpp:825-831`):
+    sizeOfSplit = n/(splitNum-1) with NO floor, so n < splitNum-1 writes an
+    all-zero split file; the finite offset list has only splitNum-1
+    entries, so no checkpoint past (splitNum-1)*sizeOfSplit is armed."""
+    from metabuli_tpu.db.formats import (SPLIT_DTYPE, StreamingDbWriter,
+                                         write_db_files)
+    import tempfile, os
+
+    rng = np.random.default_rng(7)
+    for n, split_num in ((10, 64), (63, 64), (64, 64), (200, 64), (40, 16)):
+        values = np.unique(
+            rng.integers(0, 1 << 44, size=3 * n).astype(np.uint64))[:n]
+        taxids = rng.integers(1, 50, size=len(values)).astype(np.uint32)
+        with tempfile.TemporaryDirectory() as d:
+            a, b = os.path.join(d, "a"), os.path.join(d, "b")
+            write_db_files(a, values, taxids, split_num=split_num)
+            w = StreamingDbWriter(b, len(values), split_num=split_num)
+            for s in range(0, len(values), 7):
+                w.write_block(values[s : s + 7], taxids[s : s + 7])
+            w.finalize()
+            with open(os.path.join(a, "split"), "rb") as fa, \
+                 open(os.path.join(b, "split"), "rb") as fb:
+                ba, bb = fa.read(), fb.read()
+            assert ba == bb, (n, split_num)
+            splits = np.frombuffer(ba, dtype=SPLIT_DTYPE)
+            size_of_split = len(values) // (split_num - 1)
+            if size_of_split == 0:
+                assert not splits["ADkmer"].any(), (n, split_num)
+            else:
+                # no checkpoint may record an info offset beyond the last
+                # finite offset + one AA-group (the arm point is bounded
+                # by (splitNum-1)*sizeOfSplit)
+                nz = splits[splits["infoIdxOffset"] > 0]
+                assert len(nz) <= split_num - 1
+
+
 def test_merge_flush_files_equals_in_memory():
     """K-way merge with (value, species)-dedup + LCA == one-shot dedup."""
     from metabuli_tpu.db.formats import (
