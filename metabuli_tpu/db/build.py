@@ -394,10 +394,10 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy,
     blocks are reverse-complemented so every block scans forward frame 0,
     equivalent to `extractTargetKmers`' strand-aware scan,
     `KmerExtractor.cpp:407-426`). CDS-derived tasks pass through untouched.
-    The predictor is a self-training reimplementation, not a bit-exact
-    Prodigal port (its metagenomic models are absent from the reference
-    checkout); it also self-trains where the reference would use meta mode
-    (training sequence < 100 kb or Eukaryota)."""
+    Training sequences >= 100 kb (non-Eukaryota) use the bit-exact Prodigal
+    single-mode port; the reference's meta mode (< 100 kb or Eukaryota)
+    falls back to the self-training stand-in — Prodigal's metagenomic
+    models are absent from the reference checkout (see db/genes.py)."""
     from .genes import GenePredictor
 
     out: list[SeqTask] = []
@@ -407,11 +407,13 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy,
             out.append(t)
         else:
             by_sp.setdefault(t.species, []).append(t)
+    euk_id = getattr(tax, "eukaryota_id", 0)
     for sp in sorted(by_sp):
         ts = by_sp[sp]
         gp = GenePredictor()
         train_seq = max(ts, key=lambda t: len(t.seq)).seq
-        gp.train(train_seq)
+        gp.train(train_seq,
+                 euk=bool(euk_id and tax.is_ancestor(euk_id, sp)))
         # process in reference-style batches (post-add cut rule, same as
         # get_accession_batches) with a per-batch intergenic reset, so this
         # in-memory path and the streaming path produce the same DB for
@@ -503,7 +505,11 @@ def _build_streaming(
                     from .genes import GenePredictor
 
                     gp = GenePredictor()
-                    gp.train(load(train_entry[sp]))
+                    euk_id = getattr(tax, "eukaryota_id", 0)
+                    gp.train(
+                        load(train_entry[sp]),
+                        euk=bool(euk_id and tax.is_ancestor(euk_id, sp)),
+                    )
                     trainers[sp] = gp
                 tasks = _predict_with_trainer(gp, tasks)
                 remaining[sp] -= 1

@@ -1,14 +1,25 @@
 """Gene prediction for database construction (ctypes bridge).
 
-Drives the native module (`native/genepred.cpp`) that stands in for the
-reference's vendored Prodigal during `build` (`IndexCreator.cpp:1128-1218`):
-per-species training on the longest sequence, min-hash strandedness check,
-gene prediction, and extended-ORF block computation. The predictor is a
-self-training reimplementation (long-ORF seeding -> hexamer log-odds ->
-overlap-resolving DP), not a bit-exact Prodigal port (Prodigal's
-metagenomic training data is not vendored in the reference checkout); the
-min-hash / intergenic-kmer / extended-ORF machinery follows the reference
-semantics exactly (`SeqIterator.cpp:65-152`, `ProdigalWrapper.cpp:344-560`).
+Drives the native modules that replace the reference's vendored Prodigal
+during `build` (`IndexCreator.cpp:1128-1218`): per-species training on the
+longest sequence, min-hash strandedness check, gene prediction, and
+extended-ORF block computation.
+
+Two predictors, selected by the reference's own mode rule
+(`IndexCreator.cpp:1140-1151`):
+
+  * single mode (training sequence >= 100 kb, non-Eukaryota):
+    `native/prodigal.cpp`, a BIT-EXACT port of the vendored Prodigal's
+    trainASpecies + getPredictedGenes (locked against the compiled
+    reference by tests/test_prodigal_port.py);
+  * meta mode (< 100 kb or Eukaryota): the reference would use Prodigal's
+    50 precomputed metagenomic models, which are a missing large blob in
+    the reference checkout — `native/genepred.cpp`'s self-training
+    reimplementation stands in (no oracle authority possible).
+
+The min-hash / intergenic-kmer / extended-ORF machinery follows the
+reference semantics exactly (`SeqIterator.cpp:65-152`,
+`ProdigalWrapper.cpp:344-560`).
 """
 
 from __future__ import annotations
@@ -37,30 +48,49 @@ class GenePredictor:
         self.lib.gp_intergenic_kmers.restype = ctypes.c_int64
         self.lib.gp_extended_orfs.restype = ctypes.c_int64
         self.lib.gp_xxh64.restype = ctypes.c_uint64
+        self.lib.pdg_train.restype = ctypes.c_int64
+        self.lib.pdg_predict.restype = ctypes.c_int64
         self._model = 0
+        self._port = False      # True: bit-exact Prodigal port (single mode)
         self._train_len = 0
         self._train_sketch = None
         self._inter = np.zeros(INTER_CAP, np.uint64)
         self._n_inter = ctypes.c_int64(0)
 
-    def __del__(self):
-        if getattr(self, "_model", 0) and self.lib is not None:
+    def _free_model(self):
+        if self._model and self.lib is not None:
             try:
-                self.lib.gp_free(ctypes.c_int64(self._model))
+                if self._port:
+                    self.lib.pdg_free(ctypes.c_int64(self._model))
+                else:
+                    self.lib.gp_free(ctypes.c_int64(self._model))
             except Exception:
                 pass
+        self._model = 0
+
+    def __del__(self):
+        if getattr(self, "_model", 0):
+            self._free_model()
 
     # ------------------------------------------------------------- training
-    def train(self, seq: bytes):
+    def train(self, seq: bytes, euk: bool = False):
         """Train on the species' longest sequence; seeds the intergenic
-        23-mer list and the strandedness sketch (`IndexCreator.cpp:1130-1166`)."""
-        if self._model:
-            self.lib.gp_free(ctypes.c_int64(self._model))
-        self._model = int(self.lib.gp_train(seq, ctypes.c_int64(len(seq))))
+        23-mer list and the strandedness sketch (`IndexCreator.cpp:1130-1166`).
+        Mode selection mirrors `IndexCreator.cpp:1140-1151`: single mode
+        (the bit-exact Prodigal port) for >= 100 kb non-Eukaryota training
+        sequences, the self-training meta stand-in otherwise."""
+        self._free_model()
+        self._port = len(seq) >= 100_000 and not euk
+        if self._port:
+            self._model = int(self.lib.pdg_train(seq, ctypes.c_int64(len(seq))))
+        else:
+            self._model = int(self.lib.gp_train(seq, ctypes.c_int64(len(seq))))
         self._train_len = len(seq)
         self._train_sketch = self.minhash(seq)
         self._n_inter = ctypes.c_int64(0)
-        genes = self.predict(seq)
+        # the intergenic seed uses the RAW gene list (the reference passes
+        # prodigal->genes, not finalGenes, to generateIntergenicKmerList)
+        genes = self.predict(seq, final=False)
         if len(genes[0]):
             n = self.lib.gp_intergenic_kmers(
                 seq, ctypes.c_int64(len(seq)),
@@ -99,16 +129,28 @@ class GenePredictor:
         ))
 
     # ------------------------------------------------------------ prediction
-    def predict(self, seq: bytes):
+    def predict(self, seq: bytes, final: bool = True):
+        """Predicted genes (1-based begin/end, strand +1/-1). ``final``
+        applies removeCompletelyOverlappingGenes (the list fed to the
+        extended-ORF blocks); ``final=False`` is the raw list (the
+        intergenic 23-mer seed). The meta stand-in always dedups."""
         cap = max(64, len(seq) // 200)
         while True:
             b = np.zeros(cap, np.int32)
             e = np.zeros(cap, np.int32)
             s = np.zeros(cap, np.int32)
-            n = int(self.lib.gp_predict(
-                ctypes.c_int64(self._model), seq, ctypes.c_int64(len(seq)),
-                b.ctypes, e.ctypes, s.ctypes, ctypes.c_int64(cap),
-            ))
+            if self._port:
+                n = int(self.lib.pdg_predict(
+                    ctypes.c_int64(self._model), seq,
+                    ctypes.c_int64(len(seq)),
+                    b.ctypes, e.ctypes, s.ctypes, ctypes.c_int64(cap),
+                    ctypes.c_int32(1 if final else 0),
+                ))
+            else:
+                n = int(self.lib.gp_predict(
+                    ctypes.c_int64(self._model), seq, ctypes.c_int64(len(seq)),
+                    b.ctypes, e.ctypes, s.ctypes, ctypes.c_int64(cap),
+                ))
             if n <= cap:
                 return b[:n], e[:n], s[:n]
             cap = n
@@ -116,7 +158,7 @@ class GenePredictor:
     def extended_orfs(self, seq: bytes):
         """Predicted genes -> extended-ORF SequenceBlocks (start, end,
         strand; 0-based inclusive), updating the intergenic 23-mer list."""
-        gb, ge, gs = self.predict(seq)
+        gb, ge, gs = self.predict(seq, final=True)
         cap = max(16, 2 * len(gb) + 4)
         bs = np.zeros(cap, np.int32)
         be = np.zeros(cap, np.int32)

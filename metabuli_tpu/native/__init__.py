@@ -19,6 +19,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "taxonomer.cpp"),
     os.path.join(os.path.dirname(__file__), "masker.cpp"),
     os.path.join(os.path.dirname(__file__), "genepred.cpp"),
+    os.path.join(os.path.dirname(__file__), "prodigal.cpp"),
     os.path.join(os.path.dirname(__file__), "fastx.cpp"),
     os.path.join(os.path.dirname(__file__), "sortkeys.cpp"),
 ]
@@ -29,9 +30,12 @@ def _build() -> str | None:
     newest = max(os.path.getmtime(src) for src in _SRCS)
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
         return _SO
+    # -ffp-contract=off: the Prodigal port's double arithmetic must not be
+    # FMA-contracted — bit-exactness vs the (-O2, no -march) compiled
+    # reference oracle depends on plain IEEE mul+add sequences
     cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", *_SRCS, "-o", _SO + ".tmp", "-lz",
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+        "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _SO + ".tmp", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

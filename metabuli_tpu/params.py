@@ -118,8 +118,11 @@ class BuildParams:
                           "(0 = derive from --max-ram)"},
     )
     gene_prediction: int = field(
-        default=0,
+        default=1,
         metadata={"help": "restrict extraction to predicted coding frames "
-                          "+ extended ORFs (native gene predictor; the "
-                          "reference's Prodigal stage). 0 = all 6 frames"},
+                          "+ extended ORFs (bit-exact Prodigal single-mode "
+                          "port for >=100kb non-euk training sequences, "
+                          "self-training meta stand-in otherwise — the "
+                          "reference's unconditional Prodigal stage, "
+                          "IndexCreator.cpp:1128-1218). 0 = all 6 frames"},
     )

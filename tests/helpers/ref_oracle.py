@@ -61,6 +61,12 @@ _HARNESSES.update({
         _FULL_STACK_REF,
         _FULL_STACK_EXTRA,
     ),
+    "prodigal_oracle": (
+        ["prodigal_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
 })
 
 

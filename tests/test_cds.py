@@ -76,11 +76,11 @@ def test_build_with_cds_restricts_frames(tmp_path):
 
     stats_all = build_database(
         str(tmp_path / "db_all"), str(tmp_path / "lib.txt"),
-        str(tmp_path / "map.tsv"), str(taxdir), BuildParams(mask_mode=0))
+        str(tmp_path / "map.tsv"), str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
     stats_cds = build_database(
         str(tmp_path / "db_cds"), str(tmp_path / "lib.txt"),
         str(tmp_path / "map.tsv"), str(taxdir),
-        BuildParams(mask_mode=0, cds_info=str(tmp_path / "cds_list.txt")))
+        BuildParams(gene_prediction=0, mask_mode=0, cds_info=str(tmp_path / "cds_list.txt")))
     # single-frame CDS extraction yields far fewer k-mers than 6-frame
     assert stats_cds["unique_kmers"] < stats_all["unique_kmers"] / 3
     assert stats_cds["unique_kmers"] > 100
@@ -109,7 +109,7 @@ def test_accession_level_build_and_classify(tmp_path):
     (tmp_path / "map.tsv").write_text("ACC_1.1\t4\nACC_2.1\t4\n")
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams(mask_mode=0, accession_level=1))
+                   str(taxdir), BuildParams(gene_prediction=0, mask_mode=0, accession_level=1))
     tax = load_db_taxonomy(db)
     # two accession nodes under species 4
     acc_nodes = [i for i in range(1, tax.n_nodes() + 1)

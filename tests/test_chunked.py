@@ -64,7 +64,7 @@ def test_classifier_chunked_end_to_end(tmp_path):
     (tmp_path / "map.tsv").write_text("accession\taccession.version\ttaxid\tgi\nACC_X\tACC_X.1\t4\t0\n")
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams())
+                   str(taxdir), BuildParams(gene_prediction=0))
 
     reads = [genome[i * 150 : i * 150 + 150] for i in range(10)]
     q = tmp_path / "r.fna"

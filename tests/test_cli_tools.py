@@ -45,7 +45,7 @@ def world(tmp_path_factory):
     )
     db = str(root / "db")
     build_database(db, str(root / "library.txt"), str(root / "acc2taxid.map"),
-                   str(taxdir), BuildParams())
+                   str(taxdir), BuildParams(gene_prediction=0))
     # query reads from genome A
     reads = []
     g = genomes["ACC_A.1"][0]
@@ -208,7 +208,7 @@ def test_old_format_db_roundtrip(world, tmp_path):
     db1 = str(tmp_path / "db_fmt1")
     build_database(
         db1, str(root / "library.txt"), str(root / "acc2taxid.map"),
-        str(root / "taxonomy"), BuildParams(kmer_format=1),
+        str(root / "taxonomy"), BuildParams(gene_prediction=0, kmer_format=1),
     )
     par = ClassifyParams(seq_mode=1, batch_reads=16)
     clf = Classifier(db1, par)
@@ -228,7 +228,7 @@ def test_syncmer_db_roundtrip(world, tmp_path):
     dbs = str(tmp_path / "db_sync")
     stats = build_database(
         dbs, str(root / "library.txt"), str(root / "acc2taxid.map"),
-        str(root / "taxonomy"), BuildParams(syncmer=1, smer_len=5),
+        str(root / "taxonomy"), BuildParams(gene_prediction=0, syncmer=1, smer_len=5),
     )
     par = ClassifyParams(seq_mode=1, batch_reads=16)
     clf = Classifier(dbs, par)

@@ -33,7 +33,7 @@ def _make_tarball(tmp_path, name, nested=False):
     (root / "map.tsv").write_text("ACC_1.1\t4\n")
     db = root / "db"
     build_database(str(db), str(root / "lib.txt"), str(root / "map.tsv"),
-                   str(root / "taxonomy"), BuildParams(mask_mode=0))
+                   str(root / "taxonomy"), BuildParams(gene_prediction=0, mask_mode=0))
     serve = tmp_path / "serve"
     serve.mkdir()
     tar_path = serve / name

@@ -145,7 +145,7 @@ def test_classifier_with_device_tax(tmp_path):
         "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams(mask_mode=0))
+                   str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
 
     reads = []
     for acc, (g, _) in genomes.items():
@@ -199,7 +199,7 @@ def test_fused_path_overflow_host_recombine(tmp_path):
         "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams(mask_mode=0))
+                   str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
 
     # scattered mutations give many short disjoint paths per (read, species)
     reads = []

@@ -98,7 +98,7 @@ def test_distributed_classify_matches_single(tmp_path):
         "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams(mask_mode=0))
+                   str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
 
     reads = []
     for acc, (g, _) in genomes.items():
@@ -160,7 +160,7 @@ def test_two_process_cli_classify(tmp_path):
         "".join(f"{a}\t{t}\n" for a, (_, t) in genomes.items()))
     db = str(tmp_path / "db")
     build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                   str(taxdir), BuildParams(mask_mode=0))
+                   str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
     reads = []
     for acc, (g, _) in genomes.items():
         for i in range(12):

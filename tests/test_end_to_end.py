@@ -61,7 +61,7 @@ def tiny_world(tmp_path_factory):
         str(root / "library.txt"),
         str(root / "acc2taxid.map"),
         str(taxdir),
-        BuildParams(batch_bases=100_000),
+        BuildParams(gene_prediction=0, batch_bases=100_000),
     )
     assert stats["sequences"] == 2
     assert stats["unique_kmers"] > 1000
@@ -262,7 +262,7 @@ def test_iupac_genome_build(tmp_path):
     (tmp_path / "map.tsv").write_text("ACC_M.1\t4\n")
     db = str(tmp_path / "db")
     stats = build_database(db, str(tmp_path / "lib.txt"), str(tmp_path / "map.tsv"),
-                           str(taxdir), BuildParams(mask_mode=0))
+                           str(taxdir), BuildParams(gene_prediction=0, mask_mode=0))
     assert stats["unique_kmers"] > 1000
     # reads from the clean core still classify
     q = tmp_path / "r.fna"
@@ -311,7 +311,7 @@ def test_reduced_alphabet_end_to_end(tmp_path):
     db_dir = str(root / "db")
     build_database(
         db_dir, str(root / "library.txt"), str(root / "acc2taxid.map"),
-        str(taxdir), BuildParams(batch_bases=100_000, reduced_aa=1),
+        str(taxdir), BuildParams(gene_prediction=0, batch_bases=100_000, reduced_aa=1),
     )
     # db.parameters must record + re-apply the reduced alphabet
     from metabuli_tpu.db.formats import DbParameters
@@ -364,7 +364,7 @@ def test_out_of_core_build_matches_in_memory(tiny_world, tmp_path):
     build_database(
         db2, str(root / "library.txt"), str(root / "acc2taxid.map"),
         str(root / "taxonomy"),
-        BuildParams(batch_bases=30_000, flush_kmers=1500),
+        BuildParams(gene_prediction=0, batch_bases=30_000, flush_kmers=1500),
     )
     # multiple flushes must actually have happened for this to test merging
     for f in ("diffIdx", "info"):

@@ -310,11 +310,11 @@ def test_update_streaming_equals_in_memory(tmp_path, monkeypatch):
     old_db = str(tmp_path / "old")
     build_database(old_db, str(tmp_path / "lib1.txt"),
                    str(tmp_path / "map.tsv"), str(taxdir),
-                   BuildParams(mask_mode=0))
+                   BuildParams(gene_prediction=0, mask_mode=0))
 
     new_s = str(tmp_path / "new_stream")
     update_database(new_s, old_db, str(tmp_path / "lib2.txt"),
-                    str(tmp_path / "map.tsv"), BuildParams(mask_mode=0))
+                    str(tmp_path / "map.tsv"), BuildParams(gene_prediction=0, mask_mode=0))
 
     # force the in-memory path by making the streaming predicate fail
     import metabuli_tpu.db.update as upd
@@ -325,7 +325,7 @@ def test_update_streaming_equals_in_memory(tmp_path, monkeypatch):
     )
     new_m = str(tmp_path / "new_mem")
     update_database(new_m, old_db, str(tmp_path / "lib2.txt"),
-                    str(tmp_path / "map.tsv"), BuildParams(mask_mode=0))
+                    str(tmp_path / "map.tsv"), BuildParams(gene_prediction=0, mask_mode=0))
     monkeypatch.setattr(upd.os.path, "abspath", real_abspath)
 
     for f in ("diffIdx", "info"):

@@ -98,7 +98,7 @@ def test_golden_classify(tmp_path, syncmer):
         db, os.path.join(root, "library.txt"),
         os.path.join(root, "acc2taxid.map"),
         os.path.join(root, "taxonomy"),
-        BuildParams(syncmer=syncmer, mask_mode=1),
+        BuildParams(gene_prediction=0, syncmer=syncmer, mask_mode=1),
     )
     tag = f"s{syncmer}"
     _fixture_compare(

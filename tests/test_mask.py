@@ -58,7 +58,7 @@ def test_build_with_masking(tmp_path):
            + bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 1000)))
     counts = {}
     for mask_mode in (0, 1):
-        b = IndexBuilder(BuildParams(mask_mode=mask_mode), tax)
+        b = IndexBuilder(BuildParams(gene_prediction=0, mask_mode=mask_mode), tax)
         b.add_sequences([SeqTask(seq, 2, 2)])
         counts[mask_mode] = sum(len(v) for v in b._values)
     assert counts[1] < counts[0] - 1000
