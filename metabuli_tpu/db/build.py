@@ -234,12 +234,10 @@ class IndexBuilder:
             # tail reads INVALID codes and can't form extra valid codons)
             real = np.array([len(t.seq) for t in batch], np.int64)
             lens = (3 * (real // 3) + 2).astype(np.int32)
-        if par.mask_mode:
-            from ..ops.mask import mask_codes
-
-            for r, t in enumerate(batch):
-                n = len(t.seq)
-                codes[r, :n] = mask_codes(codes[r, :n], par.mask_prob)
+        # NB: masking happens at TASK CREATION (whole strand-corrected
+        # sequences, before block cutting) — tantan posteriors are
+        # context-dependent, so masking cut blocks here would diverge from
+        # the reference (`IndexCreator.cpp:1082-1099`)
         b_pad = 1
         while b_pad < len(batch):
             b_pad *= 2
@@ -382,7 +380,8 @@ class IndexBuilder:
 
 
 def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy,
-                        buffer_kmers: int = 1 << 62) -> list[SeqTask]:
+                        buffer_kmers: int = 1 << 62, mask_mode: int = 0,
+                        mask_prob: float = 0.9) -> list[SeqTask]:
     """Replace whole-sequence tasks with predicted coding blocks.
 
     Per species (mirrors `IndexCreator::fillTargetKmerBuffer`,
@@ -432,10 +431,11 @@ def predict_gene_blocks(tasks: list[SeqTask], tax: Taxonomy,
                 or len(batch) > 300
                 or (len(batch) > 100 and blen > 50_000_000)
             ):
-                out.extend(_predict_with_trainer(gp, batch))
+                out.extend(_predict_with_trainer(gp, batch, mask_mode,
+                                                 mask_prob))
                 batch, blen, bkmers = [], 0, 0
         if batch:
-            out.extend(_predict_with_trainer(gp, batch))
+            out.extend(_predict_with_trainer(gp, batch, mask_mode, mask_prob))
     return out
 
 
@@ -511,10 +511,19 @@ def _build_streaming(
                         euk=bool(euk_id and tax.is_ancestor(euk_id, sp)),
                     )
                     trainers[sp] = gp
-                tasks = _predict_with_trainer(gp, tasks)
+                tasks = _predict_with_trainer(gp, tasks, params.mask_mode,
+                                              params.mask_prob)
                 remaining[sp] -= 1
                 if remaining[sp] == 0:
                     del trainers[sp]
+            elif params.mask_mode:
+                from ..ops.mask import mask_bytes
+
+                tasks = [
+                    SeqTask(mask_bytes(t.seq, params.mask_prob), t.taxid,
+                            t.species)
+                    for t in tasks
+                ]
             builder.add_sequences(tasks)
     finally:
         for fh in handles.values():
@@ -530,12 +539,19 @@ def _build_streaming(
     return stats
 
 
-def _predict_with_trainer(gp, tasks: list[SeqTask]) -> list[SeqTask]:
+def _predict_with_trainer(gp, tasks: list[SeqTask], mask_mode: int = 0,
+                          mask_prob: float = 0.9) -> list[SeqTask]:
     """Gene-block extraction for one batch with a trained predictor
     (the per-sequence part of ``predict_gene_blocks``). The intergenic
     list resets to the post-train seed per batch (the reference seeds a
     fresh ProdigalWrapper per AccessionBatch), so results don't depend
-    on the ascending-length batch processing order."""
+    on the ascending-length batch processing order.
+
+    With masking on, the WHOLE strand-corrected sequence is masked once
+    and blocks are cut from the masked copy, while gene prediction and
+    the intergenic-kmer hashes read the raw sequence — exactly the
+    reference's maskedSeq handling (`IndexCreator.cpp:1082-1099` forward,
+    `:1196-1203` reverse-complemented)."""
     from .genes import revcomp
 
     gp.reset_intergenic()
@@ -544,13 +560,18 @@ def _predict_with_trainer(gp, tasks: list[SeqTask]) -> list[SeqTask]:
         seq = t.seq
         if not gp.same_strand(seq):
             seq = revcomp(seq)
+        mseq = seq
+        if mask_mode:
+            from ..ops.mask import mask_bytes
+
+            mseq = mask_bytes(seq, mask_prob)
         bs, be, bt = gp.extended_orfs(seq)
         for i in range(len(bs)):
             s = max(0, int(bs[i]))
             e = min(len(seq) - 1, int(be[i]))
             if e - s + 1 < 24:
                 continue
-            block = seq[s : e + 1]
+            block = mseq[s : e + 1]
             if int(bt[i]) == -1:
                 block = revcomp(block)
             out.append(SeqTask(block, t.taxid, t.species, single_frame=True))
@@ -624,7 +645,15 @@ def build_database(
             if acc in cds_map:
                 from .cds import divide_cds_noncds
 
-                cds_blocks, non_cds = divide_cds_noncds(rec.seq, cds_map[acc])
+                src = rec.seq
+                if params.mask_mode:
+                    # reference: divide the MASKED genome
+                    # (`IndexCreator.cpp:1095-1099` devideToCdsAndNonCds
+                    # reads maskedSeq)
+                    from ..ops.mask import mask_bytes
+
+                    src = mask_bytes(rec.seq, params.mask_prob)
+                cds_blocks, non_cds = divide_cds_noncds(src, cds_map[acc])
                 for block in cds_blocks + non_cds:
                     if len(block) >= 24:
                         tasks.append(
@@ -646,7 +675,17 @@ def build_database(
     n_input_seqs = len(tasks)
     if params.gene_prediction:
         buffer_kmers = max(1 << 22, (params.max_ram << 30) >> 5)
-        tasks = predict_gene_blocks(tasks, tax, buffer_kmers)
+        tasks = predict_gene_blocks(tasks, tax, buffer_kmers,
+                                    params.mask_mode, params.mask_prob)
+    elif params.mask_mode:
+        from ..ops.mask import mask_bytes
+
+        tasks = [
+            t if t.single_frame
+            else SeqTask(mask_bytes(t.seq, params.mask_prob), t.taxid,
+                         t.species)
+            for t in tasks
+        ]
     builder.add_sequences(tasks)
     stats = builder.finalize(db_dir, params.db_name)
     stats["sequences"] = n_input_seqs

@@ -134,6 +134,13 @@ def update_database(
                 continue
             tasks.append(SeqTask(rec.seq, internal, int(tax.species_of[internal])))
             acc_rows.append((acc, org))
+    if params.mask_mode:
+        from ..ops.mask import mask_bytes
+
+        tasks = [
+            SeqTask(mask_bytes(t.seq, params.mask_prob), t.taxid, t.species)
+            for t in tasks
+        ]
     builder.add_sequences(tasks)
 
     # merge: feed the old DB's entries through the same dedup machinery

@@ -32,14 +32,16 @@ struct Model {
 // Forward-backward over [begin, end) of seq; out_prob gets posterior repeat
 // probability per position.
 static void fb_chunk(const uint8_t* seq, int64_t begin, int64_t end,
-                     const Model& mdl, float* out_prob) {
+                     const Model& mdl, double* out_prob) {
   const int C = mdl.C;
   const int64_t len = end - begin;
   if (len <= 0) return;
   // forward matrices stored per position: [len][C] repeat states + [len] bg
-  std::vector<float> fr((size_t)len * C);
-  std::vector<float> fb(len);
-  std::vector<float> scale(len);
+  // (double precision: the posterior threshold compare must match the
+  // full-sequence double forward-backward oracle bit-for-bit)
+  std::vector<double> fr((size_t)len * C);
+  std::vector<double> fb(len);
+  std::vector<double> scale(len);
 
   auto ratio = [&](int64_t i, int c) -> double {
     int64_t j = i - c;
@@ -66,9 +68,9 @@ static void fb_chunk(const uint8_t* seq, int64_t begin, int64_t end,
     double inv = total > 0 ? 1.0 / total : 1.0;
     cur_b *= inv;
     for (int c = 0; c < C; ++c) cur_r[c] *= inv;
-    fb[i] = (float)cur_b;
-    for (int c = 0; c < C; ++c) fr[(size_t)i * C + c] = (float)cur_r[c];
-    scale[i] = (float)inv;
+    fb[i] = cur_b;
+    for (int c = 0; c < C; ++c) fr[(size_t)i * C + c] = cur_r[c];
+    scale[i] = inv;
   }
 
   // backward
@@ -80,10 +82,10 @@ static void fb_chunk(const uint8_t* seq, int64_t begin, int64_t end,
     double denom = fb[i] * bb_b;
     double rep = 0.0;
     for (int c = 0; c < C; ++c) {
-      denom += (double)fr[(size_t)i * C + c] * bb_r[c];
-      rep += (double)fr[(size_t)i * C + c] * bb_r[c];
+      denom += fr[(size_t)i * C + c] * bb_r[c];
+      rep += fr[(size_t)i * C + c] * bb_r[c];
     }
-    out_prob[i] = denom > 0 ? (float)(rep / denom) : 0.f;
+    out_prob[i] = denom > 0 ? rep / denom : 0.0;
     if (i == 0) break;
     // compute beta for position i-1: transitions into i's states, emission
     // ratios at i, then the scale factor applied at i in the forward pass
@@ -142,8 +144,8 @@ void tantan_mask(const uint8_t* seq_codes, int64_t len, int32_t max_cycle,
   mdl.mismatch_ratio = std::exp(mismatch_score * lambda);
 
   const int64_t CHUNK = 1 << 16;
-  const int64_t OVERLAP = 2048;
-  std::vector<float> prob;
+  const int64_t OVERLAP = 4096;
+  std::vector<double> prob;
   for (int64_t begin = 0; begin < len; begin += CHUNK) {
     int64_t cs = begin == 0 ? 0 : begin - OVERLAP;
     int64_t ce = std::min(len, begin + CHUNK);

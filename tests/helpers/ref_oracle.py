@@ -67,6 +67,12 @@ _HARNESSES.update({
         _FULL_STACK_REF,
         _FULL_STACK_EXTRA,
     ),
+    "mask_oracle": (
+        ["mask_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
 })
 
 
@@ -101,9 +107,16 @@ def build(name: str) -> str:
 
 def run(name: str, args: list[str], stdin: str, timeout: int = 300) -> str:
     binary = build(name)
+    # OMP_NUM_THREADS must match the harnesses' par.threads=1: the
+    # reference sizes per-thread arrays (e.g. KmerExtractor::kmerScanners)
+    # from par.threads but lets OpenMP pick the team size — an unpinned run
+    # indexes kmerScanners[omp_get_thread_num()] past the allocation
+    # (KmerExtractor.cpp:367, confirmed with ASan). This was the source of
+    # the intermittent rc=-11 oracle segfaults.
+    env = dict(os.environ, OMP_NUM_THREADS="1")
     res = subprocess.run(
         [binary] + args, input=stdin, capture_output=True, text=True,
-        timeout=timeout,
+        timeout=timeout, env=env,
     )
     if res.returncode != 0:
         raise RuntimeError(

@@ -34,9 +34,21 @@ public:
         }
         pBack[alphabetSize - 1] = 1e-10;
         // Nucleotide scoring model used by MMseqs2's NucleotideMatrix:
-        // match +2 / mismatch -3 at lambda ~ 0.33 gives these joint probs;
-        // see the derivation note in tests/ref_oracle/README.md.
-        double lambda = 0.33;
+        // match +2 / mismatch -3 with the Karlin-Altschul lambda solving
+        // sum_ab p_a p_b exp(lambda*s_ab) = 1 for uniform p=0.25
+        // (~0.63373; same bisection as native/masker.cpp tantan_lambda,
+        // the value MMseqs2's probability fit converges to for this
+        // matrix — the vendored nucleotide.out itself is absent).
+        double lambda;
+        {
+            double lo = 1e-6, hi = 10.0;
+            for (int it = 0; it < 200; ++it) {
+                double mid = 0.5 * (lo + hi);
+                double v = 0.25 * exp(2.0 * mid) + 0.75 * exp(-3.0 * mid);
+                if (v > 1.0) hi = mid; else lo = mid;
+            }
+            lambda = 0.5 * (lo + hi);
+        }
         for (int i = 0; i < alphabetSize; ++i) {
             for (int j = 0; j < alphabetSize; ++j) {
                 double s = (i == j) ? 2.0 : -3.0;

@@ -56,9 +56,14 @@ def test_build_with_masking(tmp_path):
     seq = (bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 1000))
            + b"ATATATATAT" * 50
            + bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 1000)))
+    from metabuli_tpu.ops.mask import mask_bytes
+
     counts = {}
     for mask_mode in (0, 1):
+        # masking is a task-creation concern (whole sequences before any
+        # block cutting — see build.py); the builder itself never masks
+        seq_in = mask_bytes(seq, 0.9) if mask_mode else seq
         b = IndexBuilder(BuildParams(gene_prediction=0, mask_mode=mask_mode), tax)
-        b.add_sequences([SeqTask(seq, 2, 2)])
+        b.add_sequences([SeqTask(seq_in, 2, 2)])
         counts[mask_mode] = sum(len(v) for v in b._values)
     assert counts[1] < counts[0] - 1000
