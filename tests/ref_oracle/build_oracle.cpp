@@ -73,6 +73,7 @@ int main(int argc, char **argv) {
         else if (k == "db-date") par.dbDate = v;
         else if (k == "cds-info") par.cdsInfo = v;
         else if (k == "skip-redundancy") par.skipRedundancy = atoi(v.c_str());
+        else if (k == "kmer-format") par.kmerFormat = atoi(v.c_str());
         else {
             std::cerr << "unknown key " << k << "\n";
             return 2;
@@ -95,7 +96,7 @@ int main(int argc, char **argv) {
         taxonomyDir + "/names.dmp", taxonomyDir + "/nodes.dmp",
         taxonomyDir + "/merged.dmp", true);
 
-    IndexCreator idxCre(par, taxonomy, 2);
+    IndexCreator idxCre(par, taxonomy, par.kmerFormat);
     idxCre.createIndex();
     if (par.accessionLevel == 1) {
         taxonomy = idxCre.getTaxonomy();
