@@ -23,6 +23,20 @@ import numpy as np
 
 BASELINE_READS_PER_S = 20_000.0
 
+
+def adaptive_budget(n_matches: int) -> int:
+    """Pow2 match budget from an observed count (+30% headroom).
+
+    Every post-compaction tensor (taxdna gathers, chain-grid scatters, the
+    final multi-key sort, quotient reduction) is sized by the match budget,
+    so a conservative static budget multiplies their cost; the classifier
+    CLI path sizes it from observed density the same way (classifier.py
+    `_obs_ratio`), with the overflow counter driving a retry."""
+    b = 4096
+    while b < int(n_matches * 1.3) + 1024:
+        b *= 2
+    return b
+
 N_GENOMES = 8
 GENOME_LEN = 200_000
 N_READS = 32_768
@@ -185,6 +199,9 @@ def main():
             )
             m = matches_to_host(bm, t2s)
             dtx.set_hints(m, tp.dna_shift)
+            # right-size the match budget to the observed density; the
+            # drain loop below grows it again if a later batch overflows
+            max_matches = adaptive_budget(m["n_matches"])
 
             # two-tier candidate cap: almost every AA group in this DB has
             # one row, so tier 1 gathers a single candidate per k-mer and
@@ -206,10 +223,15 @@ def main():
                 return h, b
 
             def drain(h, b):
+                nonlocal max_matches
                 n_chunk = b[4]
                 results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
-                while results is None:  # grid overflow: relaunch (hints
-                    # already folded in the observed sizes)
+                # relaunch on grid overflow (hints already folded in the
+                # observed sizes) or match-budget overflow (budget regrows
+                # from the true count)
+                while results is None or info["n_matches"] > max_matches:
+                    if info["n_matches"] > max_matches:
+                        max_matches = adaptive_budget(info["n_matches"])
                     h, _ = dispatch(b)
                     results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
                 assert info["n_over_cap"] == 0, "cap retry needed"

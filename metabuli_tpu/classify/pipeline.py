@@ -141,7 +141,10 @@ class DevIndex(NamedTuple):
     n: int
     search_iters: int   # static binary-search depth within a bucket
     prefix_bits: int
-    packed_search: bool = False  # compact search layout (see below)
+    # 0 = plain layout; nonzero = compact search layout, value = the
+    # gbounds start-field width in bits (adaptive: tag gets 64-16-start
+    # bits, so small tables afford wide rest tags — see build_dev_index)
+    packed_search: int = 0
 
 
 def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
@@ -234,10 +237,13 @@ def build_dev_index(
     # Compact search layout (element count is what TPU gathers charge for):
     #   prefix_packed i32 [2^pb]: bucket start(23b) << 8 | load(8b) — ONE
     #     element instead of the (start, end) pair;
-    #   gbounds u64 [G]: rest(17b) << 47 | start(31b) << 16 | cnt(16b) —
-    #     ONE u64 (2 elements) yields tag verify + row range, instead of
-    #     three separate i32 gathers.
-    rb_fits = rest_bits(reduced, pb) <= 17
+    #   gbounds u64 [G]: rest << (sb+16) | start(sb bits) << 16 | cnt(16b)
+    #     — ONE u64 (2 elements) yields tag verify + row range, instead of
+    #     three separate i32 gathers. The start width sb adapts to the row
+    #     count, so small tables (fewer rows -> narrower start) afford the
+    #     wider rest tags their smaller prefix_bits imply.
+    start_bits = max(1, int(np.ceil(np.log2(n + 1)))) if n else 1
+    rb_fits = rest_bits(reduced, pb) + start_bits + 16 <= 64
     import os as _os
 
     packed = (
@@ -263,7 +269,7 @@ def build_dev_index(
             (prefix[:-1].astype(np.int64) << 8) | counts.astype(np.int64)
         ).astype(np.int32)
         gbounds = (
-            (grest.astype(np.uint64) << np.uint64(47))
+            (grest.astype(np.uint64) << np.uint64(start_bits + 16))
             | (gstart.astype(np.uint64) << np.uint64(16))
             | (gend - gstart).astype(np.uint64)
         )
@@ -277,7 +283,7 @@ def build_dev_index(
         n=n,
         search_iters=iters,
         prefix_bits=pb,
-        packed_search=packed,
+        packed_search=start_bits if packed else 0,
     )
 
 
@@ -395,9 +401,10 @@ def _classify_core(
             hi = jnp.where(active & ~less, mid, hi)
         g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
         if packed_search:
+            sb = int(packed_search)  # start-field width (adaptive)
             gb = db_gbounds[g_c]
-            g_tag = bc32(gb >> jnp.uint64(47))
-            s = bc32((gb >> jnp.uint64(16)) & jnp.uint64(0x7FFFFFFF))
+            g_tag = bc32(gb >> jnp.uint64(sb + 16))
+            s = bc32((gb >> jnp.uint64(16)) & jnp.uint64((1 << sb) - 1))
             cnt = bc32(gb & jnp.uint64(0xFFFF))
             h = valid_mask & (lo < bucket_end) & (g_tag == q_rest)
             e = jnp.where(h, s + cnt, s)

@@ -39,7 +39,7 @@ def main():
         offs = np.zeros(len(chunk), np.int32)
         qids = np.arange(len(chunk), dtype=np.int32)
         rl = np.full(B.BATCH, read_len, np.int32)
-        max_matches = B.BATCH * 300
+        max_matches = B.BATCH * 230  # match bench.py exactly
 
         bm = classify_batch_indexed(
             index, d_t2s, codes, lens, offs, qids,
