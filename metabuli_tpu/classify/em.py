@@ -135,7 +135,13 @@ def run_em_reassignment(classifier, mappings, all_results, out_dir, job_id, tota
             scores[q] = cum
     for i, (name, rc, read_len) in enumerate(all_results):
         t = int(taxids[i])
-        reclass_counts[t] = reclass_counts.get(t, 0) + 1
+        if t != 0:
+            # the reference only counts reads that reclassified to a real
+            # taxon (`Classifier.cpp:350-354` skips denom==0 reads before
+            # the localTaxCounts increment, and mapping-less reads never
+            # enter queryRanges), so its EM+reclassify report has no
+            # unclassified row from this stage
+            reclass_counts[t] = reclass_counts.get(t, 0) + 1
         rows.append((name, t, read_len, scores[i]))
 
     with open(os.path.join(out_dir, f"{job_id}_EM+reclassify_report.tsv"), "w") as fh:

@@ -13,7 +13,8 @@ import os
 import numpy as np
 
 from ..params import BuildParams
-from .build import IndexBuilder, SeqTask, accession_of, read_acc2taxid
+from .build import (IndexBuilder, SeqTask, accession_of, predict_gene_blocks,
+                    read_acc2taxid)
 from .index import MetamerIndex
 from .taxonomy import Taxonomy
 from ..io import fasta
@@ -121,6 +122,16 @@ def update_database(
                            flush_dir=os.path.join(db_dir, "flush"))
     with open(fasta_list) as fh:
         files = [line.strip() for line in fh if line.strip()]
+
+    # the reference's updateDB runs the FULL IndexCreator over the new
+    # sequences (`updateDB.cpp:104-106` createIndex: CDS bypass, gene
+    # prediction, masking — same as build), so the update path shares the
+    # build path's task preparation
+    cds_map = {}
+    if params.cds_info:
+        from .cds import load_cds_info
+
+        cds_map = load_cds_info(params.cds_info)
     tasks = []
     acc_rows = []
     skipped = 0
@@ -132,13 +143,34 @@ def update_database(
             if internal is None or internal < 0:
                 skipped += 1
                 continue
-            tasks.append(SeqTask(rec.seq, internal, int(tax.species_of[internal])))
+            species = int(tax.species_of[internal])
+            if acc in cds_map:
+                from .cds import divide_cds_noncds
+
+                src = rec.seq
+                if params.mask_mode:
+                    from ..ops.mask import mask_bytes
+
+                    src = mask_bytes(rec.seq, params.mask_prob)
+                cds_blocks, non_cds = divide_cds_noncds(src, cds_map[acc])
+                for block in cds_blocks + non_cds:
+                    if len(block) >= 24:
+                        tasks.append(SeqTask(block, internal, species,
+                                             single_frame=True))
+            else:
+                tasks.append(SeqTask(rec.seq, internal, species))
             acc_rows.append((acc, org))
-    if params.mask_mode:
+    if params.gene_prediction:
+        buffer_kmers = max(1 << 22, (params.max_ram << 30) >> 5)
+        tasks = predict_gene_blocks(tasks, tax, buffer_kmers,
+                                    params.mask_mode, params.mask_prob)
+    elif params.mask_mode:
         from ..ops.mask import mask_bytes
 
         tasks = [
-            SeqTask(mask_bytes(t.seq, params.mask_prob), t.taxid, t.species)
+            t if t.single_frame
+            else SeqTask(mask_bytes(t.seq, params.mask_prob), t.taxid,
+                         t.species)
             for t in tasks
         ]
     builder.add_sequences(tasks)

@@ -73,6 +73,24 @@ _HARNESSES.update({
         _FULL_STACK_REF,
         _FULL_STACK_EXTRA,
     ),
+    "extract_oracle": (
+        ["extract_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
+    "update_oracle": (
+        ["update_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF,
+        _FULL_STACK_EXTRA,
+    ),
+    "filter_oracle": (
+        ["filter_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF + ["QueryFilter.cpp"],
+        _FULL_STACK_EXTRA,
+    ),
 })
 
 
