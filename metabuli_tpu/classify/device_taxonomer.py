@@ -86,7 +86,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         # classify statics
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
-        "packed_search",
+        "packed_search", "direct_bits", "hit_budget", "sovf_budget",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -101,7 +101,8 @@ def _fused_classify_tax(
     n_db, search_iters, cap, max_matches, reduced, syncmer, smer_len,
     kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
-    ov_budget, packed_search=False,
+    ov_budget, packed_search=False, direct_bits=0, hit_budget=0,
+    sovf_budget=0,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -121,10 +122,11 @@ def _fused_classify_tax(
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
             prefix_bits=prefix_bits, cap2=cap2, ov_budget=cap_ov_budget,
-            packed_search=packed_search,
+            packed_search=packed_search, direct_bits=direct_bits,
+            hit_budget=hit_budget, sovf_budget=sovf_budget,
         )
     )
-    return taxonomer_tail(
+    packed, counts = taxonomer_tail(
         s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts,
         dt, min_depth, rl,
         path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
@@ -132,6 +134,15 @@ def _fused_classify_tax(
         n_blocks=n_blocks, w=w, k=k, max_shift=max_shift,
         ov_budget=ov_budget, kmer_format=kmer_format,
     )
+    if hit_budget and sovf_budget:
+        # direct-search hit/overflow lists truncated: dropped candidate
+        # rows make the results wrong — flag for the retry ladder (bit 6;
+        # drain_fused folds the true counters into the hints first)
+        s_ov = (
+            (cls_counts[4] > hit_budget) | (cls_counts[5] > sovf_budget)
+        ).astype(jnp.int32)
+        counts = counts.at[2].set(counts[2] | (s_ov << 6))
+    return packed, counts
 
 
 def taxonomer_tail(
@@ -222,6 +233,7 @@ def taxonomer_tail(
         cls_counts[0], cls_counts[1], cls_counts[2], comb.n_ov,
         flat.n_paths, qres.n_rows, cls_counts[3],
         chain_res.n_real_blocks,
+        cls_counts[4], cls_counts[5],   # direct-search hit / overflow
     ])
     # ONE packed int32 output: every host-bound tensor concatenated at
     # static offsets. The tunnel pays a ~25ms round trip PER fetched array,
@@ -308,11 +320,19 @@ class DeviceTaxonomer:
         ov_budget = pow2(max(1024, int(h.get("ov", 0)) * 2) * scale,
                          lo=1024, hi=1 << 20) if h.get("ov") is not None \
             else 16384 * scale
+        # direct-search budgets: 0 (classic full-width search) until a
+        # warmup batch has seeded the hit-density hints
+        if h.get("hits"):
+            hit_budget = pow2(int(h["hits"] * 1.3) * scale)
+            sovf_budget = pow2(max(8192, int(h.get("sovf", 0)) * 2) * scale)
+        else:
+            hit_budget = sovf_budget = 0
         return dict(
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
             taxcnt_budget=taxcnt_budget, dna_shift=self.p.dna_shift,
             p_max=p_max, n_blocks=n_blocks, w=w, k=k,
             max_shift=self.p.max_codon_shift, ov_budget=ov_budget,
+            hit_budget=hit_budget, sovf_budget=sovf_budget,
         )
 
     def set_hints(self, m: dict, dna_shift: int) -> None:
@@ -358,6 +378,17 @@ class DeviceTaxonomer:
             # drain_fused's observed n_taxcnt correct it
             "taxcnt": 4 * int(groups.sum()),
             "ov": 1024,
+            # pass-1 hit slots: kept matches are a lower bound on hits
+            # (chance same-AA candidates can fail the Hamming cutoff), so
+            # seed generously. IMPORTANT: these seeds must DOMINATE the
+            # typical observed counters drain_fused folds back in — a hint
+            # growth mid-run recompiles a second fused-program variant, and
+            # the tunneled TPU runtime deterministically corrupts
+            # executions once two variants of the same program have run
+            # (INVALID_ARGUMENT on every later call; no in-process
+            # recovery — see tools_profiling/README.md).
+            "hits": 2 * n,
+            "sovf": max(8192, n // 8),
         }
         for key, val in upd.items():
             h[key] = max(h.get(key, 0), val)
@@ -372,19 +403,20 @@ class DeviceTaxonomer:
         """Launch the fused classify+taxonomer program (async)."""
         sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max,
                                  scale)
-        rl = np.zeros(max(n_reads, 1), np.int32)
-        rl[: len(read_lens_by_qid)] = read_lens_by_qid
-        args = (
-            index.db, d_species, self.dt, self.min_depth, rl,
-            codes, lens, pos_offsets, qid_offsets,
-        )
         kw = dict(
             n_db=index.n, search_iters=index.search_iters, cap=cap,
             max_matches=max_matches, reduced=reduced, syncmer=syncmer,
             smer_len=smer_len, kmer_format=kmer_format,
             prefix_bits=index.prefix_bits, cap2=cap2,
             cap_ov_budget=cap_ov_budget,
-            packed_search=index.packed_search, **sizes,
+            packed_search=index.packed_search,
+            direct_bits=index.direct_bits, **sizes,
+        )
+        rl = np.zeros(max(n_reads, 1), np.int32)
+        rl[: len(read_lens_by_qid)] = read_lens_by_qid
+        args = (
+            index.db, d_species, self.dt, self.min_depth, rl,
+            codes, lens, pos_offsets, qid_offsets,
         )
         try:
             packed, counts = _fused_classify_tax(*args, **kw)
@@ -427,6 +459,8 @@ class DeviceTaxonomer:
             "n_rows": int(counts[8]),
             "n_ov_cap": int(counts[9]),
             "n_real_blocks": int(counts[10]),
+            "n_hits1": int(counts[11]) if counts.shape[0] > 11 else 0,
+            "n_sovf": int(counts[12]) if counts.shape[0] > 12 else 0,
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs
@@ -436,6 +470,9 @@ class DeviceTaxonomer:
         h["rows"] = max(h.get("rows", 0), info["n_rows"])
         h["ov"] = max(h.get("ov", 0), info["n_ov_paths"])
         h["taxcnt"] = max(h.get("taxcnt", 0), info["n_taxcnt"])
+        if info["n_hits1"]:
+            h["hits"] = max(h.get("hits", 0), info["n_hits1"])
+            h["sovf"] = max(h.get("sovf", 0), info["n_sovf"])
         if info["tax_overflow"]:
             return None, info
         results = [ReadClassification() for _ in range(n_reads)]

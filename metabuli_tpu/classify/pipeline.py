@@ -145,6 +145,11 @@ class DevIndex(NamedTuple):
     # gbounds start-field width in bits (adaptive: tag gets 64-16-start
     # bits, so small tables afford wide rest tags — see build_dev_index)
     packed_search: int = 0
+    # 0 = no direct-map table; nonzero = its slot width in bits. The
+    # direct table resolves most queries with ONE u64 gather (see
+    # build_dev_index); queries landing in multi-group buckets fall back
+    # to the bucketed binary search over a compacted overflow list.
+    direct_bits: int = 0
 
 
 def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
@@ -255,6 +260,37 @@ def build_dev_index(
         and max_group <= 0xFFFF
         and n < (1 << 31)
     )
+    # Direct-mapped probe table: one u64 gather resolves every query whose
+    # bucket (top direct_bits of pi) holds <= 1 group — the common case at
+    # 1/8 load. Entry: more(1) | rest_tag | start | cnt(16); `more` routes
+    # multi-group-bucket queries to the bucketed binary search (pass 2,
+    # over a compacted overflow list). Zero entries are unreachable
+    # (cnt == 0 yields an empty candidate window). Sized for <= 1/8 load,
+    # capped at 2^24 slots (128 MB); the tag must stay exact
+    # (slot + tag == the full 40-bit permuted AA key) so direct_bits also
+    # floors at start_bits - 7 to keep the packing within 64 bits.
+    direct_bits = 0
+    dmap = None
+    if packed and not _os.environ.get("METABULI_TPU_NO_DIRECT_SEARCH"):
+        dbits = 12
+        while (1 << dbits) < 8 * max(n_groups, 1) and dbits < 24:
+            dbits += 1
+        dbits = max(dbits, start_bits - 7)
+        rb_d = 40 - dbits
+        if dbits <= 24 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
+            slots_d = (pi_s >> np.uint64(rb_d)).astype(np.int64)
+            rest_d = pi_s & np.uint64((1 << rb_d) - 1)
+            load = np.bincount(slots_d, minlength=1 << dbits)
+            first = np.ones(n_groups, bool)
+            first[1:] = slots_d[1:] != slots_d[:-1]
+            dmap = np.zeros(1 << dbits, np.uint64)
+            dmap[slots_d[first]] = (
+                (rest_d[first] << np.uint64(start_bits + 16))
+                | (gstart[first].astype(np.uint64) << np.uint64(16))
+                | (gend[first] - gstart[first]).astype(np.uint64)
+            )
+            dmap |= (load >= 2).astype(np.uint64) << np.uint64(63)
+            direct_bits = dbits
     if reduced:
         # reduced mode scores via the 11x11 LUT on codon-number fields,
         # not the expanded-base XOR path; lo32 is fetched in the tier.
@@ -274,6 +310,8 @@ def build_dev_index(
             | (gend - gstart).astype(np.uint64)
         )
         db = (grest, gbounds, taxdna, d48, prefix_packed)
+        if direct_bits:
+            db = db + (dmap,)
     else:
         taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
         d48 = expand_db_dna48(values, kmer_format)
@@ -284,6 +322,7 @@ def build_dev_index(
         search_iters=iters,
         prefix_bits=pb,
         packed_search=start_bits if packed else 0,
+        direct_bits=direct_bits,
     )
 
 
@@ -321,6 +360,9 @@ def _classify_core(
     cap2: int = 0,
     ov_budget: int = 0,
     packed_search: bool = False,
+    direct_bits: int = 0,
+    hit_budget: int = 0,
+    sovf_budget: int = 0,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
 
@@ -343,12 +385,22 @@ def _classify_core(
     with padding at the tail — and the host taxonomer performs the cheap
     per-read sort instead (its reads are independent, so a global device
     sort is wasted work on the host path)."""
+    db_dmap = None
     if reduced:
         db_grest, db_gstart, db_gend, db_lo, db_tax, db_prefix = db
+    elif packed_search and direct_bits:
+        db_grest, db_gbounds, db_taxdna, db_d48, db_prefix_packed, \
+            db_dmap = db
     elif packed_search:
         db_grest, db_gbounds, db_taxdna, db_d48, db_prefix_packed = db
     else:
         db_grest, db_gstart, db_gend, db_taxdna, db_d48, db_prefix = db
+    # the direct-probe + hit-compaction flow needs all three budgets and
+    # the packed layouts; otherwise every query runs the bucketed search
+    direct_mode = bool(
+        direct_bits and hit_budget and sovf_budget
+        and packed_search and not reduced
+    )
     B, L = codes.shape
     mm = encode.extract_metamers(
         codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
@@ -416,8 +468,6 @@ def _classify_core(
             e = jnp.where(h, db_gend[g_c], s)
         return s, e, h
 
-    start, gend, hit = search_groups(q_values, q_valid)
-
     two_tier = cap2 > cap and ov_budget > 0
     n_safe = jnp.int32(max(n_db - 1, 0))
     if kmer_format == 2:
@@ -458,16 +508,158 @@ def _classify_core(
         h16 = jnp.where(fwd_sel[:, None], h_fwd, h_rev)
         return idx_c, keep, hsum, h16, t_dna
 
-    # ---- tier 1: small cap for every query
-    idx_c, keep, hsum, h16, t_dna = tier(
-        start, gend, hit, cap,
-        None if reduced else q_d48lo, None if reduced else q_d48hi,
-        q_lo if reduced else None, fwd_q,
-    )
-    # overflow: the equal-AA group extends past the cap window
-    over = start + cap < gend
+    # per-slot payloads ride through the compaction sort so nothing has to
+    # be re-gathered after it: h16 (16b) + hamming (3b; kept rows have
+    # hsum <= min-cutoff <= 7) + frame (3b) pack into one word; qid, pos
+    # and the db row index are broadcasts/copies of per-slot values
+    # (broadcasts are layout ops — the table gathers they replace cost
+    # ~10ns/element on TPU)
+    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)   # [Q]
+    q_qid = jnp.broadcast_to(
+        qid_offsets[:, None, None], (B, 6, W)
+    ).reshape(-1)                                               # [Q]
 
-    if two_tier:
+    def payw(h16v, hsumv, framev):
+        return (h16v << 6) | ((hsumv & 7) << 3) | framev[:, None]
+
+    if direct_mode:
+        # ---- pass 1: ONE u64 probe of the direct-mapped table resolves
+        # every query whose bucket holds <= 1 group; `more`-flagged
+        # mismatches retry through the bucketed binary search over a
+        # COMPACTED overflow list (pass 2), and the capped candidate
+        # gathers below run on compacted HIT rows only — the per-slot
+        # cost of the search drops from ~9 gathered elements to 2.
+        rb_d = 40 - direct_bits
+        sbw = int(packed_search)
+        q_pi = (
+            (q_values >> jnp.uint64(24)) * jnp.uint64(AA_PERM_MULT)
+        ) & jnp.uint64((1 << 40) - 1)
+        e = db_dmap[(q_pi >> jnp.uint64(rb_d)).astype(jnp.int32)]
+        rest_d = bc32(q_pi & jnp.uint64((1 << rb_d) - 1))
+        tag = bc32((e >> jnp.uint64(sbw + 16)) & jnp.uint64((1 << rb_d) - 1))
+        s1 = bc32((e >> jnp.uint64(16)) & jnp.uint64((1 << sbw) - 1))
+        c1 = bc32(e & jnp.uint64(0xFFFF))
+        hit1 = q_valid & (tag == rest_d) & (c1 > 0)
+        sovf = q_valid & ((e >> jnp.uint64(63)) != 0) & ~hit1
+        n_hits1 = jnp.sum(hit1.astype(jnp.int32)).astype(jnp.int32)
+        n_sovf = jnp.sum(sovf.astype(jnp.int32)).astype(jnp.int32)
+        slotid = jnp.arange(Q, dtype=jnp.int32)
+
+        def pad_to(x, length, fill):
+            if x.shape[0] < length:
+                x = jnp.pad(x, (0, length - x.shape[0]),
+                            constant_values=fill)
+            return x[:length]
+
+        # ---- pass 2: partition-sort the overflow slots to the front and
+        # run the bucketed search on just those
+        s2_slot = pad_to(
+            jax.lax.sort(jnp.where(sovf, slotid, INT32_MAX)),
+            sovf_budget, INT32_MAX,
+        )
+        pad2 = s2_slot == INT32_MAX
+        safe2 = jnp.minimum(s2_slot, Q - 1)
+        st2, en2, h2 = search_groups(q_values[safe2], ~pad2)
+
+        # ---- compact pass-1 hits, carrying (start, cnt) as sort payloads
+        kH, sH_s, sH_c = jax.lax.sort(
+            (jnp.where(hit1, slotid, INT32_MAX), s1, c1), num_keys=1
+        )
+        kH = pad_to(kH, hit_budget, INT32_MAX)
+        sH_s = pad_to(sH_s, hit_budget, 0)
+        sH_c = pad_to(sH_c, hit_budget, 0)
+
+        # ---- concat hit streams; derive per-row query fields from the
+        # slot id (qid/pos via cheap [NC] gathers, frame arithmetically)
+        slots_r = jnp.concatenate([kH, jnp.where(h2, s2_slot, INT32_MAX)])
+        starts_r = jnp.concatenate([sH_s, st2])
+        ends_r = jnp.concatenate([sH_s + sH_c, en2])
+        activer = slots_r != INT32_MAX
+        saf = jnp.minimum(slots_r, Q - 1)
+        d48r = q_d48[saf]
+        d48lo_r = bc32(d48r & jnp.uint64(0xFFFFFFFF))
+        d48hi_r = bc32(d48r >> jnp.uint64(32))
+        frame_r = (saf // W) % 6
+        fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
+        pos_r = q_pos[saf]
+        qid_r = q_qid[saf]
+        NC = hit_budget + sovf_budget
+
+        idx_c, keep, hsum, h16, _ = tier(
+            starts_r, ends_r, activer, cap, d48lo_r, d48hi_r, None, fwd_r
+        )
+        over = activer & (starts_r + cap < ends_r)
+        if two_tier:
+            ovp = jnp.cumsum(over.astype(jnp.int32)) - 1
+            n_ov = ovp[-1] + 1
+            sc = jnp.where(over & (ovp < ov_budget), ovp,
+                           jnp.int32(ov_budget))
+            ov_idx = (
+                jnp.full(ov_budget, NC, jnp.int32)
+                .at[sc].set(jnp.arange(NC, dtype=jnp.int32), mode="drop")
+            )
+            ov_pad = ov_idx >= NC
+            ov_safe = jnp.minimum(ov_idx, NC - 1)
+            start2 = jnp.where(ov_pad, 0, starts_r[ov_safe])
+            gend2 = jnp.where(ov_pad, 0, ends_r[ov_safe])
+            idx2_c, keep2, hsum2, h16_2, _ = tier(
+                start2, gend2, ~ov_pad, cap2,
+                d48lo_r[ov_safe], d48hi_r[ov_safe], None, fwd_r[ov_safe]
+            )
+            keep = keep & ~over[:, None]
+            over2 = ~ov_pad & (start2 + cap2 < gend2)
+            n_over_cap = jnp.sum(over2.astype(jnp.int32))
+            flat_keep = jnp.concatenate(
+                [keep.reshape(-1), keep2.reshape(-1)]
+            )
+            flat_pay = jnp.concatenate([
+                payw(h16, hsum, frame_r).reshape(-1),
+                payw(h16_2, hsum2, frame_r[ov_safe]).reshape(-1),
+            ])
+            flat_midx = jnp.concatenate(
+                [idx_c.reshape(-1), idx2_c.reshape(-1)]
+            )
+
+            def b1(x):
+                return jnp.broadcast_to(x[:, None], (NC, cap)).reshape(-1)
+
+            def b2(x):
+                return jnp.broadcast_to(
+                    x[ov_safe][:, None], (ov_budget, cap2)
+                ).reshape(-1)
+
+            flat_qid = jnp.concatenate([b1(qid_r), b2(qid_r)])
+            flat_pos = jnp.concatenate([b1(pos_r), b2(pos_r)])
+            total_slots = NC * cap + ov_budget * cap2
+        else:
+            n_ov = jnp.int32(0)
+            n_over_cap = jnp.sum(over.astype(jnp.int32))
+            flat_keep = keep.reshape(-1)
+            flat_pay = payw(h16, hsum, frame_r).reshape(-1)
+            flat_midx = idx_c.reshape(-1)
+            flat_qid = jnp.broadcast_to(
+                qid_r[:, None], (NC, cap)
+            ).reshape(-1)
+            flat_pos = jnp.broadcast_to(
+                pos_r[:, None], (NC, cap)
+            ).reshape(-1)
+            total_slots = NC * cap
+    else:
+      # ---- classic flow: bucketed search + capped gathers on EVERY slot
+      n_hits1 = jnp.int32(0)
+      n_sovf = jnp.int32(0)
+      start, gend, hit = search_groups(q_values, q_valid)
+
+      # ---- tier 1: small cap for every query
+      idx_c, keep, hsum, h16, t_dna = tier(
+          start, gend, hit, cap,
+          None if reduced else q_d48lo, None if reduced else q_d48hi,
+          q_lo if reduced else None, fwd_q,
+      )
+      # overflow: the equal-AA group extends past the cap window
+      over = start + cap < gend
+
+      if two_tier:
         # compact the overflowed queries and re-gather them at cap2; their
         # tier-1 rows are dropped (the cutoff needs the FULL equal-AA run)
         ovp = jnp.cumsum(over.astype(jnp.int32)) - 1
@@ -488,25 +680,12 @@ def _classify_core(
             q_lo[ov_safe] if reduced else None,
             fwd_q[ov_safe],
         )
-    # per-slot payloads ride through the compaction sort so nothing has to
-    # be re-gathered after it: h16 (16b) + hamming (3b; kept rows have
-    # hsum <= min-cutoff <= 7) + frame (3b) pack into one word; qid, pos
-    # and the db row index are broadcasts/copies of per-slot values
-    # (broadcasts are layout ops — the table gathers they replace cost
-    # ~10ns/element on TPU)
-    q_pos = (mm.pos + pos_offsets[:, None, None]).reshape(-1)   # [Q]
-    q_qid = jnp.broadcast_to(
-        qid_offsets[:, None, None], (B, 6, W)
-    ).reshape(-1)                                               # [Q]
 
-    def payw(h16v, hsumv, framev):
-        return (h16v << 6) | ((hsumv & 7) << 3) | framev[:, None]
-
-    def slots1(x):
+      def slots1(x):
         return jnp.broadcast_to(x[:, None], (Q, cap)).reshape(-1)
 
-    pay1 = payw(h16, hsum, q_frame)
-    if two_tier:
+      pay1 = payw(h16, hsum, q_frame)
+      if two_tier:
         keep = keep & ~over[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
         over2 = ~ov_pad & (start2 + cap2 < gend2)
@@ -532,7 +711,7 @@ def _classify_core(
                 [t_dna.reshape(-1), t_dna2.reshape(-1)]
             )
         total_slots = Q * cap + ov_budget * cap2
-    else:
+      else:
         n_ov = jnp.int32(0)
         n_over_cap = jnp.sum(over.astype(jnp.int32))
         flat_keep = keep.reshape(-1)
@@ -606,7 +785,8 @@ def _classify_core(
         is_pad, INT32_MAX, m_frame | (m_ham << 3) | (m_h16 << 11)
     )
     counts = jnp.stack(
-        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)), n_ov)
+        (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)), n_ov,
+         n_hits1, n_sovf)
     ).astype(jnp.int32)
     if not sort_device:
         # compaction order is already read-grouped with padding at the
@@ -646,7 +826,8 @@ def _classify_core(
     static_argnames=(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
-        "cap2", "ov_budget", "packed_search",
+        "cap2", "ov_budget", "packed_search", "direct_bits", "hit_budget",
+        "sovf_budget",
     ),
 )
 def _classify_batch_impl(
@@ -668,6 +849,9 @@ def _classify_batch_impl(
     cap2: int = 0,
     ov_budget: int = 0,
     packed_search: bool = False,
+    direct_bits: int = 0,
+    hit_budget: int = 0,
+    sovf_budget: int = 0,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
         db, tax2species,
@@ -676,7 +860,8 @@ def _classify_batch_impl(
         max_matches=max_matches, reduced=reduced, syncmer=syncmer,
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
         prefix_bits=prefix_bits, cap2=cap2, ov_budget=ov_budget,
-        packed_search=packed_search,
+        packed_search=packed_search, direct_bits=direct_bits,
+        hit_budget=hit_budget, sovf_budget=sovf_budget,
     )
     if pack4:
         # 4-word transfer layout (standard alphabet, qid < 2^14):
@@ -709,6 +894,8 @@ def classify_batch_indexed(
     pack4: bool = False,
     cap2: int = 0,
     ov_budget: int = 0,
+    hit_budget: int = 0,
+    sovf_budget: int = 0,
 ) -> BatchMatches:
     return _classify_batch_impl(
         index.db, tax2species,
@@ -718,6 +905,8 @@ def classify_batch_indexed(
         smer_len=smer_len, kmer_format=kmer_format, sort_device=sort_device,
         pack4=pack4, prefix_bits=index.prefix_bits, cap2=cap2,
         ov_budget=ov_budget, packed_search=index.packed_search,
+        direct_bits=index.direct_bits, hit_budget=hit_budget,
+        sovf_budget=sovf_budget,
     )
 
 
@@ -908,5 +1097,7 @@ def _unpack_match_data(
     out["n_over_cap"] = int(counts[1])
     out["total_kmers"] = int(counts[2])
     out["n_ov"] = int(counts[3]) if counts.shape[0] > 3 else 0
+    out["n_hits"] = int(counts[4]) if counts.shape[0] > 4 else 0
+    out["n_sovf"] = int(counts[5]) if counts.shape[0] > 5 else 0
     out["sorted"] = sorted_rows
     return out
