@@ -31,7 +31,11 @@ from ..io import fasta
 from ..io.report import Reporter
 from ..params import ClassifyParams
 from . import distributed as dist
-from .mesh import build_sharded_classify, merge_shard_matches
+from .mesh import build_sharded_classify, build_sharded_fused, \
+    merge_shard_matches
+
+_HINT_KEYS = ("nb", "k", "paths", "rows", "groups", "taxcnt", "ov",
+              "hits", "sovf")
 
 
 def _used_len(length: int) -> int:
@@ -63,8 +67,11 @@ def classify_distributed(
     par.reduced_aa = dbp.reduced_aa
     tax = index.taxonomy
     t2s = index.species_table().astype(np.int32)
+    # reference quirk replicated for bit-identity (see Classifier.__init__):
+    # the reference's merge-join can never surface the LAST k-mer of the
+    # database as a candidate, so the searchable table excludes it
     db_arrays = dist.distribute_index(
-        index.values, index.taxids.astype(np.int32), mesh,
+        index.values[:-1], index.taxids[:-1].astype(np.int32), mesh,
         kmer_format=par.kmer_format,
     )
     *db_global, n_pad, iters = db_arrays
@@ -97,6 +104,24 @@ def classify_distributed(
         native = NativeTaxonomer(tp, tax, threads=par.threads)
     except (RuntimeError, OSError):
         native = None
+
+    # fused sharded taxonomer: after the first (hint-seeding) batch the
+    # chain DP/combine/quotient tail runs ON DEVICE per data row and only
+    # the small packed tensors drain — the multi-device analogue of the
+    # single-chip fused path. Hints are max-reduced across processes so
+    # every process compiles the identical global program.
+    use_fused = (
+        not par.reduced_aa
+        and os.environ.get("METABULI_TPU_DIST_FUSED", "1") != "0"
+    )
+    dtx = None
+    if use_fused:
+        from ..classify.device_taxonomer import DeviceTaxonomer
+
+        dtx = DeviceTaxonomer(tp, tax)
+    fused_step = None
+    fused_sizes = None
+    fused_budget = None
 
     os.makedirs(out_dir, exist_ok=True)
     part_path = os.path.join(out_dir, f".{job_id}_part{pid}.tsv")
@@ -175,6 +200,7 @@ def classify_distributed(
                 qid_off = np.concatenate(
                     [qid_off, np.full(pad_rows, g_batch - 1, np.int32)])
 
+            rows_per_data = (len(rows) + pad_rows) // n_data
             if step is None:
                 budget = max(
                     1024,
@@ -187,68 +213,172 @@ def classify_distributed(
                     syncmer=bool(par.syncmer), smer_len=par.smer_len,
                     kmer_format=par.kmer_format,
                 )
-            reads_g = dist.distribute_reads(codes, lens, pos_off, qid_off, mesh)
-            out = step(*db_global, t2s, *reads_g)
-            jax.block_until_ready(out)
-
-            # drain this process's data rows only. Matches are replicated
-            # across the db axis (all_gather in the sharded step), so every
-            # shard of an owned row is complete — fetch ONE replica per row
-            # and skip rows owned by other processes.
-            data_g, counts_g = out
-            my_row_set = set(my_rows)
-            seen_rows: set[int] = set()
-            local_parts = []
-            for shard in data_g.addressable_shards:
-                r = shard.index[0].start or 0
-                if r not in my_row_set or r in seen_rows:
-                    continue
-                seen_rows.add(r)
-                local_parts.append(np.asarray(shard.data))
-            if local_parts:
-                stacked = np.concatenate(local_parts, axis=0)
-                w = stacked.shape[2]
-                datas = stacked.transpose(2, 0, 1, 3).reshape(w, -1)
-            else:
-                datas = np.zeros((5, 0), np.int32)
-            m = _rows_to_matches(datas, t2s)
-
             read_lens = np.array(lens_meta, np.int32)
-            starts = np.searchsorted(m["qid"], np.arange(g_batch), side="left")
-            ends = np.searchsorted(m["qid"], np.arange(g_batch), side="right")
-            # this process's qids: derived from its data rows
-            rows_per_data = (len(rows) + pad_rows) // n_data
-            my_qids = set()
-            for r in my_rows:
-                for j in range(r * rows_per_data, (r + 1) * rows_per_data):
-                    if j < len(rows):
-                        my_qids.add(int(qid_off[j]))
-            qlist = sorted(q for q in my_qids if q < n_real)
+
+            # compile the fused sharded step once hints exist (seeded from
+            # the first batch's plain pass, max-reduced across processes so
+            # every process traces the identical global program)
+            if dtx is not None and dtx.hints and fused_step is None:
+                fused_budget = budget
+                mrl = (2 * _used_len(L) + 3) if q2 else _used_len(L)
+                fused_sizes = dtx.fused_sizes(per_row, fused_budget, mrl)
+                fused_step = build_sharded_fused(
+                    mesh, n_pad=n_pad, search_iters=iters, cap=cap,
+                    max_matches=fused_budget, sizes=fused_sizes,
+                    reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
+                    smer_len=par.smer_len, kmer_format=par.kmer_format,
+                )
+
             out_rows = []
-            if qlist:
-                rs = starts[qlist].astype(np.int64)
-                re_ = ends[qlist].astype(np.int64)
-                rl_q = read_lens[qlist]
-                if native is not None:
-                    res, _ = native.assign_batch(m, rs, re_, rl_q)
+            fused_ok = False
+            if fused_step is not None:
+                # local qids per data row (the fused tail runs per row)
+                qid_local = (
+                    qid_off
+                    - (np.arange(len(qid_off), dtype=np.int32)
+                       // rows_per_data) * per_row
+                ).astype(np.int32)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data_sh = NamedSharding(mesh, P("data"))
+                reads_g = dist.distribute_reads(
+                    codes, lens, pos_off, qid_local, mesh)
+                rl_g = jax.device_put(read_lens, data_sh)
+                packed_g, counts_g = fused_step(
+                    *db_global, t2s, dtx.dt, dtx.min_depth, rl_g, *reads_g)
+                jax.block_until_ready((packed_g, counts_g))
+                my_row_set = set(my_rows)
+                pk_rows: dict[int, np.ndarray] = {}
+                ct_rows: dict[int, np.ndarray] = {}
+                for shard in packed_g.addressable_shards:
+                    r = shard.index[0].start or 0
+                    if r in my_row_set and r not in pk_rows:
+                        pk_rows[r] = np.asarray(shard.data)[0]
+                for shard in counts_g.addressable_shards:
+                    r = shard.index[0].start or 0
+                    if r in my_row_set and r not in ct_rows:
+                        ct_rows[r] = np.asarray(shard.data)[0]
+                row_res: dict[int, list] = {}
+                ok = True
+                for r in my_rows:
+                    rl_row = read_lens[r * per_row:(r + 1) * per_row]
+                    res, info = dtx.drain_fused(
+                        (pk_rows[r], ct_rows[r], fused_sizes),
+                        rl_row, per_row,
+                    )
+                    if res is None or info["n_matches"] > fused_budget:
+                        ok = False
+                        break
+                    row_res[r] = res
+                # SPMD: the plain fallback is a collective — every process
+                # must agree before any takes it
+                if num_processes > 1:
+                    from jax.experimental import multihost_utils
+
+                    oks = multihost_utils.process_allgather(
+                        np.array([1 if ok else 0], np.int32))
+                    ok = bool(np.min(oks))
+                if ok:
+                    fused_ok = True
+                    for r in my_rows:
+                        for li, rc in enumerate(row_res[r]):
+                            qid = r * per_row + li
+                            if qid >= n_real:
+                                continue
+                            out_rows.append((n_done + qid, names[qid], rc,
+                                             int(read_lens[qid])))
+                            t = rc.taxid if rc.is_classified else 0
+                            tax_counts_local[t] = \
+                                tax_counts_local.get(t, 0) + 1
+
+            if not fused_ok:
+                reads_g = dist.distribute_reads(
+                    codes, lens, pos_off, qid_off, mesh)
+                out = step(*db_global, t2s, *reads_g)
+                jax.block_until_ready(out)
+
+                # drain this process's data rows only. Matches are
+                # replicated across the db axis (all_gather in the sharded
+                # step), so every shard of an owned row is complete — fetch
+                # ONE replica per row and skip rows owned by others.
+                data_g, counts_g = out
+                my_row_set = set(my_rows)
+                seen_rows: set[int] = set()
+                local_parts = []
+                for shard in data_g.addressable_shards:
+                    r = shard.index[0].start or 0
+                    if r not in my_row_set or r in seen_rows:
+                        continue
+                    seen_rows.add(r)
+                    local_parts.append(np.asarray(shard.data))
+                if local_parts:
+                    stacked = np.concatenate(local_parts, axis=0)
+                    w = stacked.shape[2]
+                    datas = stacked.transpose(2, 0, 1, 3).reshape(w, -1)
                 else:
-                    res = []
+                    datas = np.zeros((5, 0), np.int32)
+                m = _rows_to_matches(datas, t2s)
+
+                # seed the fused grid-size hints from this batch's matches
+                # (per data row, since the fused tail runs per row), then
+                # max-reduce across processes for identical programs
+                if dtx is not None and not dtx.hints:
+                    for r in my_rows:
+                        lo = np.searchsorted(m["qid"], r * per_row, "left")
+                        hi = np.searchsorted(
+                            m["qid"], (r + 1) * per_row - 1, "right")
+                        if hi > lo:
+                            sub = {k: m[k][lo:hi] for k in
+                                   ("qid", "species", "frame", "pos")}
+                            dtx.set_hints(sub, tp.dna_shift)
+                    if num_processes > 1:
+                        from jax.experimental import multihost_utils
+
+                        vec = np.array(
+                            [dtx.hints.get(k, 0) for k in _HINT_KEYS],
+                            np.int64)
+                        allv = multihost_utils.process_allgather(vec)
+                        mx = np.max(np.atleast_2d(allv), axis=0)
+                        for k, v in zip(_HINT_KEYS, mx):
+                            if int(v) > 0:
+                                dtx.hints[k] = int(v)
+
+                starts = np.searchsorted(
+                    m["qid"], np.arange(g_batch), side="left")
+                ends = np.searchsorted(
+                    m["qid"], np.arange(g_batch), side="right")
+                # this process's qids: derived from its data rows
+                my_qids = set()
+                for r in my_rows:
+                    for j in range(r * rows_per_data, (r + 1) * rows_per_data):
+                        if j < len(rows):
+                            my_qids.add(int(qid_off[j]))
+                qlist = sorted(q for q in my_qids if q < n_real)
+                if qlist:
+                    rs = starts[qlist].astype(np.int64)
+                    re_ = ends[qlist].astype(np.int64)
+                    rl_q = read_lens[qlist]
+                    if native is not None:
+                        res, _ = native.assign_batch(m, rs, re_, rl_q)
+                    else:
+                        res = []
+                        for i, qid in enumerate(qlist):
+                            lo, hi = int(rs[i]), int(re_[i])
+                            if lo == hi:
+                                res.append(_empty_rc())
+                                continue
+                            sub = {k: m[k][lo:hi] for k in
+                                   ("qid", "species", "frame", "pos",
+                                    "hamming", "dna", "taxid", "h16")}
+                            res.append(
+                                taxonomer.choose_best_taxon(
+                                    sub, int(rl_q[i])))
                     for i, qid in enumerate(qlist):
-                        lo, hi = int(rs[i]), int(re_[i])
-                        if lo == hi:
-                            res.append(_empty_rc())
-                            continue
-                        sub = {k: m[k][lo:hi] for k in
-                               ("qid", "species", "frame", "pos", "hamming",
-                                "dna", "taxid", "h16")}
-                        res.append(
-                            taxonomer.choose_best_taxon(sub, int(rl_q[i])))
-                for i, qid in enumerate(qlist):
-                    rc = res[i]
-                    out_rows.append((n_done + qid, names[qid], rc,
-                                     int(rl_q[i])))
-                    t = rc.taxid if rc.is_classified else 0
-                    tax_counts_local[t] = tax_counts_local.get(t, 0) + 1
+                        rc = res[i]
+                        out_rows.append((n_done + qid, names[qid], rc,
+                                         int(rl_q[i])))
+                        t = rc.taxid if rc.is_classified else 0
+                        tax_counts_local[t] = tax_counts_local.get(t, 0) + 1
             for gidx, name, rc, rl in out_rows:
                 part_fh.write(
                     f"{gidx}\t" + reporter.classification_row(name, rc, rl))
