@@ -87,6 +87,7 @@ INT32_MAX = jnp.int32(2**31 - 1)
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
         "packed_search", "direct_bits", "hit_budget", "sovf_budget",
+        "codes_packed",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -102,7 +103,7 @@ def _fused_classify_tax(
     kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
     ov_budget, packed_search=False, direct_bits=0, hit_budget=0,
-    sovf_budget=0,
+    sovf_budget=0, codes_packed=False,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -124,9 +125,10 @@ def _fused_classify_tax(
             prefix_bits=prefix_bits, cap2=cap2, ov_budget=cap_ov_budget,
             packed_search=packed_search, direct_bits=direct_bits,
             hit_budget=hit_budget, sovf_budget=sovf_budget,
+            codes_packed=codes_packed,
         )
     )
-    packed, counts = taxonomer_tail(
+    packed, ov_packed, counts = taxonomer_tail(
         s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts,
         dt, min_depth, rl,
         path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
@@ -142,7 +144,7 @@ def _fused_classify_tax(
             (cls_counts[4] > hit_budget) | (cls_counts[5] > sovf_budget)
         ).astype(jnp.int32)
         counts = counts.at[2].set(counts[2] | (s_ov << 6))
-    return packed, counts
+    return packed, ov_packed, counts
 
 
 def taxonomer_tail(
@@ -235,17 +237,22 @@ def taxonomer_tail(
         chain_res.n_real_blocks,
         cls_counts[4], cls_counts[5],   # direct-search hit / overflow
     ])
-    # ONE packed int32 output: every host-bound tensor concatenated at
-    # static offsets. The tunnel pays a ~25ms round trip PER fetched array,
-    # so a dozen slice+fetch ops cost far more than one small transfer.
+    # ONE packed int32 output: every routinely-fetched tensor concatenated
+    # at static offsets (the tunnel pays a ~25ms round trip PER fetched
+    # array, so a dozen slice+fetch ops cost far more than one small
+    # transfer). The p_max-overflow path rows ship as a SEPARATE output
+    # fetched only when n_ov_paths > 0 — they are zero on typical batches
+    # and would otherwise dominate the transfer volume.
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     packed = jnp.concatenate([
         groups.read, groups.species, bc(groups.score),
         t_read, t_species, t_taxid, t_count,
+    ])
+    ov_packed = jnp.concatenate([
         comb.ov_read, comb.ov_species, comb.ov_start, comb.ov_end,
         bc(comb.ov_score), comb.ov_ham, comb.ov_sh16, comb.ov_eh16,
     ])
-    return packed, counts
+    return packed, ov_packed, counts
 
 
 class DeviceTaxonomer:
@@ -324,7 +331,8 @@ class DeviceTaxonomer:
         # warmup batch has seeded the hit-density hints
         if h.get("hits"):
             hit_budget = pow2(int(h["hits"] * 1.3) * scale)
-            sovf_budget = pow2(max(8192, int(h.get("sovf", 0)) * 2) * scale)
+            sovf_budget = pow2(
+                max(8192, int(h.get("sovf", 0) * 1.5)) * scale)
         else:
             hit_budget = sovf_budget = 0
         return dict(
@@ -376,7 +384,7 @@ class DeviceTaxonomer:
             # distinct (read, species, taxid) triples aggregate far below
             # the quotient-row count; start near the group count and let
             # drain_fused's observed n_taxcnt correct it
-            "taxcnt": 4 * int(groups.sum()),
+            "taxcnt": 2 * int(groups.sum()),
             "ov": 1024,
             # pass-1 hit slots: kept matches are a lower bound on hits
             # (chance same-AA candidates can fail the Hamming cutoff), so
@@ -387,7 +395,7 @@ class DeviceTaxonomer:
             # executions once two variants of the same program have run
             # (INVALID_ARGUMENT on every later call; no in-process
             # recovery — see tools_profiling/README.md).
-            "hits": 2 * n,
+            "hits": int(1.25 * n),
             "sovf": max(8192, n // 8),
         }
         for key, val in upd.items():
@@ -414,19 +422,26 @@ class DeviceTaxonomer:
         )
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
+        # nibble-pack the read matrix for the transfer-bound tunnel link
+        from .pipeline import pack_codes
+
+        if isinstance(codes, np.ndarray):
+            codes = pack_codes(codes)
+            kw["codes_packed"] = True
         args = (
             index.db, d_species, self.dt, self.min_depth, rl,
             codes, lens, pos_offsets, qid_offsets,
         )
         try:
-            packed, counts = _fused_classify_tax(*args, **kw)
+            packed, ov_packed, counts = _fused_classify_tax(*args, **kw)
         except ValueError as e:
             if "buffers" not in str(e):
                 raise
             # jax executable-cache aliasing mismatch (constant folding
             # differs between traces with identical signatures): retrace
             _fused_classify_tax.clear_cache()
-            packed, counts = _fused_classify_tax(*args, **kw)
+            packed, ov_packed, counts = _fused_classify_tax(*args, **kw)
+        # the ov section transfers only on the rare p_max-overflow batches
         for arr in (packed, counts):
             fn = getattr(arr, "copy_to_host_async", None)
             if fn is not None:
@@ -434,7 +449,7 @@ class DeviceTaxonomer:
                     fn()
                 except Exception:
                     break
-        return (packed, counts, sizes)
+        return (packed, ov_packed, counts, sizes)
 
     def drain_fused(self, handle, read_lens_by_qid: np.ndarray,
                     n_reads: int):
@@ -445,7 +460,7 @@ class DeviceTaxonomer:
         cap/budget retry logic (`Classifier.cpp:127-131`). Groups whose
         path count exceeded the device slot capacity arrive as raw path
         rows and are re-combined exactly on the host."""
-        packed_dev, counts, sizes = handle
+        packed_dev, ov_dev, counts, sizes = handle
         counts = np.asarray(counts)
         info = {
             "n_groups": int(counts[0]),
@@ -492,10 +507,10 @@ class DeviceTaxonomer:
         base = 3 * G
         trows = [packed[base + i * T : base + i * T + n_t] for i in range(4)]
         if info["n_ov_paths"]:
+            # rare p_max-overflow rows: fetch the separate ov output now
+            ov_np = np.asarray(ov_dev)
             n_ov = min(info["n_ov_paths"], OV)
-            base = 3 * G + 4 * T
-            ovp = [packed[base + i * OV : base + i * OV + n_ov]
-                   for i in range(8)]
+            ovp = [ov_np[i * OV : i * OV + n_ov] for i in range(8)]
             ovp[4] = ovp[4].view(np.float32)
             g_score = self._recombine_overflow_groups(
                 ovp, info["n_ov_paths"], g_read, g_sp, g_score,

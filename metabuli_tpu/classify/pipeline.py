@@ -57,6 +57,18 @@ def aa_permute(aa: np.ndarray, aa_bits: int) -> np.ndarray:
     return (aa.astype(np.uint64) * np.uint64(AA_PERM_MULT)) & mask
 
 
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Nibble-pack a [B, L] base-code matrix to [B, ceil(L/2)] (host side).
+
+    Codes are 3-bit (0-3 bases, 7 invalid), so two fit per byte; the
+    device unpacks with two shifts (`codes_packed=True`). Odd L gets an
+    INVALID-padded trailing column."""
+    if codes.shape[1] % 2:
+        codes = np.concatenate(
+            [codes, np.full((codes.shape[0], 1), 7, np.uint8)], axis=1)
+    return (codes[:, 0::2] << 4) | codes[:, 1::2]
+
+
 def pick_prefix_bits(n_groups: int) -> int:
     """Bucket-prefix width sized to ~2 buckets per DISTINCT AA group:
     with permuted (uniform) keys the max bucket load is the Poisson tail
@@ -363,6 +375,7 @@ def _classify_core(
     direct_bits: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    codes_packed: bool = False,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
 
@@ -401,6 +414,15 @@ def _classify_core(
         direct_bits and hit_budget and sovf_budget
         and packed_search and not reduced
     )
+    if codes_packed:
+        # 4-bit nibble-packed reads (see pack_codes): halves the
+        # host->device volume — the input transfer rides a ~40MB/s tunnel
+        # on the dev chip — at the cost of two VPU ops to unpack
+        Bp, Lp = codes.shape
+        codes = jnp.stack(
+            [(codes >> 4) & jnp.uint8(0xF), codes & jnp.uint8(0xF)],
+            axis=-1,
+        ).reshape(Bp, 2 * Lp)
     B, L = codes.shape
     mm = encode.extract_metamers(
         codes, lens, reduced=reduced, syncmer=syncmer, smer_len=smer_len,
@@ -561,28 +583,36 @@ def _classify_core(
         safe2 = jnp.minimum(s2_slot, Q - 1)
         st2, en2, h2 = search_groups(q_values[safe2], ~pad2)
 
-        # ---- compact pass-1 hits, carrying (start, cnt) as sort payloads
-        kH, sH_s, sH_c = jax.lax.sort(
-            (jnp.where(hit1, slotid, INT32_MAX), s1, c1), num_keys=1
+        # ---- compact pass-1 hits, carrying EVERY per-row query field as a
+        # sort payload (extra sort operands over Q cost ~1 ms each; the
+        # [NC] gathers they replace cost ~8-20 ms each)
+        kH, sH_s, sH_c, sH_dlo, sH_dhi, sH_pos, sH_qid = jax.lax.sort(
+            (jnp.where(hit1, slotid, INT32_MAX), s1, c1,
+             q_d48lo, q_d48hi, q_pos, q_qid),
+            num_keys=1,
         )
         kH = pad_to(kH, hit_budget, INT32_MAX)
-        sH_s = pad_to(sH_s, hit_budget, 0)
-        sH_c = pad_to(sH_c, hit_budget, 0)
 
-        # ---- concat hit streams; derive per-row query fields from the
-        # slot id (qid/pos via cheap [NC] gathers, frame arithmetically)
+        # pass-2 stream fields come from small [F] gathers instead
+        d48r2 = q_d48[safe2]
         slots_r = jnp.concatenate([kH, jnp.where(h2, s2_slot, INT32_MAX)])
-        starts_r = jnp.concatenate([sH_s, st2])
-        ends_r = jnp.concatenate([sH_s + sH_c, en2])
+        starts_r = jnp.concatenate([pad_to(sH_s, hit_budget, 0), st2])
+        ends_r = jnp.concatenate(
+            [pad_to(sH_s + sH_c, hit_budget, 0), en2])
         activer = slots_r != INT32_MAX
         saf = jnp.minimum(slots_r, Q - 1)
-        d48r = q_d48[saf]
-        d48lo_r = bc32(d48r & jnp.uint64(0xFFFFFFFF))
-        d48hi_r = bc32(d48r >> jnp.uint64(32))
+        d48lo_r = jnp.concatenate(
+            [pad_to(sH_dlo, hit_budget, 0),
+             bc32(d48r2 & jnp.uint64(0xFFFFFFFF))])
+        d48hi_r = jnp.concatenate(
+            [pad_to(sH_dhi, hit_budget, 0),
+             bc32(d48r2 >> jnp.uint64(32))])
         frame_r = (saf // W) % 6
         fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
-        pos_r = q_pos[saf]
-        qid_r = q_qid[saf]
+        pos_r = jnp.concatenate(
+            [pad_to(sH_pos, hit_budget, 0), q_pos[safe2]])
+        qid_r = jnp.concatenate(
+            [pad_to(sH_qid, hit_budget, 0), q_qid[safe2]])
         NC = hit_budget + sovf_budget
 
         idx_c, keep, hsum, h16, _ = tier(

@@ -244,16 +244,21 @@ def classify_distributed(
                 reads_g = dist.distribute_reads(
                     codes, lens, pos_off, qid_local, mesh)
                 rl_g = jax.device_put(read_lens, data_sh)
-                packed_g, counts_g = fused_step(
+                packed_g, ov_g, counts_g = fused_step(
                     *db_global, t2s, dtx.dt, dtx.min_depth, rl_g, *reads_g)
                 jax.block_until_ready((packed_g, counts_g))
                 my_row_set = set(my_rows)
                 pk_rows: dict[int, np.ndarray] = {}
+                ov_rows: dict[int, np.ndarray] = {}
                 ct_rows: dict[int, np.ndarray] = {}
                 for shard in packed_g.addressable_shards:
                     r = shard.index[0].start or 0
                     if r in my_row_set and r not in pk_rows:
                         pk_rows[r] = np.asarray(shard.data)[0]
+                for shard in ov_g.addressable_shards:
+                    r = shard.index[0].start or 0
+                    if r in my_row_set and r not in ov_rows:
+                        ov_rows[r] = shard.data[0]  # fetched lazily
                 for shard in counts_g.addressable_shards:
                     r = shard.index[0].start or 0
                     if r in my_row_set and r not in ct_rows:
@@ -263,7 +268,7 @@ def classify_distributed(
                 for r in my_rows:
                     rl_row = read_lens[r * per_row:(r + 1) * per_row]
                     res, info = dtx.drain_fused(
-                        (pk_rows[r], ct_rows[r], fused_sizes),
+                        (pk_rows[r], ov_rows[r], ct_rows[r], fused_sizes),
                         rl_row, per_row,
                     )
                     if res is None or info["n_matches"] > fused_budget:

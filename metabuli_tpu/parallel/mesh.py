@@ -305,11 +305,11 @@ def build_sharded_fused(
             gc[:, 0].sum(), gc[:, 1].sum(), gc[0, 2], gc[:, 3].sum(),
             gc[:, 4].sum(), gc[:, 5].sum(),
         ]).astype(jnp.int32)
-        packed, counts = taxonomer_tail(
+        packed, ov_packed, counts = taxonomer_tail(
             m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, tot_counts,
             dt_l, min_depth_l, rl, **tail_kw,
         )
-        return packed[None], counts[None]
+        return packed[None], ov_packed[None], counts[None]
 
     fn = jax.shard_map(
         local_step,
@@ -320,7 +320,7 @@ def build_sharded_fused(
             P("data"),       # read lens (contiguous rows per data slice)
             P("data", None), P("data"), P("data"), P("data"),
         ),
-        out_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
         check_vma=False,
     )
     return jax.jit(fn)

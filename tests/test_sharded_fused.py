@@ -112,10 +112,11 @@ def test_sharded_fused_equals_single_fused(tmp_path):
         max_matches=max_matches, sizes=sizes,
     )
     d_t2s = np.asarray(t2s, np.int32)
-    packed, counts = step(
+    packed, ovp, counts = step(
         db, d_t2s, dtx.dt, dtx.min_depth, rl, codes, lens, offs, qids
     )
-    packed, counts = np.asarray(packed), np.asarray(counts)
+    packed, ovp, counts = (np.asarray(packed), np.asarray(ovp),
+                           np.asarray(counts))
     assert packed.shape[0] == n_data
 
     # reference: single-device fused per data row
@@ -134,7 +135,7 @@ def test_sharded_fused_equals_single_fused(tmp_path):
         want, winfo = dtx.drain_fused(h, rl[sl], per_row)
         assert winfo["tax_overflow"] == 0
         got, ginfo = dtx.drain_fused(
-            (packed[row], counts[row], sizes), rl[sl], per_row
+            (packed[row], ovp[row], counts[row], sizes), rl[sl], per_row
         )
         assert ginfo["tax_overflow"] == 0
         assert ginfo["n_matches"] == winfo["n_matches"], f"row {row}"

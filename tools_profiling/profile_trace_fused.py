@@ -46,6 +46,7 @@ def main():
             cap=max(1, cap), max_matches=max_matches)
         m = matches_to_host(bm, tax.species_of.astype(np.int32))
         dtx.set_hints(m, tp.dna_shift)
+        max_matches = B.adaptive_budget(m["n_matches"])
 
         cap1 = 1 if cap > 1 else max(1, cap)
         cap2 = max(1, cap) if cap > 1 else 0
