@@ -431,13 +431,17 @@ def _edit_names(argv):
 
 def _createnewtaxalist(argv):
     ap = argparse.ArgumentParser(prog="metabuli_tpu createnewtaxalist")
-    ap.add_argument("library_dir")
-    ap.add_argument("taxid_map")
-    ap.add_argument("out", nargs="?", default="")
+    ap.add_argument("old_dbdir")
+    ap.add_argument("fasta_list")
+    ap.add_argument("new_taxonomy_dir")
+    ap.add_argument("acc2taxid")
+    ap.add_argument("outdir")
     args = ap.parse_args(argv)
     from .tools.misc import create_new_taxa_list
 
-    print(create_new_taxa_list(args.library_dir, args.taxid_map, args.out))
+    print(json.dumps(create_new_taxa_list(
+        args.old_dbdir, args.fasta_list, args.new_taxonomy_dir,
+        args.acc2taxid, args.outdir)))
     return 0
 
 

@@ -43,24 +43,140 @@ def edit_names(names_dmp: str, taxid_map: str) -> int:
     return changed
 
 
-def create_new_taxa_list(library_dir: str, taxid_map: str, out_path: str = "") -> str:
-    """Produce a --new-taxa TSV (taxid, parent, rank, name) for assemblies
-    whose taxid is not yet in the taxonomy
-    (`/root/reference/src/util/createnewtaxalist.cpp` capability)."""
-    out_path = out_path or os.path.join(library_dir, "newtaxa.tsv")
-    rows = []
-    with open(taxid_map) as fh:
+def create_new_taxa_list(old_db_dir: str, fasta_list: str,
+                         new_taxonomy_dir: str, acc2taxid_path: str,
+                         out_dir: str) -> dict:
+    """`createnewtaxalist` (`/root/reference/src/util/createnewtaxalist.cpp`):
+    graft the lineages of new accessions (under a NEW taxonomy dump) onto
+    an existing DB's taxonomy.
+
+    For every accession observed in the FASTA list, walk up its new-taxonomy
+    lineage until a node whose NAME already exists in the old taxonomy (the
+    graft point); nodes below it are emitted as --new-taxa rows. New-taxonomy
+    taxids that collide with taxids already used by the old DB are
+    reallocated to the smallest unused external id — re-allocated on every
+    visit, last assignment winning, exactly like the reference loop
+    (`createnewtaxalist.cpp:300-346`). Outputs newtaxa.tsv,
+    newtaxa.accession2taxid and unmapped_accessions.txt (all sorted for
+    reproducibility, matching the reference's std::map / SORT_PARALLEL)."""
+    from ..db.taxonomy import Taxonomy
+    from ..io import fasta
+
+    os.makedirs(out_dir, exist_ok=True)
+    old = load_db_taxonomy(old_db_dir)
+    new = Taxonomy.from_dmp(
+        os.path.join(new_taxonomy_dir, "names.dmp"),
+        os.path.join(new_taxonomy_dir, "nodes.dmp"),
+        os.path.join(new_taxonomy_dir, "merged.dmp"),
+    )
+    # merged.dmp of the NEW taxonomy (getMergedNodeMap): old -> new alias
+    merged: dict[int, int] = {}
+    mpath = os.path.join(new_taxonomy_dir, "merged.dmp")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            for line in fh:
+                cols = [c.strip() for c in line.split("|")]
+                if len(cols) >= 2 and cols[0] and cols[1]:
+                    merged[int(cols[0])] = int(cols[1])
+
+    # observed accessions (version-stripped first header token), mapped
+    # through acc2taxid (columns 1 and 3, header skipped)
+    observed: dict[str, int] = {}
+    with open(fasta_list) as fh:
+        files = [line.strip() for line in fh if line.strip()]
+    for path in files:
+        for rec in fasta.read_records(path):
+            observed[rec.name.split()[0].split(".")[0]] = 0
+    with open(acc2taxid_path) as fh:
+        first = True
         for line in fh:
-            cols = line.rstrip("\n").split("\t")
-            if len(cols) >= 2 and cols[1].lstrip("-").isdigit():
-                # assembly accession gets a new leaf under its mapped taxid
-                rows.append((cols[0], int(cols[1])))
-    with open(out_path, "w") as fh:
-        next_id = 9_000_000_000
-        for name, parent in rows:
-            fh.write(f"{next_id}\t{parent}\tsubspecies\t{name}\n")
-            next_id += 1
-    return out_path
+            if first:
+                first = False
+                continue
+            toks = line.split()
+            if len(toks) < 3:
+                continue
+            acc = toks[0].split(".")[0]
+            if acc in observed:
+                try:
+                    tid = int(toks[2])
+                except ValueError:
+                    continue
+                observed[acc] = merged.get(tid, tid)
+
+    used_external = set(
+        int(t) for t in old.internal2org[: old.n_nodes() + 1]
+    )
+    # name -> external taxid of the OLD taxonomy (getName2taxid; later
+    # nodes overwrite earlier ones on duplicate names, like the map insert)
+    old_name2ext: dict[str, int] = {}
+    for i in range(old.n_nodes() + 1):
+        old_name2ext[old.name_of(i)] = int(old.internal2org[i])
+
+    new_taxa_map: dict[int, tuple[int, str, str]] = {}  # taxid -> (parent, rank, name)
+    changed: dict[int, int] = {}
+
+    def smallest_unused() -> int:
+        r = 1
+        while r in used_external:
+            r += 1
+        used_external.add(r)
+        return r
+
+    unmapped: list[str] = []
+    for acc in sorted(observed):  # std::map iteration order
+        ext = observed[acc]
+        if ext == 0:
+            unmapped.append(acc)
+            continue
+        node = new.to_internal(ext)
+        count = 0
+        while True:
+            node_ext = int(new.internal2org[node]) if node > 0 else ext
+            name = new.name_of(node) if node > 0 else ""
+            if name in old_name2ext:
+                changed[node_ext] = old_name2ext[name]
+                break
+            if node_ext == 1:
+                break
+            if count > 100:
+                raise ValueError(
+                    f"{acc} (taxid {ext}) has a lineage of more than 100 "
+                    f"nodes; the taxonomy or taxid is likely invalid"
+                )
+            if node_ext not in new_taxa_map:
+                parent_ext = int(new.internal2org[new.parent[node]])
+                new_taxa_map[node_ext] = (
+                    parent_ext, new.rank_of(node), name)
+            if node_ext in used_external:
+                # reference reallocates on EVERY visit (not guarded by the
+                # map check); last assignment wins
+                changed[node_ext] = smallest_unused()
+            node = int(new.parent[node])
+            count += 1
+
+    rows = []
+    for taxid in sorted(new_taxa_map):  # std::map order
+        parent, rank, name = new_taxa_map[taxid]
+        rows.append((changed.get(taxid, taxid),
+                     changed.get(parent, parent), rank, name))
+    rows.sort(key=lambda r: r[0])
+    with open(os.path.join(out_dir, "newtaxa.tsv"), "w") as fh:
+        for t, p, r, n in rows:
+            fh.write(f"{t}\t{p}\t{r}\t{n}\n")
+    with open(os.path.join(out_dir, "newtaxa.accession2taxid"), "w") as fh:
+        fh.write("accession\taccession.version\ttaxid\tgi\n")
+        for acc in sorted(observed):
+            tid = observed[acc]
+            tid = changed.get(tid, tid)
+            if tid == 0:
+                continue
+            fh.write(f"{acc}\t{acc}\t{tid}\t0\n")
+    with open(os.path.join(out_dir, "unmapped_accessions.txt"), "w") as fh:
+        for acc in sorted(unmapped):
+            fh.write(acc + "\n")
+    return {"new_taxa": len(rows), "accessions": len(observed),
+            "unmapped": len(unmapped)}
 
 
 def print_delta_idx(

@@ -91,6 +91,12 @@ _HARNESSES.update({
         _FULL_STACK_REF + ["QueryFilter.cpp"],
         _FULL_STACK_EXTRA,
     ),
+    "newtaxa_oracle": (
+        ["newtaxa_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF + ["../util/createnewtaxalist.cpp"],
+        _FULL_STACK_EXTRA + ["-I", "/root/reference/src/util"],
+    ),
 })
 
 

@@ -50,6 +50,11 @@ public:
     static Parameters &getInstance() { return *instance; }
     static void initParameterSingleton();
 
+    // enough surface for util/ command drivers compiled into oracles
+    // (their main() is never called; parseParameters is a no-op defined
+    // in support.cpp for the LocalParameters override)
+    static const int PARSE_ALLOW_EMPTY = 1;
+
 protected:
     Parameters() = default;
     static Parameters *instance;

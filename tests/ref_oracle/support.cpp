@@ -78,3 +78,8 @@ LocalParameters::LocalParameters() {
     bacteriaTaxId = 2;
     archaeaTaxId = 2157;
 }
+
+// no-op definition for util/ command drivers compiled into oracles (their
+// command-line entry is never invoked; oracles set fields directly)
+void LocalParameters::parseParameters(int, const char **, const Command &,
+                                      bool, int, int) {}
