@@ -32,8 +32,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG = jnp.float32(-1e30)
+NEG = np.float32(-1e30)  # np literal, not a device constant (see device_compact.INT32_MAX)
 
 
 class ChainResult(NamedTuple):

@@ -14,8 +14,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = np.int32(2**31 - 1)  # np literal: a module-level jax scalar takes the first shard_map mesh into its cached aval and poisons later traces under a different mesh
 
 
 class FlatPaths(NamedTuple):

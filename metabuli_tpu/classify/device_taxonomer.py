@@ -77,7 +77,7 @@ from .device_combine import combine_paths
 from .device_redundancy import device_taxonomy, quotient_best
 from .taxonomer import ReadClassification, TaxonomerParams
 
-INT32_MAX = jnp.int32(2**31 - 1)
+INT32_MAX = np.int32(2**31 - 1)  # np literal: a module-level jax scalar takes the first shard_map mesh into its cached aval and poisons later traces under a different mesh
 
 
 @functools.partial(
