@@ -368,8 +368,8 @@ class Classifier:
             elif info["n_matches"] > budget:
                 budget = int(info["n_matches"] * 1.2) + 1024
             elif results is None and (
-                info["tax_overflow"] & 0b1010111  # blocks/paths/rows/ov
-                # + direct-search hit/overflow lists (bit 6)
+                info["tax_overflow"] & 0b11010111  # blocks/paths/rows/ov
+                # + direct-search lists (bit 6) + LCA tie list (bit 7)
             ) and hint_retries < 2:
                 # drain_fused already folded the TRUE observed sizes into
                 # the hints; a plain relaunch compiles big enough

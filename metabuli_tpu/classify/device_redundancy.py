@@ -99,9 +99,12 @@ class QuotientResult(NamedTuple):
     row_species: jax.Array  # [R] int32
     row_taxid: jax.Array    # [R] int32 LCA'd best taxid of the quotient
     n_rows: jax.Array       # [] int32
+    n_ties: jax.Array       # [] int32 rows whose tie set needed a real LCA
 
 
-@functools.partial(jax.jit, static_argnames=("dna_shift", "max_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("dna_shift", "max_rows", "tie_budget")
+)
 def quotient_best(
     dt: DeviceTaxonomy,
     qid, species, pos, hamming, taxid,  # [M] int32 sorted match arrays
@@ -109,6 +112,7 @@ def quotient_best(
     *,
     dna_shift: int,
     max_rows: int,
+    tie_budget: int = 0,
 ) -> QuotientResult:
     M = qid.shape[0]
     quot = pos // dna_shift
@@ -157,29 +161,86 @@ def quotient_best(
 
     first_of_seg = seg_new & valid
     # partition sort (see pipeline._classify_core): segment heads compact
-    # to the front in slot order, cheaper than nonzero's scatter lowering
+    # to the front in slot order, cheaper than nonzero's scatter lowering.
+    # qid/species and the (efmin, efmax) pair ride as payloads — payload
+    # operands cost ~1 ms per [M]; the per-row gathers they replace cost
+    # ~6-10 ns per 32-bit element (the old LCA block was ~30 ms/batch).
     slot = jnp.arange(M, dtype=jnp.int32)
-    rows = jax.lax.sort(
-        jnp.where(first_of_seg, slot, jnp.int32(2**31 - 1))
-    )
-    if rows.shape[0] < max_rows:  # budget may exceed the match capacity
-        rows = jnp.pad(rows, (0, max_rows - rows.shape[0]),
-                       constant_values=2**31 - 1)
-    rows = rows[:max_rows]
-    pad = rows == jnp.int32(2**31 - 1)
-    safe = jnp.minimum(rows, M - 1)
-    lo_r = jnp.clip(efmin_row[safe], 0, dt.euler_node.shape[0] - 1)
-    hi_r = jnp.clip(efmax_row[safe], lo_r, dt.euler_node.shape[0] - 1)
-    length = hi_r - lo_r + 1
-    kk = 31 - jax.lax.clz(length)
-    left = dt.sparse[kk, lo_r]
-    right = dt.sparse[kk, hi_r - (jnp.int32(1) << kk) + 1]
-    pick_right = dt.euler_depth[right] < dt.euler_depth[left]
-    row_taxid = dt.euler_node[jnp.where(pick_right, right, left)]
     INT32_MAX = jnp.int32(2**31 - 1)
+    efp = (
+        efmin_row.astype(jnp.uint64) << jnp.uint64(32)
+    ) | efmax_row.astype(jnp.uint64)
+    rows, s_qid, s_sp, s_efp = jax.lax.sort(
+        (jnp.where(first_of_seg, slot, INT32_MAX), qid, species, efp),
+        num_keys=1,
+    )
+
+    def pad_to(x, fill):
+        if x.shape[0] < max_rows:  # budget may exceed the match capacity
+            x = jnp.pad(x, (0, max_rows - x.shape[0]),
+                        constant_values=fill)
+        return x[:max_rows]
+
+    rows = pad_to(rows, 2**31 - 1)
+    s_qid, s_sp, s_efp = pad_to(s_qid, 0), pad_to(s_sp, 0), pad_to(s_efp, 0)
+    pad = rows == INT32_MAX
+    L1 = dt.euler_node.shape[0] - 1
+    efmin_r = jnp.clip(
+        jax.lax.bitcast_convert_type(
+            (s_efp >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32),
+        0, L1)
+    efmax_r = jnp.clip(
+        jax.lax.bitcast_convert_type(
+            (s_efp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32),
+        efmin_r, L1)
+    # a quotient whose min-hamming tie set holds ONE distinct Euler
+    # position needs no range query: euler_node[euler_first[t]] == t.
+    row_taxid = dt.euler_node[efmin_r]
+    if tie_budget:
+        # compact the (rare) genuine tie ranges and run the sparse-table
+        # range-min only on them; overflow reported for the retry ladder
+        tie = ~pad & (efmax_r > efmin_r)
+        n_ties = jnp.sum(tie.astype(jnp.int32))
+        ridx = jnp.arange(max_rows, dtype=jnp.int32)
+        trows, t_efp = jax.lax.sort(
+            (jnp.where(tie, ridx, INT32_MAX), s_efp), num_keys=1
+        )
+        if trows.shape[0] < tie_budget:
+            trows = jnp.pad(trows, (0, tie_budget - trows.shape[0]),
+                            constant_values=2**31 - 1)
+            t_efp = jnp.pad(t_efp, (0, tie_budget - t_efp.shape[0]))
+        trows = trows[:tie_budget]
+        t_efp = t_efp[:tie_budget]
+        lo_r = jnp.clip(
+            jax.lax.bitcast_convert_type(
+                (t_efp >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32),
+            0, L1)
+        hi_r = jnp.clip(
+            jax.lax.bitcast_convert_type(
+                (t_efp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                jnp.int32),
+            lo_r, L1)
+        length = hi_r - lo_r + 1
+        kk = 31 - jax.lax.clz(length)
+        left = dt.sparse[kk, lo_r]
+        right = dt.sparse[kk, hi_r - (jnp.int32(1) << kk) + 1]
+        pick_right = dt.euler_depth[right] < dt.euler_depth[left]
+        lca = dt.euler_node[jnp.where(pick_right, right, left)]
+        # write back; INT32_MAX pad indices fall out of range and drop
+        row_taxid = row_taxid.at[trows].set(lca, mode="drop")
+    else:
+        # no tie compaction: full-width range query on every row
+        n_ties = jnp.int32(0)
+        length = efmax_r - efmin_r + 1
+        kk = 31 - jax.lax.clz(length)
+        left = dt.sparse[kk, efmin_r]
+        right = dt.sparse[kk, efmax_r - (jnp.int32(1) << kk) + 1]
+        pick_right = dt.euler_depth[right] < dt.euler_depth[left]
+        row_taxid = dt.euler_node[jnp.where(pick_right, right, left)]
     return QuotientResult(
-        row_read=jnp.where(pad, INT32_MAX, qid[safe]),
-        row_species=jnp.where(pad, INT32_MAX, species[safe]),
+        row_read=jnp.where(pad, INT32_MAX, s_qid),
+        row_species=jnp.where(pad, INT32_MAX, s_sp),
         row_taxid=jnp.where(pad, 0, row_taxid),
         n_rows=jnp.sum(first_of_seg.astype(jnp.int32)),
+        n_ties=n_ties,
     )

@@ -91,6 +91,7 @@ INT32_MAX = np.int32(2**31 - 1)  # np literal: a module-level jax scalar takes t
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
+        "tie_budget",
     ),
 )
 def _fused_classify_tax(
@@ -103,7 +104,7 @@ def _fused_classify_tax(
     kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
     ov_budget, packed_search=False, direct_bits=0, hit_budget=0,
-    sovf_budget=0, codes_packed=False,
+    sovf_budget=0, codes_packed=False, tie_budget=0,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -135,6 +136,7 @@ def _fused_classify_tax(
         taxcnt_budget=taxcnt_budget, dna_shift=dna_shift, p_max=p_max,
         n_blocks=n_blocks, w=w, k=k, max_shift=max_shift,
         ov_budget=ov_budget, kmer_format=kmer_format,
+        tie_budget=tie_budget,
     )
     if hit_budget and sovf_budget:
         # direct-search hit/overflow lists truncated: dropped candidate
@@ -151,7 +153,7 @@ def taxonomer_tail(
     s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts,
     dt, min_depth, rl, *,
     path_budget, g_budget, max_rows, taxcnt_budget, dna_shift, p_max,
-    n_blocks, w, k, max_shift, ov_budget, kmer_format,
+    n_blocks, w, k, max_shift, ov_budget, kmer_format, tie_budget=0,
 ):
     """Sorted match columns -> (packed small tensors, counters).
 
@@ -179,7 +181,7 @@ def taxonomer_tail(
     groups = compact_groups(comb, budget=g_budget)
     qres = quotient_best(
         dt, s_qid, s_species, s_pos, s_ham, s_taxid, valid,
-        dna_shift=dna_shift, max_rows=max_rows,
+        dna_shift=dna_shift, max_rows=max_rows, tie_budget=tie_budget,
     )
 
     # aggregate quotient rows to (read, species, taxid, count) on device:
@@ -229,6 +231,9 @@ def taxonomer_tail(
         | ((groups.n_groups > g_budget).astype(jnp.int32) << 3)
         | ((qres.n_rows > max_rows).astype(jnp.int32) << 4)
         | ((n_taxcnt > taxcnt_budget).astype(jnp.int32) << 5)
+        # bit 6 is the direct-search budget flag (_fused_classify_tax)
+        | (jnp.int32(tie_budget > 0)
+           * (qres.n_ties > tie_budget).astype(jnp.int32) << 7)
     )
     counts = jnp.stack([
         groups.n_groups, n_taxcnt, tax_overflow,
@@ -236,6 +241,7 @@ def taxonomer_tail(
         flat.n_paths, qres.n_rows, cls_counts[3],
         chain_res.n_real_blocks,
         cls_counts[4], cls_counts[5],   # direct-search hit / overflow
+        qres.n_ties,
     ])
     # ONE packed int32 output: every routinely-fetched tensor concatenated
     # at static offsets (the tunnel pays a ~25ms round trip PER fetched
@@ -335,12 +341,21 @@ class DeviceTaxonomer:
                 max(8192, int(h.get("sovf", 0) * 1.5)) * scale)
         else:
             hit_budget = sovf_budget = 0
+        # tie rows needing a real LCA range query are a small fraction of
+        # the quotient rows; compacting them caps the sparse-table gathers
+        # (0 = no compaction: full-width LCA, always correct)
+        if h.get("ties") is not None:
+            tie_budget = pow2(max(8192, int(h["ties"] * 2)) * scale,
+                              lo=8192, hi=1 << 22)
+        else:
+            tie_budget = 0
         return dict(
             path_budget=path_budget, g_budget=g_budget, max_rows=max_rows,
             taxcnt_budget=taxcnt_budget, dna_shift=self.p.dna_shift,
             p_max=p_max, n_blocks=n_blocks, w=w, k=k,
             max_shift=self.p.max_codon_shift, ov_budget=ov_budget,
             hit_budget=hit_budget, sovf_budget=sovf_budget,
+            tie_budget=tie_budget,
         )
 
     def set_hints(self, m: dict, dna_shift: int) -> None:
@@ -368,6 +383,22 @@ class DeviceTaxonomer:
             quot2[1:] != quot2[:-1]
         )
         seg_sizes = np.bincount(np.cumsum(segs) - 1)
+        # segments with >= 2 matches at the minimum hamming bound the
+        # device tie-LCA compaction (superset: equal-taxid ties collapse
+        # to a single Euler position on device and need no range query)
+        ham = m["hamming"]
+        horder = np.lexsort((ham, quot, sp, q))
+        hq, hsp, hqt, hh = (q[horder], sp[horder], quot[horder],
+                            ham[horder])
+        hsegs = np.ones(n, bool)
+        hsegs[1:] = (
+            (hq[1:] != hq[:-1]) | (hsp[1:] != hsp[:-1])
+            | (hqt[1:] != hqt[:-1])
+        )
+        hsegid = np.cumsum(hsegs) - 1
+        head_ham = hh[np.flatnonzero(hsegs)][hsegid]
+        cnt_min = np.bincount(hsegid[hh == head_ham])
+        n_tie = int((cnt_min >= 2).sum())
         groups = np.ones(n, bool)
         groups[1:] = (q[1:] != q[:-1]) | (sp[1:] != sp[:-1])
         h = self.hints
@@ -397,6 +428,7 @@ class DeviceTaxonomer:
             # recovery — see tools_profiling/README.md).
             "hits": int(1.25 * n),
             "sovf": max(8192, n // 8),
+            "ties": n_tie,
         }
         for key, val in upd.items():
             h[key] = max(h.get(key, 0), val)
@@ -407,8 +439,12 @@ class DeviceTaxonomer:
                        syncmer: bool, smer_len: int, kmer_format: int,
                        read_lens_by_qid: np.ndarray, p_max: int = 16,
                        scale: int = 1, cap2: int = 0,
-                       cap_ov_budget: int = 0):
-        """Launch the fused classify+taxonomer program (async)."""
+                       cap_ov_budget: int = 0, codes_packed=None):
+        """Launch the fused classify+taxonomer program (async).
+
+        ``codes_packed=True`` marks ``codes`` as already nibble-packed
+        (e.g. pre-staged on device with ``pipeline.pack_codes`` +
+        ``jax.device_put``); None = pack host arrays automatically."""
         sizes = self.fused_sizes(n_reads, max_matches, max_read_len, p_max,
                                  scale)
         kw = dict(
@@ -425,8 +461,11 @@ class DeviceTaxonomer:
         # nibble-pack the read matrix for the transfer-bound tunnel link
         from .pipeline import pack_codes
 
-        if isinstance(codes, np.ndarray):
-            codes = pack_codes(codes)
+        if codes_packed is None:
+            if isinstance(codes, np.ndarray):
+                codes = pack_codes(codes)
+                kw["codes_packed"] = True
+        elif codes_packed:
             kw["codes_packed"] = True
         args = (
             index.db, d_species, self.dt, self.min_depth, rl,
@@ -476,6 +515,7 @@ class DeviceTaxonomer:
             "n_real_blocks": int(counts[10]),
             "n_hits1": int(counts[11]) if counts.shape[0] > 11 else 0,
             "n_sovf": int(counts[12]) if counts.shape[0] > 12 else 0,
+            "n_ties": int(counts[13]) if counts.shape[0] > 13 else 0,
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs
@@ -485,6 +525,8 @@ class DeviceTaxonomer:
         h["rows"] = max(h.get("rows", 0), info["n_rows"])
         h["ov"] = max(h.get("ov", 0), info["n_ov_paths"])
         h["taxcnt"] = max(h.get("taxcnt", 0), info["n_taxcnt"])
+        if info["n_ties"]:
+            h["ties"] = max(h.get("ties", 0), info["n_ties"])
         if info["n_hits1"]:
             h["hits"] = max(h.get("hits", 0), info["n_hits1"])
             h["sovf"] = max(h.get("sovf", 0), info["n_sovf"])

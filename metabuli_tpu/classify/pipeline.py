@@ -284,12 +284,20 @@ def build_dev_index(
     direct_bits = 0
     dmap = None
     if packed and not _os.environ.get("METABULI_TPU_NO_DIRECT_SEARCH"):
+        # slot count targets <= 1/8 load so almost every bucket holds one
+        # group; the table is HBM-budgeted at max(256 MB, the row payload
+        # footprint) — at GTDB-class group counts a 2^26-2^27 table keeps
+        # the multi-group overflow fraction (routed to the bucketed pass-2
+        # search at ~6 gathered elements/slot vs the probe's 2) in the
+        # low percents instead of dominating
+        dmap_budget = max(256 << 20, 24 * n)
         dbits = 12
-        while (1 << dbits) < 8 * max(n_groups, 1) and dbits < 24:
+        while ((1 << dbits) < 8 * max(n_groups, 1) and dbits < 27
+               and (8 << (dbits + 1)) <= dmap_budget):
             dbits += 1
         dbits = max(dbits, start_bits - 7)
         rb_d = 40 - dbits
-        if dbits <= 24 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
+        if dbits <= 27 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
             slots_d = (pi_s >> np.uint64(rb_d)).astype(np.int64)
             rest_d = pi_s & np.uint64((1 << rb_d) - 1)
             load = np.bincount(slots_d, minlength=1 << dbits)
@@ -573,46 +581,64 @@ def _classify_core(
                             constant_values=fill)
             return x[:length]
 
-        # ---- pass 2: partition-sort the overflow slots to the front and
-        # run the bucketed search on just those
-        s2_slot = pad_to(
-            jax.lax.sort(jnp.where(sovf, slotid, INT32_MAX)),
-            sovf_budget, INT32_MAX,
+        # ---- ONE Q-wide partition sort compacts pass-1 hits AND routes
+        # the pass-2 overflow: key = slot (hit) | Q+slot (overflow) | MAX.
+        # Hits land in [0, n_hits1) in slot order, overflow slots right
+        # after — a dynamic slice at n_hits1 replaces the second Q-wide
+        # sort. The only payload is the packed (start, cnt) u64; the other
+        # hit fields come back through [hit_budget] gathers afterwards
+        # (4 gathered elements per HIT beat 4 extra sort operands per SLOT:
+        # hits are ~1/8 of slots).
+        spay = (
+            s1.astype(jnp.uint64) << jnp.uint64(16)
+        ) | c1.astype(jnp.uint64)
+        key3 = jnp.where(
+            hit1, slotid, jnp.where(sovf, Q + slotid, INT32_MAX)
         )
-        pad2 = s2_slot == INT32_MAX
-        safe2 = jnp.minimum(s2_slot, Q - 1)
+        kS, pS = jax.lax.sort((key3, spay), num_keys=1)
+
+        # pass-2 region: bucketed search over just the overflow slots
+        s2k = jax.lax.dynamic_slice_in_dim(
+            pad_to(kS, max(Q, sovf_budget), INT32_MAX), n_hits1,
+            sovf_budget,
+        )
+        is2 = (s2k >= Q) & (s2k != INT32_MAX)
+        s2_slot = jnp.where(is2, s2k - Q, INT32_MAX)
+        pad2 = ~is2
+        safe2 = jnp.minimum(jnp.where(is2, s2k - Q, 0), Q - 1)
         st2, en2, h2 = search_groups(q_values[safe2], ~pad2)
 
-        # ---- compact pass-1 hits, carrying EVERY per-row query field as a
-        # sort payload (extra sort operands over Q cost ~1 ms each; the
-        # [NC] gathers they replace cost ~8-20 ms each)
-        kH, sH_s, sH_c, sH_dlo, sH_dhi, sH_pos, sH_qid = jax.lax.sort(
-            (jnp.where(hit1, slotid, INT32_MAX), s1, c1,
-             q_d48lo, q_d48hi, q_pos, q_qid),
-            num_keys=1,
+        kH_raw = pad_to(kS, hit_budget, INT32_MAX)
+        pH_raw = pad_to(pS, hit_budget, 0)
+        hpad = kH_raw >= Q          # overflow rows or MAX padding
+        kH = jnp.where(hpad, INT32_MAX, kH_raw)
+        sH_s = jnp.where(
+            hpad, 0,
+            bc32((pH_raw >> jnp.uint64(16)) & jnp.uint64(0xFFFFFFFF)),
         )
-        kH = pad_to(kH, hit_budget, INT32_MAX)
+        sH_c = jnp.where(hpad, 0, bc32(pH_raw & jnp.uint64(0xFFFF)))
+        safeH = jnp.minimum(kH, Q - 1)
+        d48H = q_d48[safeH]
 
         # pass-2 stream fields come from small [F] gathers instead
         d48r2 = q_d48[safe2]
         slots_r = jnp.concatenate([kH, jnp.where(h2, s2_slot, INT32_MAX)])
-        starts_r = jnp.concatenate([pad_to(sH_s, hit_budget, 0), st2])
-        ends_r = jnp.concatenate(
-            [pad_to(sH_s + sH_c, hit_budget, 0), en2])
+        starts_r = jnp.concatenate([sH_s, st2])
+        ends_r = jnp.concatenate([sH_s + sH_c, en2])
         activer = slots_r != INT32_MAX
         saf = jnp.minimum(slots_r, Q - 1)
         d48lo_r = jnp.concatenate(
-            [pad_to(sH_dlo, hit_budget, 0),
+            [jnp.where(hpad, 0, bc32(d48H & jnp.uint64(0xFFFFFFFF))),
              bc32(d48r2 & jnp.uint64(0xFFFFFFFF))])
         d48hi_r = jnp.concatenate(
-            [pad_to(sH_dhi, hit_budget, 0),
+            [jnp.where(hpad, 0, bc32(d48H >> jnp.uint64(32))),
              bc32(d48r2 >> jnp.uint64(32))])
         frame_r = (saf // W) % 6
         fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
         pos_r = jnp.concatenate(
-            [pad_to(sH_pos, hit_budget, 0), q_pos[safe2]])
+            [jnp.where(hpad, 0, q_pos[safeH]), q_pos[safe2]])
         qid_r = jnp.concatenate(
-            [pad_to(sH_qid, hit_budget, 0), q_qid[safe2]])
+            [jnp.where(hpad, 0, q_qid[safeH]), q_qid[safe2]])
         NC = hit_budget + sovf_budget
 
         idx_c, keep, hsum, h16, _ = tier(
@@ -857,7 +883,7 @@ def _classify_core(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
         "cap2", "ov_budget", "packed_search", "direct_bits", "hit_budget",
-        "sovf_budget",
+        "sovf_budget", "codes_packed",
     ),
 )
 def _classify_batch_impl(
@@ -882,6 +908,7 @@ def _classify_batch_impl(
     direct_bits: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    codes_packed: bool = False,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
         db, tax2species,
@@ -892,6 +919,7 @@ def _classify_batch_impl(
         prefix_bits=prefix_bits, cap2=cap2, ov_budget=ov_budget,
         packed_search=packed_search, direct_bits=direct_bits,
         hit_budget=hit_budget, sovf_budget=sovf_budget,
+        codes_packed=codes_packed,
     )
     if pack4:
         # 4-word transfer layout (standard alphabet, qid < 2^14):
@@ -926,6 +954,7 @@ def classify_batch_indexed(
     ov_budget: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    codes_packed: bool = False,
 ) -> BatchMatches:
     return _classify_batch_impl(
         index.db, tax2species,
@@ -936,7 +965,7 @@ def classify_batch_indexed(
         pack4=pack4, prefix_bits=index.prefix_bits, cap2=cap2,
         ov_budget=ov_budget, packed_search=index.packed_search,
         direct_bits=index.direct_bits, hit_budget=hit_budget,
-        sovf_budget=sovf_budget,
+        sovf_budget=sovf_budget, codes_packed=codes_packed,
     )
 
 

@@ -255,7 +255,7 @@ def build_sharded_fused(
         dna_shift=sizes["dna_shift"], p_max=sizes["p_max"],
         n_blocks=sizes["n_blocks"], w=sizes["w"], k=sizes["k"],
         max_shift=sizes["max_shift"], ov_budget=sizes["ov_budget"],
-        kmer_format=kmer_format,
+        kmer_format=kmer_format, tie_budget=sizes.get("tie_budget", 0),
     )
 
     def local_step(db, t2s, dt_l, min_depth_l, rl, codes, lens, pos_off,

@@ -87,3 +87,37 @@ def test_quotient_best_matches_python(tmp_path, seed, dna_shift):
         d = got.setdefault((int(r), int(s)), {})
         d[int(t)] = d.get(int(t), 0) + 1
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_quotient_best_tie_compaction(tmp_path, seed):
+    """tie_budget > 0 compacts the LCA range queries to genuine tie rows;
+    results must equal the full-width (tie_budget=0) path, and n_ties must
+    flag truncation for the retry ladder."""
+    tax = _taxonomy(tmp_path)
+    dt = device_taxonomy(tax)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for read in range(30):
+        for sp in sorted(rng.choice(range(4, 16, 4), 2, replace=False)):
+            for _ in range(int(rng.integers(5, 40))):
+                rows.append((read, sp, int(rng.integers(0, 90)),
+                             int(rng.integers(0, 3)),
+                             int(rng.integers(1, tax.n_nodes() + 1))))
+    rows.sort()
+    arr = np.array(rows, np.int32)
+    args = (dt, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4],
+            np.ones(len(rows), bool))
+    full = quotient_best(*args, dna_shift=3, max_rows=4096)
+    tied = quotient_best(*args, dna_shift=3, max_rows=4096,
+                         tie_budget=2048)
+    n = int(full.n_rows)
+    assert int(tied.n_rows) == n
+    assert 0 < int(tied.n_ties) <= 2048
+    for f in ("row_read", "row_species", "row_taxid"):
+        assert np.array_equal(np.asarray(getattr(full, f))[:n],
+                              np.asarray(getattr(tied, f))[:n]), f
+    # truncation detection: a tie list smaller than the tie count must
+    # raise the overflow counter past the budget
+    small = quotient_best(*args, dna_shift=3, max_rows=4096, tie_budget=8)
+    assert int(small.n_ties) == int(tied.n_ties) > 8
