@@ -693,7 +693,12 @@ class Classifier:
         with open(report_path, "w") as fh:
             self.reporter.write_report(fh, tax_counts, total_reads)
         with open(krona_path, "w") as fh:
-            self.reporter.write_krona(fh, tax_counts, total_reads)
+            prelude = None
+            if getattr(self.par, "krona_prelude", ""):
+                with open(self.par.krona_prelude) as pf:
+                    prelude = pf.read()
+            self.reporter.write_krona(fh, tax_counts, total_reads,
+                                      prelude=prelude)
 
         summary = {
             "reads": total_reads - skip,

@@ -267,7 +267,6 @@ def build_dev_index(
         not reduced
         and not _os.environ.get("METABULI_TPU_NO_PACKED_SEARCH")
         and rb_fits
-        and n_groups < (1 << 23)
         and max_bucket <= 255
         and max_group <= 0xFFFF
         and n < (1 << 31)
@@ -321,9 +320,14 @@ def build_dev_index(
     elif packed:
         taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
         d48 = expand_db_dna48(values, kmer_format)
+        # bucket start(23b) << 8 | load(8b) in ONE i32 element; tables
+        # beyond 2^23 groups widen to i64 (2 gathered elements — in direct
+        # mode only the rare pass-2 queries ever fetch it)
         prefix_packed = (
             (prefix[:-1].astype(np.int64) << 8) | counts.astype(np.int64)
-        ).astype(np.int32)
+        )
+        if n_groups < (1 << 23):
+            prefix_packed = prefix_packed.astype(np.int32)
         gbounds = (
             (grest.astype(np.uint64) << np.uint64(start_bits + 16))
             | (gstart.astype(np.uint64) << np.uint64(16))
@@ -468,8 +472,12 @@ def _classify_core(
         if packed_search:
             # ONE element for the bucket bounds, one u64 for verify+range
             pc = db_prefix_packed[bucket]
-            lo = (pc >> 8) & jnp.int32(0x7FFFFF)
-            bucket_end = lo + (pc & 255)
+            if db_prefix_packed.dtype == jnp.int32:
+                lo = (pc >> 8) & jnp.int32(0x7FFFFF)
+                bucket_end = lo + (pc & 255)
+            else:  # i64 variant for > 2^23 groups
+                lo = (pc >> 8).astype(jnp.int32)
+                bucket_end = lo + (pc & 255).astype(jnp.int32)
         else:
             lo = db_prefix[bucket]
             bucket_end = db_prefix[bucket + 1]

@@ -491,6 +491,45 @@ def _query2reference(argv):
     return 0
 
 
+def _make_inclusion_queries(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu makeInclusionTestQueries")
+    ap.add_argument("assembly_list", help="one assembly accession per line")
+    ap.add_argument("taxonomy_path", help="dir with names/nodes/merged.dmp")
+    args = ap.parse_args(argv)
+    from .tools.benchmark_sets import make_inclusion_query_set
+
+    out = make_inclusion_query_set(args.assembly_list, args.taxonomy_path)
+    if out.get("error"):
+        return 1
+    print(json.dumps(out))
+    return 0
+
+
+def _make_virus_benchmark(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu make-virus-benchmark-set")
+    ap.add_argument("assembly_list", help="one assembly accession per line")
+    ap.add_argument("taxonomy_path", help="dir with names/nodes/merged.dmp")
+    ap.add_argument("acc2taxid", help="assembly accession\ttaxid mapping")
+    args = ap.parse_args(argv)
+    from .tools.benchmark_sets import make_virus_benchmark_set
+
+    out = make_virus_benchmark_set(args.assembly_list, args.taxonomy_path,
+                                   args.acc2taxid)
+    rc = out.pop("error", 0)
+    print(json.dumps(out))
+    return rc
+
+
+def _uniref2taxonomy(argv):
+    ap = argparse.ArgumentParser(prog="metabuli_tpu uniref2taxonomy")
+    ap.add_argument("mapping_file", help="UniRef idmapping TSV (10 columns)")
+    ap.add_argument("db_dir")
+    args = ap.parse_args(argv)
+    from .tools.benchmark_sets import uniref2taxonomy
+
+    return uniref2taxonomy(args.mapping_file, args.db_dir)
+
+
 def _uniref(argv, mode):
     if mode == "db":
         ap = argparse.ArgumentParser(prog="metabuli_tpu create-uniref-db")
@@ -622,9 +661,9 @@ def _grouping(argv):
     ap.add_argument("--score-col", type=int, default=5)
     ap.add_argument("--majority-thr", type=float, default=0.5)
     ap.add_argument("--neighbor-kmers", type=int, default=0,
-                    help="accepted for reference compatibility; the direct "
-                         "read-overlap design has no common-kmer position "
-                         "window to relax")
+                    help="position-suppression window: shared k-mers within "
+                         "this many bases of an already-counted one add no "
+                         "edge weight (GroupGenerator.cpp:317-329)")
     ap.add_argument("--dbdir", default="",
                     help="database dir (for taxonomy-aware majority LCA)")
     args = ap.parse_args(argv)
@@ -642,7 +681,8 @@ def _grouping(argv):
         args.query, args.classifications, args.outdir, min_edge,
         weight_mode=args.weight_mode, min_vote_score=args.min_vote_score,
         score_col=args.score_col, taxonomy=taxonomy,
-        majority_thr=args.majority_thr)))
+        majority_thr=args.majority_thr,
+        neighbor_kmers=args.neighbor_kmers)))
     return 0
 
 
@@ -701,8 +741,12 @@ COMMANDS = {
     "makeAAoffset": (_make_aa_offset, "Decompose diffIdx into per-AA-group files"),
     "ictv-format": (_ictv_format, "Export classifications as ICTV-challenge CSV"),
     "filter_by_genus": (_filter_by_genus, "Keep classification rows of listed genera"),
-    "makeInclusionTestQueries": (_maketestsets, "Alias of maketestsets (inclusion split)"),
-    "make-virus-benchmark-set": (_maketestsets, "Alias of maketestsets for viral assemblies"),
+    "makeInclusionTestQueries": (_make_inclusion_queries,
+                                 "Assembly-split inclusion query sets"),
+    "make-virus-benchmark-set": (_make_virus_benchmark,
+                                 "Virus exclusion/inclusion benchmark sets"),
+    "uniref2taxonomy": (_uniref2taxonomy,
+                        "Parse a UniRef idmapping into cluster maps"),
     "create-uniref-db": (lambda a: _uniref(a, "db"),
                          "Build a UniRef cluster k-mer database from XML"),
     "create-uniref-tree": (lambda a: _uniref(a, "tree"),

@@ -16,7 +16,6 @@ Byte-format mirrors the reference's ``Reporter``
 
 from __future__ import annotations
 
-import xml.sax.saxutils
 
 from ..db.taxonomy import Taxonomy
 
@@ -97,9 +96,19 @@ class Reporter:
             self._report_node(fh, clade, total, ch, depth + 1)
 
     # ------------------------------------------------------------------ krona
-    def write_krona(self, fh, tax_counts: dict[int, int], total_reads: int):
+    def write_krona(self, fh, tax_counts: dict[int, int], total_reads: int,
+                    prelude: str | None = None):
+        """Krona chart (`Reporter.cpp:86-113,135-160`).
+
+        With ``prelude`` (the bundled MMseqs2/KronaTools
+        ``krona_prelude.html`` resource, absent from this checkout —
+        supply one via ``--krona-prelude``), the output is byte-identical
+        to the reference writer: prelude + node stream +
+        ``</node></krona></div></body></html>``. Without one, a
+        self-contained zero-dependency viewer wraps the SAME node stream
+        (the ``<krona>`` XML island is what Krona tooling parses)."""
         clade = self.tax.clade_counts({t: c for t, c in tax_counts.items() if t > 0})
-        fh.write(_KRONA_PRELUDE)
+        fh.write(_KRONA_PRELUDE if prelude is None else prelude)
         fh.write(
             f'<node name="all"><magnitude><val>{total_reads}</val></magnitude>'
         )
@@ -111,16 +120,29 @@ class Reporter:
             )
         self._krona_node(fh, clade, 1)
         fh.write("</node></krona></div>")
-        fh.write(_KRONA_EPILOGUE)
+        if prelude is None:
+            fh.write(_KRONA_EPILOGUE)
+        else:
+            fh.write("</body></html>")
+
+    @staticmethod
+    def _escape_attribute(name: str) -> str:
+        """Reference escapeAttribute: the five XML specials, always
+        (`taxonomyreport.cpp`, textually included at `Reporter.cpp:2`)."""
+        return (name.replace("&", "&amp;").replace('"', "&quot;")
+                .replace("'", "&apos;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
 
     def _krona_node(self, fh, clade, taxid):
         entry = clade.get(taxid)
         if entry is None or entry["cladeCount"] == 0:
             return
-        name = xml.sax.saxutils.quoteattr(self.tax.name_of(taxid))
+        name = self._escape_attribute(self.tax.name_of(taxid))
         fh.write(
-            f"<node name={name}><magnitude><val>{entry['cladeCount']}</val></magnitude>"
+            f'<node name="{name}"><magnitude><val>{entry["cladeCount"]}</val></magnitude>'
         )
+        # children arrive in id order (getParentToChildren iterates nodes
+        # in index order); the reference sorts by cladeCount descending
         children = sorted(
             entry["children"],
             key=lambda c: -clade.get(c, {"cladeCount": 0})["cladeCount"],

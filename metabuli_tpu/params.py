@@ -70,6 +70,10 @@ class ClassifyParams:
     validate_input: int = 0
     validate_db: int = 0
     taxonomy_path: str = ""
+    # path to a KronaTools/MMseqs2 krona_prelude.html; when set the krona
+    # output is byte-compatible with the reference writer
+    # (Reporter.cpp:135-160); empty = embedded self-contained viewer
+    krona_prelude: str = ""
     buffer_size: int = 16777216
     random_seed: int = 42
     # TPU-specific execution knobs
@@ -79,7 +83,7 @@ class ClassifyParams:
                           "memory, the QueryIndexer byte-budget analogue)"})
     max_cap: int = field(default=4096, metadata={"help": "hard cap on per-AA candidate fan-out"})
     small_cap: int = field(default=8, metadata={"help": "tier-1 candidate window; AA groups larger than this re-gather at full width"})
-    device_tax: int = field(default=0, metadata={"help": "experimental: run the taxonomer stages on device"})
+    device_tax: int = field(default=1, metadata={"help": "run the taxonomer stages on device (fused program; default). 0 = host taxonomer; device grids fall back to the host path on overflow"})
 
 
 @dataclass

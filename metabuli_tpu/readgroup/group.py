@@ -49,12 +49,20 @@ def build_read_groups(
     min_shared_kmers: int = 2,
     max_kmer_degree: int = 64,
     batch: int = 2048,
+    neighbor_kmers: int = 0,
 ) -> np.ndarray:
     """Group labels per read: reads sharing >= min_shared_kmers metamers
     join one group. K-mers hitting more than ``max_kmer_degree`` reads are
-    treated as repeats and skipped (hub suppression)."""
+    treated as repeats and skipped (hub suppression).
+
+    ``neighbor_kmers`` replicates the reference's position-suppression
+    window (`GroupGenerator.cpp:317-329`): a query k-mer within that many
+    bases of an already-counted shared k-mer is dropped, so a run of
+    adjacent shared k-mers contributes ONE unit of edge weight instead of
+    its length. 0 = no window (every shared k-mer counts)."""
     pairs_k: list[np.ndarray] = []
     pairs_r: list[np.ndarray] = []
+    pairs_p: list[np.ndarray] = []
     for i in range(0, len(reads), batch):
         chunk = reads[i : i + batch]
         max_len = max((len(r) for r in chunk), default=0)
@@ -65,19 +73,22 @@ def build_read_groups(
         mm = encode.extract_metamers(codes, lens)
         v = np.asarray(mm.value)
         ok = np.asarray(mm.valid)
+        pos = np.asarray(mm.pos)
         b, f, w = np.nonzero(ok)
         pairs_k.append(v[b, f, w])
         pairs_r.append((b + i).astype(np.int64))
+        pairs_p.append(pos[b, f, w].astype(np.int64))
     if not pairs_k:
         return np.zeros(0, np.int64)
     kmers = np.concatenate(pairs_k)
     rids = np.concatenate(pairs_r)
+    poss = np.concatenate(pairs_p)
     # dedup (kmer, read) then sort by kmer
     order = np.lexsort((rids, kmers))
-    kmers, rids = kmers[order], rids[order]
+    kmers, rids, poss = kmers[order], rids[order], poss[order]
     uniq = np.ones(len(kmers), bool)
     uniq[1:] = (kmers[1:] != kmers[:-1]) | (rids[1:] != rids[:-1])
-    kmers, rids = kmers[uniq], rids[uniq]
+    kmers, rids, poss = kmers[uniq], rids[uniq], poss[uniq]
 
     # count shared kmers per read pair within each kmer group
     new_group = np.ones(len(kmers), bool)
@@ -85,15 +96,30 @@ def build_read_groups(
     starts = np.nonzero(new_group)[0]
     ends = np.append(starts[1:], len(kmers))
     pair_counts: dict[tuple[int, int], int] = {}
+    pair_pos: dict[tuple[int, int], list] = {}
     for a, b in zip(starts, ends):
         size = b - a
         if size < 2 or size > max_kmer_degree:
             continue
         members = rids[a:b]
         first = int(members[0])
+        fpos = int(poss[a])
         for m in members[1:]:
             key = (first, int(m))
-            pair_counts[key] = pair_counts.get(key, 0) + 1
+            if neighbor_kmers > 0:
+                pair_pos.setdefault(key, []).append(fpos)
+            else:
+                pair_counts[key] = pair_counts.get(key, 0) + 1
+    if neighbor_kmers > 0:
+        for key, plist in pair_pos.items():
+            plist.sort()
+            cnt = 0
+            last = None
+            for p in plist:
+                if last is None or p > last + neighbor_kmers:
+                    cnt += 1
+                    last = p
+            pair_counts[key] = cnt
 
     ds = DisjointSet(len(reads))
     for (x, y), cnt in pair_counts.items():
@@ -193,6 +219,7 @@ def group_reads_file(
     score_col: int = 5,
     taxonomy=None,
     majority_thr: float = 0.5,
+    neighbor_kmers: int = 0,
 ) -> dict:
     """`grouping` workflow: read groups + propagated classifications.
     ``min_shared_kmers`` is the reference's --min-edge (edge weight =
@@ -203,7 +230,8 @@ def group_reads_file(
     for rec in fasta.read_records(query_path):
         reads.append(rec.seq)
         names.append(rec.name)
-    labels = build_read_groups(reads, min_shared_kmers)
+    labels = build_read_groups(reads, min_shared_kmers,
+                               neighbor_kmers=neighbor_kmers)
 
     cls = [0] * len(reads)
     scores = [0.0] * len(reads)

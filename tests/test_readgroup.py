@@ -71,3 +71,29 @@ def test_weighted_majority_lca():
     assert weighted_majority_lca([(3, 1.0), (4, 1.0)], FakeTax()) == 2
     # dominant leaf wins outright
     assert weighted_majority_lca([(3, 3.0), (4, 1.0)], FakeTax()) == 3
+
+
+def test_neighbor_kmers_window():
+    """--neighbor-kmers collapses adjacent shared k-mers into one edge
+    unit (`GroupGenerator.cpp:317-329` suppression window)."""
+    import numpy as np
+
+    from metabuli_tpu.readgroup.group import build_read_groups
+
+    rng = np.random.default_rng(5)
+    g = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 400))
+    # two reads overlapping by 60 bases: the shared metamers sit in one
+    # contiguous run
+    r1, r2 = g[:200], g[140:340]
+    decoy = bytes(rng.choice(np.array(list(b"ACGT"), np.uint8), 200))
+    reads = [r1, r2, decoy]
+    # without the window the run counts every shared k-mer -> grouped
+    lab0 = build_read_groups(reads, min_shared_kmers=2)
+    assert lab0[0] == lab0[1] != lab0[2]
+    # a window spanning the whole overlap collapses the run to weight 1,
+    # which is below min_shared_kmers=2 -> no longer grouped
+    lab1 = build_read_groups(reads, min_shared_kmers=2, neighbor_kmers=200)
+    assert lab1[0] != lab1[1]
+    # a small window keeps >= 2 separated clusters -> still grouped
+    lab2 = build_read_groups(reads, min_shared_kmers=2, neighbor_kmers=3)
+    assert lab2[0] == lab2[1]
