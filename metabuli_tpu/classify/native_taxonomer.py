@@ -72,6 +72,18 @@ class NativeTaxonomer:
         mp_score = np.zeros(map_cap, np.float32)
         mp_used = ctypes.c_int64(0)
 
+        import os as _os
+
+        dump = _os.environ.get("METABULI_TPU_DUMP_NATIVE")
+        if dump and n_matches and not _os.path.exists(
+                _os.path.join(dump, "manifest.txt")):
+            # raw-buffer dump for the sanitizer replay harness
+            # (native/sancheck.cpp): the ASan runtime cannot coexist with
+            # jaxlib in one process, so the real call is replayed there
+            self._dump_args(
+                dump, n_matches, arrays, read_start, read_end, read_lens,
+                n_reads, 0 if m.get("sorted", True) else 1)
+
         rc = self.lib.taxonomer_assign(
             ctypes.c_int64(n_matches),
             arrays["qid"].ctypes, arrays["species"].ctypes, arrays["frame"].ctypes,
@@ -125,3 +137,47 @@ class NativeTaxonomer:
                 (int(mp_sp[k]), float(mp_score[k]))
             )
         return results, mappings
+
+    def _dump_args(self, out_dir, n_matches, arrays, read_start, read_end,
+                   read_lens, n_reads, need_sort):
+        """Write the exact taxonomer_assign argument buffers for the
+        sanitizer replay harness (tests/test_native_sanitize.py)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        p = self.p
+        named = dict(
+            arrays,
+            read_start=np.ascontiguousarray(read_start, np.int64),
+            read_end=np.ascontiguousarray(read_end, np.int64),
+            read_len=np.ascontiguousarray(read_lens, np.int32),
+            parent=self._parent, euler_first=self._euler_first,
+            euler_node=self._euler_node,
+            sparse=np.ascontiguousarray(self._sparse.reshape(-1)),
+            euler_depth=self._euler_depth, tin=self._tin, tout=self._tout,
+            species_of=self._species_of, leafish=self._leafish,
+        )
+        lines = []
+        for name, arr in named.items():
+            arr.tofile(os.path.join(out_dir, name + ".bin"))
+            lines.append(f"array {name} {arr.dtype.itemsize} {arr.size}")
+        scalars = dict(
+            n_matches=n_matches, n_reads=n_reads,
+            n_nodes=self.tax.n_nodes(),
+            sparse_levels=self._sparse.shape[0],
+            euler_len=self._sparse.shape[1],
+            eukaryota_id=self.tax.eukaryota_id,
+            kmer_format=p.kmer_format, min_cons_cnt=p.min_cons_cnt,
+            min_cons_cnt_euk=p.min_cons_cnt_euk, dna_shift=p.dna_shift,
+            max_codon_shift=p.max_codon_shift, denominator=p.denominator,
+            accession_level=p.accession_level, em=1 if p.em else 0,
+            bits_per_codon=p.bits_per_codon, need_sort=need_sort,
+        )
+        for name, v in scalars.items():
+            lines.append(f"scalar {name} {int(v)}")
+        for name, v in (("min_score", p.min_score),
+                        ("min_sp_score", p.min_sp_score),
+                        ("tie_ratio", p.tie_ratio)):
+            lines.append(f"fscalar {name} {float(v)!r}")
+        with open(os.path.join(out_dir, "manifest.txt"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")

@@ -27,20 +27,28 @@ _SO = os.path.join(os.path.dirname(__file__), "libmetabuli_native.so")
 
 
 def _build() -> str | None:
+    # METABULI_TPU_SANITIZE=address[,undefined] builds an ASan/UBSan
+    # variant (separate .so; the test suite's sanitizer pass uses it —
+    # run python under LD_PRELOAD=$(g++ -print-file-name=libasan.so))
+    sanitize = os.environ.get("METABULI_TPU_SANITIZE", "")
+    so = _SO + (".asan.so" if sanitize else "")
     newest = max(os.path.getmtime(src) for src in _SRCS)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
-        return _SO
+    if os.path.exists(so) and os.path.getmtime(so) >= newest:
+        return so
     # -ffp-contract=off: the Prodigal port's double arithmetic must not be
     # FMA-contracted — bit-exactness vs the (-O2, no -march) compiled
     # reference oracle depends on plain IEEE mul+add sequences
     cmd = [
         "g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
-        "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _SO + ".tmp", "-lz",
+        "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", so + ".tmp", "-lz",
     ]
+    if sanitize:
+        cmd[1:1] = [f"-fsanitize={sanitize}", "-fno-omit-frame-pointer",
+                    "-g"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(_SO + ".tmp", _SO)
-        return _SO
+        os.replace(so + ".tmp", so)
+        return so
     except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired) as e:
         stderr = getattr(e, "stderr", b"")
         print(f"[metabuli_tpu] native build failed, using Python fallback: "

@@ -438,9 +438,10 @@ int64_t gp_predict(int64_t model, const char* seq, int64_t len,
 }
 
 // Bottom-`cap` min-hash sketch of 24-mers (SeqIterator::getMinHashList,
-// SeqIterator.cpp:88-112). Writes up to `cap` hashes (ascending); returns
-// the count. Matches the reference exactly, including the UINT64_MAX
-// sentinel occupying one slot until `cap` real hashes are collected.
+// SeqIterator.cpp:88-112). Matches the reference exactly, including the
+// UINT64_MAX sentinel occupying one slot until the queue first overflows —
+// so `out` MUST hold `cap + 1` entries and the returned count can be
+// cap + 1 (callers: db/genes.py allocates MINHASH_CAP + 1).
 int64_t gp_minhash(const char* seq, int64_t len, uint64_t* out, int64_t cap) {
   const int k = 24;
   std::vector<uint64_t> heap;  // max-heap
