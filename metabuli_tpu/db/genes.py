@@ -50,12 +50,37 @@ class GenePredictor:
         self.lib.gp_xxh64.restype = ctypes.c_uint64
         self.lib.pdg_train.restype = ctypes.c_int64
         self.lib.pdg_predict.restype = ctypes.c_int64
+        self.lib.pdg_train_meta.restype = ctypes.c_int64
+        self.lib.pdg_meta_load.restype = ctypes.c_int64
         self._model = 0
         self._port = False      # True: bit-exact Prodigal port (single mode)
+        self._meta_bins = self._load_meta_bins()
         self._train_len = 0
         self._train_sketch = None
         self._inter = np.zeros(INTER_CAP, np.uint64)
         self._n_inter = ctypes.c_int64(0)
+
+    _meta_bins_cache: int | None = None
+
+    def _load_meta_bins(self) -> int:
+        """Load the Prodigal metagenomic training bins (once per process)
+        from METABULI_META_BINS. The reference's own 50 bins are a missing
+        large blob in this checkout (lib/prodigal/training.cpp in
+        .MISSING_LARGE_BLOBS); with a bin file supplied, meta-mode gene
+        prediction (< 100 kb or Eukaryota, `IndexCreator.cpp:1140-1151`)
+        runs the reference's trainMeta machinery bit-exactly (differential:
+        tests/test_prodigal_port.py::test_meta_mode_vs_compiled_reference);
+        without one it falls back to the self-training stand-in."""
+        cls = GenePredictor
+        if cls._meta_bins_cache is None:
+            import os
+
+            path = os.environ.get("METABULI_META_BINS", "")
+            n = 0
+            if path:
+                n = max(0, int(self.lib.pdg_meta_load(path.encode())))
+            cls._meta_bins_cache = n
+        return cls._meta_bins_cache
 
     def _free_model(self):
         if self._model and self.lib is not None:
@@ -80,9 +105,18 @@ class GenePredictor:
         (the bit-exact Prodigal port) for >= 100 kb non-Eukaryota training
         sequences, the self-training meta stand-in otherwise."""
         self._free_model()
-        self._port = len(seq) >= 100_000 and not euk
+        meta_case = len(seq) < 100_000 or euk
+        self._port = not meta_case
         if self._port:
             self._model = int(self.lib.pdg_train(seq, ctypes.c_int64(len(seq))))
+        elif self._meta_bins:
+            h = int(self.lib.pdg_train_meta(
+                seq, ctypes.c_int64(len(seq)), None))
+            if h > 0:
+                self._model = h
+                self._port = True  # predict through the port's meta path
+            else:  # no GC-compatible bin: stand-in keeps the build going
+                self._model = int(self.lib.gp_train(seq, ctypes.c_int64(len(seq))))
         else:
             self._model = int(self.lib.gp_train(seq, ctypes.c_int64(len(seq))))
         self._train_len = len(seq)

@@ -30,6 +30,7 @@
 namespace pdg {
 
 // ---------------------------------------------------------------- constants
+constexpr double kMetaPen = 7.5;    // META_PEN (node.h:37)
 constexpr int kMinGene = 90;        // MIN_GENE
 constexpr int kMinEdgeGene = 60;    // MIN_EDGE_GENE
 constexpr int kMaxSameOvlp = 60;    // MAX_SAM_OVLP
@@ -80,7 +81,44 @@ inline int is_c(const uint8_t* c, int n) { return c[n] == 2; }  // incl. N
 inline int is_t(const uint8_t* c, int n) { return c[n] == 3; }
 inline int is_gc(const uint8_t* c, int n) { return c[n] == 1 || c[n] == 2; }
 
-// trans_table 11 codon predicates (`prodigalsequence.cpp:289-371`)
+// Translation-table-aware codon predicates
+// (`prodigalsequence.cpp:289-371`); the fast 2-arg forms below keep the
+// single-mode table-11 call sites unchanged.
+inline int is_stop_tt(const uint8_t* c, int n, int tt) {
+  if (is_t(c, n) && is_a(c, n + 1) && is_g(c, n + 2)) {  // TAG
+    if (tt == 6 || tt == 15 || tt == 16 || tt == 22) return 0;
+    return 1;
+  }
+  if (is_t(c, n) && is_g(c, n + 1) && is_a(c, n + 2)) {  // TGA
+    if ((tt >= 2 && tt <= 5) || tt == 9 || tt == 10 || tt == 13 ||
+        tt == 14 || tt == 21 || tt == 25)
+      return 0;
+    return 1;
+  }
+  if (is_t(c, n) && is_a(c, n + 1) && is_a(c, n + 2)) {  // TAA
+    if (tt == 6 || tt == 14) return 0;
+    return 1;
+  }
+  if (tt == 2 && is_a(c, n) && is_g(c, n + 1) && is_a(c, n + 2)) return 1;
+  if (tt == 2 && is_a(c, n) && is_g(c, n + 1) && is_g(c, n + 2)) return 1;
+  if (tt == 22 && is_t(c, n) && is_c(c, n + 1) && is_a(c, n + 2)) return 1;
+  if (tt == 23 && is_t(c, n) && is_t(c, n + 1) && is_a(c, n + 2)) return 1;
+  return 0;
+}
+inline int is_start_tt(const uint8_t* c, int n, int tt) {
+  if (is_a(c, n) && is_t(c, n + 1) && is_g(c, n + 2)) return 1;  // ATG
+  if (tt == 6 || tt == 10 || tt == 14 || tt == 15 || tt == 16 || tt == 22)
+    return 0;
+  if (is_g(c, n) && is_t(c, n + 1) && is_g(c, n + 2)) {          // GTG
+    if (tt == 1 || tt == 3 || tt == 12 || tt == 22) return 0;
+    return 1;
+  }
+  if (is_t(c, n) && is_t(c, n + 1) && is_g(c, n + 2)) {          // TTG
+    if (tt < 4 || tt == 9 || (tt >= 21 && tt < 25)) return 0;
+    return 1;
+  }
+  return 0;
+}
 inline int is_stop(const uint8_t* c, int n) {
   if (is_t(c, n) && is_a(c, n + 1) && is_g(c, n + 2)) return 1;  // TAG
   if (is_t(c, n) && is_g(c, n + 1) && is_a(c, n + 2)) return 1;  // TGA
@@ -117,6 +155,8 @@ inline int imin(int a, int b) { return a < b ? a : b; }
 // ----------------------------------------------------------------- training
 struct Training {                 // mirrors struct _training field-for-field
   double gc = 0.0;
+  int trans_table = 11;
+  int is_meta_model = 0;          // port-side: predict with meta scoring
   double st_wt = 4.35;
   double bias[3] = {0, 0, 0};
   double type_wt[3] = {0, 0, 0};
@@ -189,7 +229,7 @@ struct Nodes {
 // add_nodes for the closed=1, unmasked configuration
 // (`node.cpp:28-171`; open-edge and mask branches are unreachable under the
 // wrapper's fixed closed=1 / do_mask=0 settings and are omitted)
-inline void add_nodes(const Seq& sq, Nodes& nd) {
+inline void add_nodes(const Seq& sq, Nodes& nd, int tt = 11) {
   const uint8_t* seq = sq.code.data();
   const uint8_t* rseq = sq.rcode.data();
   int slen = sq.len;
@@ -205,7 +245,7 @@ inline void add_nodes(const Seq& sq, Nodes& nd) {
     }
     for (int i = slen - 3; i >= 0; i--) {
       int fr = i % 3;
-      if (is_stop(c, i)) {
+      if (is_stop_tt(c, i, tt)) {
         if (saw_start[fr]) {
           // last[fr] is always a genuine stop here (closed=1): edge stays 0
           if (strand == 0)
@@ -219,7 +259,7 @@ inline void add_nodes(const Seq& sq, Nodes& nd) {
         continue;
       }
       if (last[fr] >= slen) continue;
-      if (is_start(c, i) && (last[fr] - i + 3) >= min_dist[fr]) {
+      if (is_start_tt(c, i, tt) && (last[fr] - i + 3) >= min_dist[fr]) {
         int t = is_atg(c, i) ? kTypeAtg
                              : (is_gtg(c, i) ? kTypeGtg : kTypeTtg);
         saw_start[fr] = 1;
@@ -482,12 +522,19 @@ inline void calc_dicodon_gene(Training& ti, const Seq& sq, Nodes& nd,
   }
 }
 
-// raw_coding_score (`node.cpp:569-677`); trans_table is always 11 here
+// raw_coding_score (`node.cpp:569-677`)
 inline void raw_coding_score(const Seq& sq, Nodes& nd, const Training& ti) {
   int nn = nd.n(), slen = sq.len;
-  double no_stop = ((1 - ti.gc) * (1 - ti.gc) * ti.gc) / 4.0;
-  no_stop += ((1 - ti.gc) * (1 - ti.gc) * (1 - ti.gc)) / 8.0;
-  no_stop = (1 - no_stop);
+  double no_stop;
+  if (ti.trans_table != 11) {  // TGA or TAG is not a stop
+    no_stop = ((1 - ti.gc) * (1 - ti.gc) * ti.gc) / 8.0;
+    no_stop += ((1 - ti.gc) * (1 - ti.gc) * (1 - ti.gc)) / 8.0;
+    no_stop = (1 - no_stop);
+  } else {
+    no_stop = ((1 - ti.gc) * (1 - ti.gc) * ti.gc) / 4.0;
+    no_stop += ((1 - ti.gc) * (1 - ti.gc) * (1 - ti.gc)) / 8.0;
+    no_stop = (1 - no_stop);
+  }
 
   double score[3];
   int last[3];
@@ -1531,7 +1578,8 @@ inline void train_starts_nonsd(const Seq& sq, Nodes& nd, Training& ti) {
 
 // score_nodes, single mode (`node.cpp:374-520`; is_meta branches are dead
 // here and the closed==0 edge conversions unreachable under closed=1)
-inline void score_nodes(const Seq& sq, Nodes& nd, const Training& ti) {
+inline void score_nodes(const Seq& sq, Nodes& nd, const Training& ti,
+                        int is_meta = 0) {
   int nn = nd.n(), slen = sq.len;
   calc_orf_gc(sq, nd);
   raw_coding_score(sq, nd, ti);
@@ -1547,9 +1595,11 @@ inline void score_nodes(const Seq& sq, Nodes& nd, const Training& ti) {
     if (nd.type[i] == kTypeStop) continue;
     double edge_gene = 0;
     if (nd.edge[i] == 1) edge_gene++;
-    if ((nd.strand[i] == 1 && !is_stop(sq.code.data(), nd.stop_val[i])) ||
+    if ((nd.strand[i] == 1 &&
+         !is_stop_tt(sq.code.data(), nd.stop_val[i], ti.trans_table)) ||
         (nd.strand[i] == -1 &&
-         !is_stop(sq.rcode.data(), slen - 1 - nd.stop_val[i])))
+         !is_stop_tt(sq.rcode.data(), slen - 1 - nd.stop_val[i],
+                     ti.trans_table)))
       edge_gene++;
 
     if (nd.edge[i] == 1) {
@@ -1606,14 +1656,35 @@ inline void score_nodes(const Seq& sq, Nodes& nd, const Training& ti) {
       if (nd.tscore[i] > 0) nd.tscore[i] *= posf;
     }
 
+    // Coding penalization in metagenomic fragments (`node.cpp:488-491`;
+    // NB `abs(ndx - stop_val < 120)` is the reference's own
+    // operator-precedence quirk, replicated verbatim)
+    if (is_meta == 1 && slen < 3000 && edge_gene == 0 &&
+        (nd.cscore[i] < 5.0 || abs(nd.ndx[i] - nd.stop_val[i] < 120)))
+      nd.cscore[i] -= kMetaPen * dmax(0, (3000 - slen) / 2700.0);
+
     nd.sscore[i] = nd.tscore[i] + nd.rscore[i] + nd.uscore[i];
 
     if (nd.cscore[i] < 0.0) {
       if (edge_gene > 0 && nd.edge[i] == 0) {
-        nd.sscore[i] -= ti.st_wt;  // single mode (is_meta == 0)
+        if (is_meta == 0 || slen > 1500) {
+          nd.sscore[i] -= ti.st_wt;
+        } else {
+          nd.sscore[i] -= (10.31 - 0.004 * slen);
+        }
+      } else if (is_meta == 1 && slen < 3000 && nd.edge[i] == 1) {
+        double min_meta_len = sqrt((double)slen) * 5.0;
+        if (abs(nd.ndx[i] - nd.stop_val[i]) >= min_meta_len) {
+          if (nd.cscore[i] >= 0) nd.cscore[i] = -1.0;
+          nd.sscore[i] = 0.0;
+          nd.uscore[i] = 0.0;
+        }
       } else {
         nd.sscore[i] -= 0.5;
       }
+    } else if (nd.cscore[i] < 5.0 && is_meta == 1 &&
+               abs(nd.ndx[i] - nd.stop_val[i] < 120) && nd.sscore[i] < 0.0) {
+      nd.sscore[i] -= ti.st_wt;
     }
   }
 }
@@ -1823,6 +1894,109 @@ inline void predict_genes(const unsigned char* raw, int64_t len,
   tweak_final_starts(g, nd, ti);
 }
 
+// ---- metagenomic mode ----------------------------------------------
+// ProdigalWrapper::trainMeta (`ProdigalWrapper.cpp:129-186`): run every
+// GC-compatible precomputed bin over the sequence, keep the bin whose
+// optimal dprog path scores highest; getPredictedGenes then predicts with
+// that bin (`ProdigalWrapper.cpp:217-250`). The bins themselves are the
+// reference's training.cpp blob, MISSING from this checkout
+// (/root/reference/.MISSING_LARGE_BLOBS) — they load from an external
+// file (pdg_meta_load) whose records mirror struct _training field order.
+
+inline void read_training_record(FILE* f, Training& ti) {
+  auto rd = [&](void* dst, size_t n) {
+    if (fread(dst, 1, n, f) != n) {
+      memset(dst, 0, n);
+    }
+  };
+  rd(&ti.gc, 8);
+  int32_t tt = 11, sd = 0;
+  rd(&tt, 4);
+  ti.trans_table = tt;
+  rd(&ti.st_wt, 8);
+  rd(ti.bias, 24);
+  rd(ti.type_wt, 24);
+  rd(&sd, 4);
+  ti.uses_sd = sd;
+  rd(ti.rbs_wt, 28 * 8);
+  rd(ti.ups_comp, 128 * 8);
+  rd(ti.mot_wt.data(), 4 * 4 * 4096 * 8);
+  rd(&ti.no_mot, 8);
+  rd(ti.gene_dc, 4096 * 8);
+}
+
+inline void write_training_record(FILE* f, const Training& ti) {
+  fwrite(&ti.gc, 8, 1, f);
+  int32_t tt = ti.trans_table, sd = ti.uses_sd;
+  fwrite(&tt, 4, 1, f);
+  fwrite(&ti.st_wt, 8, 1, f);
+  fwrite(ti.bias, 24, 1, f);
+  fwrite(ti.type_wt, 24, 1, f);
+  fwrite(&sd, 4, 1, f);
+  fwrite(ti.rbs_wt, 28 * 8, 1, f);
+  fwrite(ti.ups_comp, 128 * 8, 1, f);
+  fwrite(ti.mot_wt.data(), 4 * 4 * 4096 * 8, 1, f);
+  fwrite(&ti.no_mot, 8, 1, f);
+  fwrite(ti.gene_dc, 4096 * 8, 1, f);
+}
+
+// trainMeta: returns the winning bin index (-1 if nothing scored)
+inline int train_meta(const Seq& sq, const std::vector<Training>& bins,
+                      Nodes& nd) {
+  double gc = sq.gc;
+  double low = 0.88495 * gc - 0.0102337;
+  if (low > 0.65) low = 0.65;
+  double high = 0.86596 * gc + .1131991;
+  if (high < 0.35) high = 0.35;
+  double max_score = -100.0;
+  int max_phase = -1;
+  for (size_t i = 0; i < bins.size(); i++) {
+    if (i == 0 ||
+        bins[i].trans_table != bins[i - 1].trans_table) {
+      nd.clear();
+      add_nodes(sq, nd, bins[i].trans_table);
+    }
+    if (bins[i].gc < low || bins[i].gc > high) continue;
+    // reset_node_scores (`node.cpp:175-196`)
+    int nn = nd.n();
+    for (int j = 0; j < nn; j++) {
+      nd.star0[j] = 0; nd.star1[j] = 0; nd.star2[j] = 0;
+      nd.gcs0[j] = 0; nd.gcs1[j] = 0; nd.gcs2[j] = 0;
+      nd.rbs0[j] = 0; nd.rbs1[j] = 0;
+      nd.score[j] = 0; nd.cscore[j] = 0; nd.sscore[j] = 0;
+      nd.rscore[j] = 0; nd.tscore[j] = 0; nd.uscore[j] = 0;
+      nd.traceb[j] = -1; nd.tracef[j] = -1; nd.ov_mark[j] = -1;
+      nd.elim[j] = 0; nd.gc_bias[j] = 0;
+      nd.mot_ndx[j] = 0; nd.mot_len[j] = 0; nd.mot_spacer[j] = 0;
+      nd.mot_spacendx[j] = 0; nd.mot_score[j] = 0;
+    }
+    score_nodes(sq, nd, bins[i], 1);
+    record_overlapping_starts(nd, bins[i], 1);
+    int ipath = dprog(nd, bins[i], 1);
+    if (ipath == -1) continue;
+    if (nd.score[ipath] > max_score) {
+      max_phase = (int)i;
+      max_score = nd.score[ipath];
+    }
+  }
+  return max_phase;
+}
+
+// getPredictedGenes, meta path (`ProdigalWrapper.cpp:217-250`)
+inline void predict_genes_meta(const unsigned char* raw, int64_t len,
+                               const Training& ti, Nodes& nd, Genes& g) {
+  Seq sq;
+  encode_seq(raw, len, sq);
+  nd.clear();
+  add_nodes(sq, nd, ti.trans_table);
+  score_nodes(sq, nd, ti, 1);
+  record_overlapping_starts(nd, ti, 1);
+  int ipath = dprog(nd, ti, 1);
+  eliminate_bad_genes(nd, ipath, ti);
+  add_genes(g, nd, ipath);
+  tweak_final_starts(g, nd, ti);
+}
+
 // ProdigalWrapper::removeCompletelyOverlappingGenes
 // (`ProdigalWrapper.cpp:309-320`)
 inline void final_genes(const Genes& g, Genes& fin) {
@@ -1853,7 +2027,99 @@ static std::mutex g_pdg_mu;
 static std::map<int64_t, pdg::Model> g_pdg_models;
 static int64_t g_pdg_next = 1;
 
+static std::vector<pdg::Training> g_meta_bins;
+
 extern "C" {
+
+// Load the metagenomic training bins from a binary file:
+//   int32 K, then K records mirroring struct _training field order
+//   (gc f64, trans_table i32, st_wt f64, bias[3], type_wt[3],
+//    uses_sd i32, rbs_wt[28], ups_comp[32][4], mot_wt[4][4][4096],
+//    no_mot, gene_dc[4096]; doubles little-endian).
+// Returns the bin count, or -1 on open failure. The reference's own 50
+// bins live in lib/prodigal/training.cpp — a missing large blob in this
+// checkout — so the table bytes must come from the side channel this
+// loader reads (see PARITY.md).
+int64_t pdg_meta_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int32_t k = 0;
+  if (fread(&k, 4, 1, f) != 1 || k <= 0 || k > 4096) {
+    fclose(f);
+    return -1;
+  }
+  std::lock_guard<std::mutex> lk(g_pdg_mu);
+  g_meta_bins.assign(k, pdg::Training());
+  for (int32_t i = 0; i < k; i++)
+    pdg::read_training_record(f, g_meta_bins[i]);
+  fclose(f);
+  return k;
+}
+
+// Serialize a trained model (handle) to an open bin file position —
+// test support for synthesizing bin files from single-mode trainings.
+int64_t pdg_meta_append(const char* path, int64_t h) {
+  pdg::Model* m;
+  {
+    std::lock_guard<std::mutex> lk(g_pdg_mu);
+    auto it = g_pdg_models.find(h);
+    if (it == g_pdg_models.end()) return -1;
+    m = &it->second;
+  }
+  FILE* f = fopen(path, "r+b");
+  if (!f) {
+    f = fopen(path, "w+b");
+    if (!f) return -1;
+  }
+  int32_t k = 0;
+  if (fread(&k, 4, 1, f) != 1) {
+    // fresh file: lay down the count header before the first record
+    k = 0;
+    fseek(f, 0, SEEK_SET);
+    fwrite(&k, 4, 1, f);
+  }
+  fseek(f, 0, SEEK_END);
+  pdg::write_training_record(f, m->ti);
+  k++;
+  fseek(f, 0, SEEK_SET);
+  fwrite(&k, 4, 1, f);
+  fclose(f);
+  return k;
+}
+
+// Override a trained model's trans_table (bin-file synthesis support).
+int32_t pdg_set_trans_table(int64_t h, int32_t tt) {
+  std::lock_guard<std::mutex> lk(g_pdg_mu);
+  auto it = g_pdg_models.find(h);
+  if (it == g_pdg_models.end()) return -1;
+  it->second.ti.trans_table = tt;
+  return 0;
+}
+
+// trainMeta (`ProdigalWrapper.cpp:129-186`): pick the best loaded bin
+// for `seq` and return a model handle predicting with it (meta scoring).
+// Returns -2 if no bins are loaded, -3 if no bin passes the GC window.
+int64_t pdg_train_meta(const char* seq, int64_t len, int32_t* out_bin) {
+  std::vector<pdg::Training> bins;
+  {
+    std::lock_guard<std::mutex> lk(g_pdg_mu);
+    bins = g_meta_bins;
+  }
+  if (bins.empty()) return -2;
+  pdg::Seq sq;
+  pdg::encode_seq((const unsigned char*)seq, len, sq);
+  pdg::Nodes nd;
+  int win = pdg::train_meta(sq, bins, nd);
+  if (win < 0) return -3;
+  if (out_bin) *out_bin = win;
+  pdg::Model m;
+  m.ti = bins[win];
+  m.ti.is_meta_model = 1;
+  std::lock_guard<std::mutex> lk(g_pdg_mu);
+  int64_t id = g_pdg_next++;
+  g_pdg_models[id] = std::move(m);
+  return id;
+}
 
 // Train the single-genome model on `seq`; returns a handle (>0).
 int64_t pdg_train(const char* seq, int64_t len) {
@@ -1893,7 +2159,10 @@ int64_t pdg_predict(int64_t h, const char* seq, int64_t len,
   }
   pdg::Nodes nd;
   pdg::Genes g, fin;
-  pdg::predict_genes((const unsigned char*)seq, len, m->ti, nd, g);
+  if (m->ti.is_meta_model)
+    pdg::predict_genes_meta((const unsigned char*)seq, len, m->ti, nd, g);
+  else
+    pdg::predict_genes((const unsigned char*)seq, len, m->ti, nd, g);
   const pdg::Genes& out = final_only ? (pdg::final_genes(g, fin), fin) : g;
   int64_t n = out.n();
   for (int64_t i = 0; i < n && i < cap; i++) {
@@ -1943,7 +2212,10 @@ int64_t pdg_dump(int64_t h, const char* seq, int64_t len, int32_t stage,
   } else {
     pdg::Nodes nd;
     pdg::Genes g, fin;
-    pdg::predict_genes((const unsigned char*)seq, len, m->ti, nd, g);
+    if (m->ti.is_meta_model)
+      pdg::predict_genes_meta((const unsigned char*)seq, len, m->ti, nd, g);
+    else
+      pdg::predict_genes((const unsigned char*)seq, len, m->ti, nd, g);
     if (stage == 1) {
       for (int i = 0; i < nd.n(); i++)
         app("node %d %d %d %d %d %.17g %.17g %.17g %.17g %.17g %d %d\n",

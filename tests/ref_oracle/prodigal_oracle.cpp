@@ -25,6 +25,39 @@ int main(int argc, char** argv) {
     if (!std::getline(std::cin, target_seq)) target_seq = train_seq;
 
     ProdigalWrapper pw;
+    if (stage >= 4) {
+        // meta mode: bins loaded via METABULI_META_BINS (training stub);
+        // trainMeta picks the best bin, getPredictedGenes predicts with it
+        // (ProdigalWrapper.cpp:129-186, 217-250). Stage 4 = raw genes,
+        // stage 5 = after removeCompletelyOverlappingGenes.
+        pw.is_meta = 1;
+        pw.trainMeta((unsigned char*)train_seq.data(), train_seq.size());
+        pw.getPredictedGenes((unsigned char*)target_seq.data(),
+                             target_seq.size());
+        if (stage == 6) {  // meta node dump
+            for (int i = 0; i < pw.nn; i++) {
+                const _node& n = pw.nodes[i];
+                printf("node %d %d %d %d %d %.17g %.17g %.17g %.17g %.17g %d %d\n",
+                       n.ndx, n.type, n.strand, n.stop_val, n.edge, n.cscore,
+                       n.sscore, n.tscore, n.rscore, n.uscore, n.rbs[0],
+                       n.rbs[1]);
+            }
+            return 0;
+        }
+        if (stage == 4) {
+            printf("max_phase %d\n", pw.max_phase);
+            for (int i = 0; i < pw.getNumberOfPredictedGenes(); i++)
+                printf("gene %d %d %d\n", pw.genes[i].begin, pw.genes[i].end,
+                       pw.nodes[pw.genes[i].start_ndx].strand);
+            return 0;
+        }
+        pw.removeCompletelyOverlappingGenes();
+        for (int i = 0; i < pw.fng; i++)
+            printf("gene %d %d %d\n", pw.finalGenes[i].begin,
+                   pw.finalGenes[i].end,
+                   pw.nodes[pw.finalGenes[i].start_ndx].strand);
+        return 0;
+    }
     pw.is_meta = 0;
     pw.trainASpecies((unsigned char*)train_seq.data(), train_seq.size());
     _training* ti = pw.getTrainingInfo();

@@ -1,15 +1,63 @@
 // Stub for lib/prodigal/training.cpp, which is a missing large blob in the
-// reference checkout (/root/reference/.MISSING_LARGE_BLOBS). It contained
-// only the 50 precomputed metagenomic training-data initializers; the
-// single-species training path (the oracle target — used for every >=100kb
-// non-eukaryote training genome, IndexCreator.cpp:1140-1151) does not touch
-// them. These stubs zero-fill the bins so meta-mode runs don't crash, but
-// meta-mode output carries no oracle authority.
+// reference checkout (/root/reference/.MISSING_LARGE_BLOBS). Upstream it
+// contained only the 50 precomputed metagenomic training-data
+// initializers; the single-species training path (used for every >=100kb
+// non-eukaryote training genome, IndexCreator.cpp:1140-1151) does not
+// touch them.
+//
+// When METABULI_META_BINS names a bin file (int32 K + K records in struct
+// _training field order — the same format metabuli_tpu's pdg_meta_load
+// reads), the initializers cycle through its records, so the reference's
+// REAL trainMeta/getPredictedGenes meta machinery runs with supplied
+// models and can serve as a differential oracle. Without the env var the
+// bins zero-fill (meta-mode output then carries no oracle authority).
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 
 #include "training.h"
 
-static void zero_fill(struct _training *tinf) {
+static struct _training *g_bins = NULL;
+static int g_nbins = 0;
+
+static void load_bins() {
+    static int tried = 0;
+    if (tried) return;
+    tried = 1;
+    const char *path = getenv("METABULI_META_BINS");
+    if (!path) return;
+    FILE *f = fopen(path, "rb");
+    if (!f) return;
+    int32_t k = 0;
+    if (fread(&k, 4, 1, f) != 1 || k <= 0 || k > 4096) { fclose(f); return; }
+    g_bins = (struct _training *)calloc(k, sizeof(struct _training));
+    for (int i = 0; i < k; i++) {
+        struct _training *t = &g_bins[i];
+        int32_t tt = 11, sd = 0;
+        if (fread(&t->gc, 8, 1, f) != 1) break;
+        if (fread(&tt, 4, 1, f) != 1) break;
+        t->trans_table = tt;
+        if (fread(&t->st_wt, 8, 1, f) != 1) break;
+        if (fread(t->bias, 24, 1, f) != 1) break;
+        if (fread(t->type_wt, 24, 1, f) != 1) break;
+        if (fread(&sd, 4, 1, f) != 1) break;
+        t->uses_sd = sd;
+        if (fread(t->rbs_wt, 28 * 8, 1, f) != 1) break;
+        if (fread(t->ups_comp, 128 * 8, 1, f) != 1) break;
+        if (fread(t->mot_wt, 4 * 4 * 4096 * 8, 1, f) != 1) break;
+        if (fread(&t->no_mot, 8, 1, f) != 1) break;
+        if (fread(t->gene_dc, 4096 * 8, 1, f) != 1) break;
+        g_nbins = i + 1;
+    }
+    fclose(f);
+}
+
+static void fill(int n, struct _training *tinf) {
+    load_bins();
+    if (g_nbins > 0) {
+        memcpy(tinf, &g_bins[n % g_nbins], sizeof(struct _training));
+        return;
+    }
     memset(tinf, 0, sizeof(struct _training));
     tinf->st_wt = 4.35;
     tinf->trans_table = 11;
@@ -19,7 +67,7 @@ int write_training_file(char *, struct _training *) { return 0; }
 int read_training_file(char *, struct _training *) { return -1; }
 
 #define DEFINE_META_INIT(n) \
-    void initialize_metagenome_##n(struct _training *tinf) { zero_fill(tinf); }
+    void initialize_metagenome_##n(struct _training *tinf) { fill(n, tinf); }
 
 DEFINE_META_INIT(0) DEFINE_META_INIT(1) DEFINE_META_INIT(2) DEFINE_META_INIT(3)
 DEFINE_META_INIT(4) DEFINE_META_INIT(5) DEFINE_META_INIT(6) DEFINE_META_INIT(7)

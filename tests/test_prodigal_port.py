@@ -123,3 +123,75 @@ def test_genes_match_reference(lib, stage):
             assert got == want, (tseed, tlen)
     finally:
         lib.pdg_free(ctypes.c_int64(h))
+
+
+def _pdg_predict(lib, h: int, seq: bytes, final_only: int):
+    lib.pdg_predict.restype = ctypes.c_int64
+    cap = 65536
+    b = np.zeros(cap, np.int32)
+    e = np.zeros(cap, np.int32)
+    st = np.zeros(cap, np.int32)
+    n = int(lib.pdg_predict(
+        ctypes.c_int64(h), seq, ctypes.c_int64(len(seq)),
+        b.ctypes, e.ctypes, st.ctypes, ctypes.c_int64(cap),
+        ctypes.c_int32(final_only)))
+    assert 0 <= n <= cap
+    return [(int(b[i]), int(e[i]), int(st[i])) for i in range(n)]
+
+
+@pytest.mark.parametrize("target_gc,target_len", [(0.5, 30_000), (0.62, 18_000)])
+def test_meta_mode_vs_compiled_reference(tmp_path, target_gc, target_len):
+    """Meta-mode machinery differential (`ProdigalWrapper.cpp:129-186,
+    217-250`): with the SAME externally-supplied training bins on both
+    sides (the reference's 50 real bins are a missing blob — training.cpp
+    in .MISSING_LARGE_BLOBS), bin selection and predicted genes must match
+    the compiled reference exactly. Bins are synthesized from bit-exact
+    single-mode trainings over GC-varied genomes, with a translation-table
+    change in the middle to exercise the node-rebuild grouping."""
+    import os
+
+    lib = get_lib()
+    assert lib is not None
+    lib.pdg_meta_load.restype = ctypes.c_int64
+    lib.pdg_meta_append.restype = ctypes.c_int64
+    lib.pdg_set_trans_table.restype = ctypes.c_int32
+    lib.pdg_train_meta.restype = ctypes.c_int64
+
+    bins_path = str(tmp_path / "bins.bin").encode()
+    tables = [11, 4, 11]
+    for i, gc in enumerate((0.35, 0.5, 0.65)):
+        g = _genome_with_orfs(40 + i, 110_000, gc)
+        h = _pdg_train(lib, g)
+        assert lib.pdg_set_trans_table(
+            ctypes.c_int64(h), ctypes.c_int32(tables[i])) == 0
+        assert int(lib.pdg_meta_append(bins_path, ctypes.c_int64(h))) == i + 1
+        lib.pdg_free(ctypes.c_int64(h))
+    assert int(lib.pdg_meta_load(bins_path)) == 3
+
+    target = _genome_with_orfs(77, target_len, target_gc)
+
+    os.environ["METABULI_META_BINS"] = bins_path.decode()
+    try:
+        want_raw = _oracle_dump(target, target, 4).splitlines()
+        want_fin = _oracle_dump(target, target, 5).splitlines()
+    finally:
+        os.environ.pop("METABULI_META_BINS", None)
+    assert want_raw and want_raw[0].startswith("max_phase ")
+    oracle_bin = int(want_raw[0].split()[1]) % 3
+
+    out_bin = ctypes.c_int32(-1)
+    mh = int(lib.pdg_train_meta(target, ctypes.c_int64(len(target)),
+                                ctypes.byref(out_bin)))
+    assert mh > 0, f"pdg_train_meta failed: {mh}"
+    assert out_bin.value == oracle_bin
+    got_raw = _pdg_predict(lib, mh, target, 0)
+    got_fin = _pdg_predict(lib, mh, target, 1)
+    lib.pdg_free(ctypes.c_int64(mh))
+
+    want_raw_genes = [tuple(map(int, l.split()[1:]))
+                      for l in want_raw[1:] if l.startswith("gene ")]
+    want_fin_genes = [tuple(map(int, l.split()[1:]))
+                      for l in want_fin if l.startswith("gene ")]
+    assert len(want_raw_genes) > 0, "oracle predicted no genes"
+    assert got_raw == want_raw_genes
+    assert got_fin == want_fin_genes
