@@ -197,7 +197,10 @@ def seed_search_hints(dtx, index, values, n_queries):
     rg_multi = float(multi[slots].mean())
     hits = dtx.hints.get("hits", n_queries // 4)
     bound = int(1.5 * (n_queries * frac_uniform + hits * rg_multi)) + 8192
-    dtx.hints["sovf"] = max(dtx.hints.get("sovf", 0), bound)
+    # already margined 1.5x above: sized via the absolute-bound hint so
+    # fused_sizes does not margin it again (a doubled margin put ~450 of
+    # 956 ms/batch into the pass-2 machinery on the 60M-row world)
+    dtx.hints["sovf_bound"] = max(dtx.hints.get("sovf_bound", 0), bound)
     log(f"sovf seed: {bound} (multi-slot frac {frac_uniform:.4f}, "
         f"real-group share {rg_multi:.4f})")
 

@@ -337,8 +337,13 @@ class DeviceTaxonomer:
         # warmup batch has seeded the hit-density hints
         if h.get("hits"):
             hit_budget = pow2(int(h["hits"] * 1.3) * scale)
+            # "sovf" is drain-observed (margined 1.5x here); "sovf_bound"
+            # is an analytic upper bound that already carries its margin
+            # (bench seed_search_hints) — both must stay static across
+            # batches, so take the max of the two sizings
             sovf_budget = pow2(
-                max(8192, int(h.get("sovf", 0) * 1.5)) * scale)
+                max(8192, int(h.get("sovf", 0) * 1.5),
+                    int(h.get("sovf_bound", 0))) * scale)
         else:
             hit_budget = sovf_budget = 0
         # tie rows needing a real LCA range query are a small fraction of

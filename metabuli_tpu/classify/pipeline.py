@@ -284,19 +284,21 @@ def build_dev_index(
     dmap = None
     if packed and not _os.environ.get("METABULI_TPU_NO_DIRECT_SEARCH"):
         # slot count targets <= 1/8 load so almost every bucket holds one
-        # group; the table is HBM-budgeted at max(256 MB, the row payload
-        # footprint) — at GTDB-class group counts a 2^26-2^27 table keeps
-        # the multi-group overflow fraction (routed to the bucketed pass-2
-        # search at ~6 gathered elements/slot vs the probe's 2) in the
-        # low percents instead of dominating
-        dmap_budget = max(256 << 20, 24 * n)
+        # group; the table is HBM-budgeted at max(256 MB, ~1.5x the row
+        # payload footprint) — at GTDB-class group counts a 2^27-2^28
+        # table keeps the multi-group overflow fraction (routed to the
+        # bucketed pass-2 search at ~9 gathered elements/slot vs the
+        # probe's 2) in the low percents instead of dominating: the
+        # traced 60M-row world spent ~450 of 956 ms/batch in pass-2 at
+        # 2^27 (7.6% overflow) vs ~2.2% at 2^28
+        dmap_budget = max(256 << 20, 36 * n)
         dbits = 12
-        while ((1 << dbits) < 8 * max(n_groups, 1) and dbits < 27
+        while ((1 << dbits) < 8 * max(n_groups, 1) and dbits < 28
                and (8 << (dbits + 1)) <= dmap_budget):
             dbits += 1
         dbits = max(dbits, start_bits - 7)
         rb_d = 40 - dbits
-        if dbits <= 27 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
+        if dbits <= 28 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
             slots_d = (pi_s >> np.uint64(rb_d)).astype(np.int64)
             rest_d = pi_s & np.uint64((1 << rb_d) - 1)
             load = np.bincount(slots_d, minlength=1 << dbits)
