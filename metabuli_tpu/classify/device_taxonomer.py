@@ -295,10 +295,20 @@ class DeviceTaxonomer:
         h = self.hints
 
         def pow2(n, lo=1024, hi=1 << 23):
+            """Quarter-pow2 quantization: {1, 1.25, 1.5, 1.75} x 2^k.
+            Budgeted tensors (tier gathers, compaction sorts, chain grids)
+            cost per padded cell, so plain pow2's up-to-2x slack was ~15%
+            of the big-world batch; quarter steps cap the slack at 25%
+            while still bounding the number of possible program variants."""
+            n = min(max(n, lo), hi)
             v = lo
-            while v < min(n, hi):
+            while v * 2 < n:
                 v *= 2
-            return v
+            for m in (4, 5, 6, 7, 8):
+                c = v * m // 4
+                if c >= n:
+                    return min(c, hi)
+            return min(v * 2, hi)
 
         # columns = position-quotient span of one (read, species, frame)
         # block; paired mates share a block, so max_read_len covers both
@@ -390,20 +400,25 @@ class DeviceTaxonomer:
         seg_sizes = np.bincount(np.cumsum(segs) - 1)
         # segments with >= 2 matches at the minimum hamming bound the
         # device tie-LCA compaction (superset: equal-taxid ties collapse
-        # to a single Euler position on device and need no range query)
-        ham = m["hamming"]
-        horder = np.lexsort((ham, quot, sp, q))
-        hq, hsp, hqt, hh = (q[horder], sp[horder], quot[horder],
-                            ham[horder])
-        hsegs = np.ones(n, bool)
-        hsegs[1:] = (
-            (hq[1:] != hq[:-1]) | (hsp[1:] != hsp[:-1])
-            | (hqt[1:] != hqt[:-1])
-        )
-        hsegid = np.cumsum(hsegs) - 1
-        head_ham = hh[np.flatnonzero(hsegs)][hsegid]
-        cnt_min = np.bincount(hsegid[hh == head_ham])
-        n_tie = int((cnt_min >= 2).sum())
+        # to a single Euler position on device and need no range query).
+        # Callers without a hamming column (e.g. the distributed drain's
+        # per-row sub-dicts) leave the tie hint unseeded: tie_budget then
+        # stays 0 = full-width LCA, which is always correct.
+        n_tie = None
+        if "hamming" in m:
+            ham = m["hamming"]
+            horder = np.lexsort((ham, quot, sp, q))
+            hq, hsp, hqt, hh = (q[horder], sp[horder], quot[horder],
+                                ham[horder])
+            hsegs = np.ones(n, bool)
+            hsegs[1:] = (
+                (hq[1:] != hq[:-1]) | (hsp[1:] != hsp[:-1])
+                | (hqt[1:] != hqt[:-1])
+            )
+            hsegid = np.cumsum(hsegs) - 1
+            head_ham = hh[np.flatnonzero(hsegs)][hsegid]
+            cnt_min = np.bincount(hsegid[hh == head_ham])
+            n_tie = int((cnt_min >= 2).sum())
         groups = np.ones(n, bool)
         groups[1:] = (q[1:] != q[:-1]) | (sp[1:] != sp[:-1])
         h = self.hints
@@ -433,8 +448,9 @@ class DeviceTaxonomer:
             # recovery — see tools_profiling/README.md).
             "hits": int(1.25 * n),
             "sovf": max(8192, n // 8),
-            "ties": n_tie,
         }
+        if n_tie is not None:
+            upd["ties"] = n_tie
         for key, val in upd.items():
             h[key] = max(h.get(key, 0), val)
 
