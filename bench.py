@@ -277,7 +277,7 @@ def main():
         batches = []
         for i in range(0, N_READS, BATCH):
             chunk = reads[i : i + BATCH]
-            codes, lens = encode_seqs_padded(chunk, 160)
+            codes, lens = encode_seqs_padded(chunk, 152)  # tightest even bucket for 150bp reads: every padded window costs probe/sort time
             batches.append((
                 jax.device_put(pack_codes(codes)),
                 jax.device_put(lens),
@@ -286,7 +286,7 @@ def main():
                 len(chunk),
             ))
         jax.block_until_ready([b[0] for b in batches])
-        n_win = encode.max_codons(160) - 7
+        n_win = encode.max_codons(152) - 7
         n_queries = BATCH * 6 * n_win
 
         max_matches = BATCH * 230
