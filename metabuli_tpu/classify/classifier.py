@@ -82,8 +82,16 @@ class Classifier:
             em=bool(params.em),
             reduced_aa=bool(params.reduced_aa),
             kmer_format=params.kmer_format,
+            print_log=bool(params.print_log),
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
+        skip_native = False
+        if params.print_log:
+            # --print-log dumps per-species match paths during combination
+            # (Taxonomer.cpp:346-353); only the annotated Python taxonomer
+            # prints them, so force the host path through it
+            params.device_tax = 0
+            skip_native = True
         self.device_taxonomer = None
         if params.device_tax and not params.reduced_aa:
             # the device chain kernels assume the 3-bit/24-bit codon layout
@@ -91,14 +99,15 @@ class Classifier:
 
             self.device_taxonomer = DeviceTaxonomer(tp, self.taxonomy)
         self.native_taxonomer = None
-        try:
-            from .native_taxonomer import NativeTaxonomer
+        if not skip_native:
+            try:
+                from .native_taxonomer import NativeTaxonomer
 
-            self.native_taxonomer = NativeTaxonomer(
-                tp, self.taxonomy, threads=params.threads
-            )
-        except (RuntimeError, OSError):
-            pass
+                self.native_taxonomer = NativeTaxonomer(
+                    tp, self.taxonomy, threads=params.threads
+                )
+            except (RuntimeError, OSError):
+                pass
         if self.device_taxonomer is not None:
             # share the prepared taxonomy arrays with the fused host finish
             self.device_taxonomer._nt = self.native_taxonomer

@@ -37,6 +37,10 @@ F32 = np.float32
 @dataclass
 class TaxonomerParams:
     min_score: float = 0.0
+    # --print-log: per-species match-path debug dump during combination
+    # (the active reference branch, `Taxonomer.cpp:346-353`; the matcher
+    # dump at `KmerMatcher.cpp:382-399` is commented out upstream)
+    print_log: bool = False
     min_sp_score: float = 0.0
     min_cons_cnt: int = 4
     min_cons_cnt_euk: int = 9
@@ -232,6 +236,13 @@ class Taxonomer:
                 if i - f_start > 1:
                     self._get_match_paths(m, f_start, i, paths, int(cur_sp))
             if paths:
+                if self.p.print_log:
+                    print(f"Current species: "
+                          f"{self.tax.to_original(int(cur_sp))} "
+                          f"{int(cur_sp)}")
+                    for pp in paths:
+                        print(f"{pp.start} {pp.end} {pp.score} "
+                              f"{pp.hamming} {pp.depth}")
                 score = self._combine_paths(m, paths, read_len)
                 score = min(score, F32(1.0))
                 if score < self.p.min_score:

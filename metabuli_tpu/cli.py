@@ -89,7 +89,8 @@ def _classify(argv):
             args.coordinator or None, args.num_processes, args.process_id,
             n_db=args.db_shards or None,
         )
-        print(json.dumps(summary))
+        if par.verbosity > 0:
+            print(json.dumps(summary))
         return 0
     from .classify.classifier import Classifier
 
@@ -101,7 +102,8 @@ def _classify(argv):
             summary = clf.classify_file(q1, q2, out_dir, job_id, resume=args.resume)
     else:
         summary = clf.classify_file(q1, q2, out_dir, job_id, resume=args.resume)
-    print(json.dumps(summary))
+    if par.verbosity > 0:
+        print(json.dumps(summary))
     return 0
 
 

@@ -76,6 +76,9 @@ class ClassifyParams:
     krona_prelude: str = ""
     buffer_size: int = 16777216
     random_seed: int = 42
+    # MMseqs2-style verbosity (LocalParameters.cpp:1098): 0 = errors only
+    # (suppresses the summary/progress lines), 3 = full output (default)
+    verbosity: int = 3
     # TPU-specific execution knobs
     batch_reads: int = field(
         default=2048,

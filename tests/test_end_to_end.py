@@ -472,3 +472,31 @@ def test_auto_batch_reads(tiny_world, tmp_path):
     out = str(tmp_path / "out")
     summary = clf.classify_file(str(q), None, out, "ab")
     assert summary["classified"] >= 7
+
+
+def test_print_log_and_verbosity(tiny_world, tmp_path, capfd):
+    """--print-log dumps per-species match paths during combination (the
+    active reference debug branch, Taxonomer.cpp:346-353) and --verbosity 0
+    suppresses the summary line (Debug::setDebugLevel,
+    LocalParameters.cpp:1098)."""
+    import re
+
+    from metabuli_tpu import cli
+
+    acc, (genome, taxid) = next(iter(tiny_world["genomes"].items()))
+    rng = tiny_world["rng"]
+    reads = _sample_reads(rng, genome, 6, 150)
+    q = tmp_path / "r.fna"
+    q.write_text("".join(f">r{i}\n{r.decode()}\n"
+                         for i, r in enumerate(reads)))
+    out = str(tmp_path / "out")
+    assert cli.main(["classify", str(q), tiny_world["db"], out, "j",
+                     "--seq-mode", "1", "--batch-reads", "8",
+                     "--print-log", "1", "--verbosity", "0"]) == 0
+    captured = capfd.readouterr()
+    # per-species path dumps: "Current species: <orig> <internal>" followed
+    # by "start end score hamming depth" rows
+    assert "Current species: " in captured.out
+    assert re.search(r"\n\d+ \d+ [0-9.]+ \d+ \d+\n", captured.out)
+    # verbosity 0: no JSON summary line
+    assert not re.search(r'\{"reads":', captured.out)
