@@ -120,7 +120,8 @@ def _build(argv):
     from .db.build import build_database
 
     stats = build_database(args.dbdir, args.fasta_list, args.acc2taxid, taxdir, par)
-    print(json.dumps(stats))
+    if par.verbosity > 0:
+        print(json.dumps(stats))
     return 0
 
 

@@ -115,6 +115,8 @@ class BuildParams:
     spacing_mask: str = "11111111"
     buffer_size: int = 16777216
     tinfo_path: str = ""
+    # MMseqs2-style verbosity (see ClassifyParams.verbosity)
+    verbosity: int = 3
     # TPU-specific
     batch_bases: int = field(
         default=2_000_000, metadata={"help": "bases per device extraction batch"}

@@ -231,3 +231,25 @@ def test_fused_path_overflow_host_recombine(tmp_path):
         outs[flag] = open(os.path.join(out, "ov_classifications.tsv")).read()
     assert outs[0] == outs[1]
     assert recombines, "host recombine path was not exercised"
+
+
+def test_quarter_pow2_quantization():
+    """fused_sizes quantizes data-dependent budgets to quarter-pow2 steps
+    ({1, 1.25, 1.5, 1.75} x 2^k): never below the hinted need, slack
+    capped at 25%."""
+    from metabuli_tpu.classify.device_taxonomer import DeviceTaxonomer
+    from metabuli_tpu.classify.taxonomer import TaxonomerParams
+
+    dtx = DeviceTaxonomer.__new__(DeviceTaxonomer)
+    dtx.p = TaxonomerParams()
+    for paths in (1, 1000, 5000, 700_000, 920_000, 1_500_000):
+        dtx.hints = {"paths": paths}
+        sizes = dtx.fused_sizes(1024, 4096, 150)
+        need = int(paths * 1.5)
+        b = sizes["path_budget"]
+        assert b >= min(max(need, 1024), 1 << 23)
+        if 1024 < need <= (1 << 23):
+            assert b <= need * 1.25 + 4, (paths, b)
+        # quarter-step membership: b / 2^floor(log2 b) in {1,1.25,1.5,1.75}
+        p2 = 1 << (b.bit_length() - 1)
+        assert b * 4 % p2 == 0 and b // p2 in (1,), (b, p2)
