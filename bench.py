@@ -42,6 +42,10 @@ import numpy as np
 
 BASELINE_READS_PER_S = 20_000.0
 
+# bump when build_db / decoy scheme / seeds change: the /tmp npz cache is
+# keyed on this so a stale table can't silently skew recorded numbers
+BENCH_DB_VERSION = 2
+
 
 def adaptive_budget(n_matches: int) -> int:
     """Pow2 match budget from an observed count (+30% headroom).
@@ -237,7 +241,8 @@ def main():
         # the world is deterministic (seeded), so cache the built table in
         # scratch: the 60M-row build + decoy sort costs ~3 min of host time
         # that is NOT part of the measured throughput
-        cache = f"/tmp/metabuli_bench_db_{N_GENOMES}_{N_DECOYS}.npz"
+        cache = (f"/tmp/metabuli_bench_db_v{BENCH_DB_VERSION}_"
+                 f"{N_GENOMES}_{N_DECOYS}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             values, taxids, cap, n_real = (

@@ -85,15 +85,14 @@ class Classifier:
             print_log=bool(params.print_log),
         )
         self.taxonomer = Taxonomer(tp, self.taxonomy)
-        skip_native = False
-        if params.print_log:
-            # --print-log dumps per-species match paths during combination
-            # (Taxonomer.cpp:346-353); only the annotated Python taxonomer
-            # prints them, so force the host path through it
-            params.device_tax = 0
-            skip_native = True
+        # --print-log dumps per-species match paths during combination
+        # (Taxonomer.cpp:346-353); only the annotated Python taxonomer
+        # prints them, so force the host path through it (locally — the
+        # caller's params object must not be mutated)
+        skip_native = bool(params.print_log)
+        use_device_tax = params.device_tax and not params.print_log
         self.device_taxonomer = None
-        if params.device_tax and not params.reduced_aa:
+        if use_device_tax and not params.reduced_aa:
             # the device chain kernels assume the 3-bit/24-bit codon layout
             from .device_taxonomer import DeviceTaxonomer
 

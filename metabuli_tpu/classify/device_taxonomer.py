@@ -1,4 +1,4 @@
-"""Experimental full device taxonomer: matches -> per-read classifications.
+"""Full device taxonomer: matches -> per-read classifications.
 
 Composes the oracle-verified device blocks (chain DP, path combination,
 quotient redundancy reduction) into one flow equivalent to
@@ -10,9 +10,10 @@ quotient redundancy reduction) into one flow equivalent to
           min-sp-score branches, clade-count BFS below species, EM mappings
 
 Only the small per-group tensors leave the device (~3 ints per distinct
-quotient instead of 5 per match). Not yet the default classifier path —
-enabled via ``Classifier(..., device_tax=True)`` once wired; currently
-exercised by tests for equivalence with the host taxonomer.
+quotient instead of 5 per match). This IS the default classifier path
+(``params.device_tax=1``; ``--device-tax 0`` or ``--print-log`` fall back
+to the host taxonomer), cross-validated byte-identically against the
+Python and native-C++ taxonomers by the differential tests.
 """
 
 from __future__ import annotations

@@ -301,7 +301,6 @@ def build_dev_index(
         if dbits <= 28 and 1 + rb_d + start_bits + 16 <= 64 and n_groups:
             slots_d = (pi_s >> np.uint64(rb_d)).astype(np.int64)
             rest_d = pi_s & np.uint64((1 << rb_d) - 1)
-            load = np.bincount(slots_d, minlength=1 << dbits)
             first = np.ones(n_groups, bool)
             first[1:] = slots_d[1:] != slots_d[:-1]
             dmap = np.zeros(1 << dbits, np.uint64)
@@ -310,7 +309,11 @@ def build_dev_index(
                 | (gstart[first].astype(np.uint64) << np.uint64(16))
                 | (gend[first] - gstart[first]).astype(np.uint64)
             )
-            dmap |= (load >= 2).astype(np.uint64) << np.uint64(63)
+            # slots_d is sorted, so slots holding >= 2 groups are exactly
+            # the duplicated values — no 2^dbits int64 bincount (2 GiB
+            # transient at dbits=28) needed for the overflow flag
+            multi = slots_d[1:][slots_d[1:] == slots_d[:-1]]
+            dmap[multi] |= np.uint64(1) << np.uint64(63)
             direct_bits = dbits
     if reduced:
         # reduced mode scores via the 11x11 LUT on codon-number fields,
@@ -559,6 +562,30 @@ def _classify_core(
         qid_offsets[:, None, None], (B, 6, W)
     ).reshape(-1)                                               # [Q]
 
+    # (qid, pos) of any slot are ALU-derivable from the slot id plus three
+    # per-READ scalars (a [B] table, not [Q]): slot -> (b, f, w) by
+    # div/mod, pos = frame_begin(lens[b]%3, f) + 3w + pos_offsets[b]
+    # (matching encode.extract_metamers' ascending enumeration), qid =
+    # qid_offsets[b]. The packed u64 meta table turns the direct-mode
+    # hit-field gathers from two [Q]-table fetches per slot into one
+    # small-table fetch — and lets q_pos/q_qid dematerialize entirely.
+    q_meta = (
+        (qid_offsets.astype(jnp.uint64) << jnp.uint64(32))
+        | (pos_offsets.astype(jnp.uint64) << jnp.uint64(2))
+        | (lens.astype(jnp.uint64) % jnp.uint64(3))
+    )
+
+    def derive_pos_qid(safe_slots):
+        """(pos, qid) for already-clamped slot ids (safe_slots < Q)."""
+        mb = q_meta[safe_slots // (6 * W)]
+        qid = bc32(mb >> jnp.uint64(32))
+        po = bc32((mb >> jnp.uint64(2)) & jnp.uint64(0x3FFFFFFF))
+        lm3 = bc32(mb & jnp.uint64(3))
+        f = (safe_slots // W) % 6
+        w = safe_slots % W
+        begin = jnp.where(f < 3, f, jnp.mod(lm3 - (f - 3), 3))
+        return begin + 3 * w + po, qid
+
     def payw(h16v, hsumv, framev):
         return (h16v << 6) | ((hsumv & 7) << 3) | framev[:, None]
 
@@ -645,10 +672,11 @@ def _classify_core(
              bc32(d48r2 >> jnp.uint64(32))])
         frame_r = (saf // W) % 6
         fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
-        pos_r = jnp.concatenate(
-            [jnp.where(hpad, 0, q_pos[safeH]), q_pos[safe2]])
-        qid_r = jnp.concatenate(
-            [jnp.where(hpad, 0, q_qid[safeH]), q_qid[safe2]])
+        # ALU + one small-table fetch instead of two [Q]-array gathers
+        posH, qidH = derive_pos_qid(safeH)
+        pos2, qid2 = derive_pos_qid(safe2)
+        pos_r = jnp.concatenate([jnp.where(hpad, 0, posH), pos2])
+        qid_r = jnp.concatenate([jnp.where(hpad, 0, qidH), qid2])
         NC = hit_budget + sovf_budget
 
         idx_c, keep, hsum, h16, _ = tier(

@@ -60,27 +60,29 @@ class GenePredictor:
         self._inter = np.zeros(INTER_CAP, np.uint64)
         self._n_inter = ctypes.c_int64(0)
 
-    _meta_bins_cache: int | None = None
+    # keyed on the METABULI_META_BINS value so setting/changing the env
+    # var after the first GenePredictor still (re)loads the bins
+    _meta_bins_cache: dict[str, int] = {}
 
     def _load_meta_bins(self) -> int:
-        """Load the Prodigal metagenomic training bins (once per process)
-        from METABULI_META_BINS. The reference's own 50 bins are a missing
-        large blob in this checkout (lib/prodigal/training.cpp in
+        """Load the Prodigal metagenomic training bins (once per env-var
+        value) from METABULI_META_BINS. The reference's own 50 bins are a
+        missing large blob in this checkout (lib/prodigal/training.cpp in
         .MISSING_LARGE_BLOBS); with a bin file supplied, meta-mode gene
         prediction (< 100 kb or Eukaryota, `IndexCreator.cpp:1140-1151`)
         runs the reference's trainMeta machinery bit-exactly (differential:
         tests/test_prodigal_port.py::test_meta_mode_vs_compiled_reference);
         without one it falls back to the self-training stand-in."""
-        cls = GenePredictor
-        if cls._meta_bins_cache is None:
-            import os
+        import os
 
-            path = os.environ.get("METABULI_META_BINS", "")
+        cache = GenePredictor._meta_bins_cache
+        path = os.environ.get("METABULI_META_BINS", "")
+        if path not in cache:
             n = 0
             if path:
                 n = max(0, int(self.lib.pdg_meta_load(path.encode())))
-            cls._meta_bins_cache = n
-        return cls._meta_bins_cache
+            cache[path] = n
+        return cache[path]
 
     def _free_model(self):
         if self._model and self.lib is not None:

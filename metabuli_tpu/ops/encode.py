@@ -150,8 +150,27 @@ def extract_metamers(
     frame_nums = []
     frame_c6 = []
     frame_ok = []
-    frame_pos0 = []  # position of base 0 of codon p, per frame: pos = pos0 +/- 3p
+    frame_pos0 = []  # position of base 0 of codon p, per frame: pos = pos0 + 3p
 
+    # Reverse frames are enumerated in ASCENDING genome order (codon k of
+    # frame f>=3 sits at triple start begin + 3k), NOT the reference's
+    # descending seqEnd-down order: the k-th codon then comes from a STATIC
+    # stride-3 slice of zr selected by begin (three slices + two VPU
+    # selects), replacing a [B, A] take_along_axis gather per frame — the
+    # gathers were ~26 ms of the traced 16k-read batch. Window w' of the
+    # ascending enumeration is window (aa_len - 8 - w') of the reference's
+    # (its VALUE packs codons k = w'+7 .. w' — see the packing loop below —
+    # and its position is begin + 3w'), so the frame emits exactly the
+    # reference's (value, pos) multiset; only intra-frame enumeration order
+    # differs, which the final (qid, species, frame, pos, ...) match sort
+    # erases (`KmerExtractor.cpp:342-373` semantics preserved).
+    zr_sl = []
+    for c in range(3):
+        s = zr[:, c::3][:, :A]
+        if s.shape[1] < A:
+            s = jnp.pad(s, ((0, 0), (0, A - s.shape[1])),
+                        constant_values=_sent)
+        zr_sl.append(s)
     for f in range(6):
         if f < 3:
             begin = jnp.full((B,), f, dtype=jnp.int32)
@@ -161,22 +180,17 @@ def extract_metamers(
                             constant_values=_sent)
         else:
             begin = jnp.mod(lens % 3 - (f - 3), 3)
-            end = begin + used_len - 1                     # seqEnd
-            j = end[:, None] - 2 - 3 * codon_idx[None, :]  # triple start
-            safe = jnp.clip(j, 0, L - 3)
-            v = jnp.take_along_axis(zr, safe, axis=1)
-            v = jnp.where((j >= 0) & (j <= L - 3), v, jnp.int32(_sent))
+            b_ = begin[:, None]
+            v = jnp.where(
+                b_ == 0, zr_sl[0], jnp.where(b_ == 1, zr_sl[1], zr_sl[2])
+            )
         aa_f = (v >> 6) & 31
         ok = (aa_f != 31) & (codon_idx[None, :] < aa_len[:, None])
         frame_aas.append(jnp.where(ok, aa_f, -1))
         frame_nums.append(jnp.where(ok, (v >> 11) & 15, 0))
         frame_c6.append(jnp.where(ok, v & 63, 0))
         frame_ok.append(ok)
-        if f < 3:
-            frame_pos0.append(begin)
-        else:
-            # reverse position of window p: seqEnd - 3(p+8) + 1
-            frame_pos0.append(end - 3 * (K - 1) - 2)
+        frame_pos0.append(begin)
 
     aa = jnp.stack(frame_aas, axis=1)     # [B, 6, A] int32, -1 invalid
     num = jnp.stack(frame_nums, axis=1)   # [B, 6, A] int32
@@ -196,13 +210,23 @@ def extract_metamers(
     dna_part = jnp.zeros_like(aa_part)
     dna48 = jnp.zeros_like(aa_part)
     valid = jnp.ones(aa_part.shape, bool)
+
+    def sl(arr, j):
+        """Window slice of codon j: reverse frames (ascending enumeration)
+        pack their codons in reversed slice order so window w' holds the
+        reference window's exact value (codon k = w'+7 first)."""
+        r = K - 1 - j
+        return jnp.concatenate(
+            [arr[:, :3, j : j + W], arr[:, 3:, r : r + W]], axis=1
+        )
+
     for j in range(K):
-        aa_part = (aa_part << bits_aa) | aa_u[..., j : j + W]
-        dna_part = (dna_part << bits_codon) | num_u[..., j : j + W]
-        valid = valid & ok[..., j : j + W]
+        aa_part = (aa_part << bits_aa) | sl(aa_u, j)
+        dna_part = (dna_part << bits_codon) | sl(num_u, j)
+        valid = valid & sl(ok, j)
     if kmer_format == 2:
         for j in range(K):
-            dna48 = (dna48 << 6) | c6_u[..., j : j + W]
+            dna48 = (dna48 << 6) | sl(c6_u, j)
         value = ((aa_part & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_part & ((jnp.uint64(1) << aa_shift) - 1)
         )
@@ -216,17 +240,16 @@ def extract_metamers(
         aa_old = jnp.zeros(aa_part.shape, jnp.uint64)
         dna_old = jnp.zeros(aa_part.shape, jnp.uint64)
         for j in range(K):
-            aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(aa_base**j)
-            dna_old = dna_old | (num_u[..., j : j + W] << (bits_codon * j))
-            dna48 = dna48 | (c6_u[..., j : j + W] << (6 * j))
+            aa_old = aa_old + sl(aa_u, j) * np.uint64(aa_base**j)
+            dna_old = dna_old | (sl(num_u, j) << (bits_codon * j))
+            dna48 = dna48 | (sl(c6_u, j) << (6 * j))
         value = ((aa_old & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_old & ((jnp.uint64(1) << aa_shift) - 1)
         )
 
-    # Positions: forward pos0 + 3p, reverse pos0 - 3p.
+    # Positions: pos0 + 3p for every frame (ascending reverse enumeration).
     p = jnp.arange(W, dtype=jnp.int32)
-    sign = jnp.array([1, 1, 1, -1, -1, -1], dtype=jnp.int32)
-    pos = pos0[:, :, None] + sign[None, :, None] * 3 * p[None, None, :]
+    pos = pos0[:, :, None] + 3 * p[None, None, :]
 
     if syncmer:
         valid = valid & _syncmer_keep(aa, smer_len, W)
@@ -243,6 +266,12 @@ def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
     0..K-s is at offset 0 or K-s, matching the monotonic-deque scanner
     (`SyncmerScanner.h:56-73`: strictly-greater pops keep the earliest
     occurrence of the minimum at the deque front).
+
+    Reverse frames (aa[:, 3:]) arrive in ASCENDING genome order while the
+    reference scans them descending, so their s-mers pack in reversed slice
+    order (codon k = u+s-1 highest) and the per-window stack enumerates
+    canonical offsets t through ascending starts u = w' + (K-s) - t; the
+    argmin tie rule (first canonical occurrence) is then identical.
     """
     s = smer_len
     n_smer = K - s + 1
@@ -251,9 +280,19 @@ def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
     aa_u = jnp.where(aa >= 0, aa, 0).astype(jnp.uint64)
     smer = jnp.zeros(aa_u[..., :n_smer_pos].shape, jnp.uint64)
     for j in range(s):
-        smer = (smer << 5) | aa_u[..., j : j + n_smer_pos]
-    # For each window p, s-mers at p..p+K-s. argmin gives first occurrence.
-    stack = jnp.stack([smer[..., t : t + W] for t in range(n_smer)], axis=-1)
+        fwd = aa_u[:, :3, j : j + n_smer_pos]
+        rev = aa_u[:, 3:, (s - 1 - j) : (s - 1 - j) + n_smer_pos]
+        smer = (smer << 5) | jnp.concatenate([fwd, rev], axis=1)
+    # For each window, s-mers at canonical offsets t = 0..K-s (ascending
+    # starts for forward frames, descending for reverse). argmin gives the
+    # first canonical occurrence.
+    stack = jnp.stack(
+        [jnp.concatenate(
+            [smer[:, :3, t : t + W],
+             smer[:, 3:, (n_smer - 1 - t) : (n_smer - 1 - t) + W]],
+            axis=1)
+         for t in range(n_smer)],
+        axis=-1)
     first_min = jnp.argmin(stack, axis=-1)
     return (first_min == 0) | (first_min == n_smer - 1)
 
