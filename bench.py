@@ -192,12 +192,13 @@ def seed_search_hints(dtx, index, values, n_queries):
     from the direct-map load histogram (uniform queries land in a
     multi-group slot with probability n_multi / slots; genome-derived hits
     with the measured real-group multi-slot share)."""
-    from metabuli_tpu.classify.pipeline import AA_PERM_MULT
+    from metabuli_tpu.classify.pipeline import AA_PERM_MULT, AA_PERM_MULT2
 
     if not index.direct_bits:
         return
+    mask40 = np.uint64((1 << 40) - 1)
     aa = np.unique(values >> np.uint64(24))
-    pi = (aa * np.uint64(AA_PERM_MULT)) & np.uint64((1 << 40) - 1)
+    pi = (aa * np.uint64(AA_PERM_MULT)) & mask40
     slots = (pi >> np.uint64(40 - index.direct_bits)).astype(np.int64)
     load = np.bincount(slots, minlength=1 << index.direct_bits)
     multi = load >= 2
@@ -211,6 +212,30 @@ def seed_search_hints(dtx, index, values, n_queries):
     dtx.hints["sovf_bound"] = max(dtx.hints.get("sovf_bound", 0), bound)
     log(f"sovf seed: {bound} (multi-slot frac {frac_uniform:.4f}, "
         f"real-group share {rg_multi:.4f})")
+    if index.direct2_bits:
+        # dmap2 residual bound, mirroring build_dev_index's construction:
+        # pass-2 queries needing the binary search are those whose dmap2
+        # slot holds >= 2 overflow groups (uniform misses) or whose own
+        # group is not its dmap2 slot's first entry (real hits)
+        order = np.argsort(pi, kind="stable")
+        first = np.ones(len(aa), bool)
+        first[1:] = slots[order][1:] != slots[order][:-1]
+        ovf_aa = aa[order][~first]
+        pi2 = (ovf_aa * np.uint64(AA_PERM_MULT2)) & mask40
+        slots2 = np.sort(
+            (pi2 >> np.uint64(40 - index.direct2_bits)).astype(np.int64))
+        dup2 = slots2[1:] == slots2[:-1]
+        multi2_slots = len(np.unique(slots2[1:][dup2]))
+        frac2_uniform = frac_uniform * multi2_slots / (
+            1 << index.direct2_bits)
+        nonfirst2_share = float(dup2.sum()) / max(len(aa), 1)
+        bound2 = int(
+            2.0 * (n_queries * frac2_uniform + hits * nonfirst2_share)
+        ) + 4096
+        dtx.hints["sovf2_bound"] = max(dtx.hints.get("sovf2_bound", 0),
+                                       bound2)
+        log(f"sovf2 seed: {bound2} (multi2 slots {multi2_slots}, "
+            f"non-first2 share {nonfirst2_share:.5f})")
 
 
 def main():

@@ -88,7 +88,7 @@ INT32_MAX = np.int32(2**31 - 1)  # np literal: a module-level jax scalar takes t
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
         "packed_search", "direct_bits", "hit_budget", "sovf_budget",
-        "codes_packed",
+        "direct2_bits", "resid_budget", "codes_packed",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -105,7 +105,8 @@ def _fused_classify_tax(
     kmer_format, prefix_bits, cap2, cap_ov_budget, path_budget, g_budget,
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
     ov_budget, packed_search=False, direct_bits=0, hit_budget=0,
-    sovf_budget=0, codes_packed=False, tie_budget=0,
+    sovf_budget=0, direct2_bits=0, resid_budget=0, codes_packed=False,
+    tie_budget=0,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -127,6 +128,7 @@ def _fused_classify_tax(
             prefix_bits=prefix_bits, cap2=cap2, ov_budget=cap_ov_budget,
             packed_search=packed_search, direct_bits=direct_bits,
             hit_budget=hit_budget, sovf_budget=sovf_budget,
+            direct2_bits=direct2_bits, resid_budget=resid_budget,
             codes_packed=codes_packed,
         )
     )
@@ -145,6 +147,7 @@ def _fused_classify_tax(
         # drain_fused folds the true counters into the hints first)
         s_ov = (
             (cls_counts[4] > hit_budget) | (cls_counts[5] > sovf_budget)
+            | (cls_counts[6] > (resid_budget or (1 << 30)))
         ).astype(jnp.int32)
         counts = counts.at[2].set(counts[2] | (s_ov << 6))
     return packed, ov_packed, counts
@@ -243,6 +246,7 @@ def taxonomer_tail(
         chain_res.n_real_blocks,
         cls_counts[4], cls_counts[5],   # direct-search hit / overflow
         qres.n_ties,
+        cls_counts[6],                  # dmap2 double-collision residuals
     ])
     # ONE packed int32 output: every routinely-fetched tensor concatenated
     # at static offsets (the tunnel pays a ~25ms round trip PER fetched
@@ -355,8 +359,13 @@ class DeviceTaxonomer:
             sovf_budget = pow2(
                 max(8192, int(h.get("sovf", 0) * 1.5),
                     int(h.get("sovf_bound", 0))) * scale)
+            # dmap2 double-collision residuals: a small tail of pass-2
+            # ("sovf2" drain-observed; "sovf2_bound" analytic, pre-margined)
+            resid_budget = pow2(
+                max(4096, int(h.get("sovf2", 0) * 2),
+                    int(h.get("sovf2_bound", 0))) * scale, lo=4096)
         else:
-            hit_budget = sovf_budget = 0
+            hit_budget = sovf_budget = resid_budget = 0
         # tie rows needing a real LCA range query are a small fraction of
         # the quotient rows; compacting them caps the sparse-table gathers
         # (0 = no compaction: full-width LCA, always correct)
@@ -371,7 +380,7 @@ class DeviceTaxonomer:
             p_max=p_max, n_blocks=n_blocks, w=w, k=k,
             max_shift=self.p.max_codon_shift, ov_budget=ov_budget,
             hit_budget=hit_budget, sovf_budget=sovf_budget,
-            tie_budget=tie_budget,
+            resid_budget=resid_budget, tie_budget=tie_budget,
         )
 
     def set_hints(self, m: dict, dna_shift: int) -> None:
@@ -449,6 +458,9 @@ class DeviceTaxonomer:
             # recovery — see tools_profiling/README.md).
             "hits": int(1.25 * n),
             "sovf": max(8192, n // 8),
+            # dmap2 double collisions run a few % of sovf; seed at a
+            # quarter of the sovf seed so it dominates observed counts
+            "sovf2": max(4096, n // 32),
         }
         if n_tie is not None:
             upd["ties"] = n_tie
@@ -476,7 +488,8 @@ class DeviceTaxonomer:
             prefix_bits=index.prefix_bits, cap2=cap2,
             cap_ov_budget=cap_ov_budget,
             packed_search=index.packed_search,
-            direct_bits=index.direct_bits, **sizes,
+            direct_bits=index.direct_bits,
+            direct2_bits=index.direct2_bits, **sizes,
         )
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
@@ -538,6 +551,7 @@ class DeviceTaxonomer:
             "n_hits1": int(counts[11]) if counts.shape[0] > 11 else 0,
             "n_sovf": int(counts[12]) if counts.shape[0] > 12 else 0,
             "n_ties": int(counts[13]) if counts.shape[0] > 13 else 0,
+            "n_sovf2": int(counts[14]) if counts.shape[0] > 14 else 0,
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs
@@ -552,6 +566,7 @@ class DeviceTaxonomer:
         if info["n_hits1"]:
             h["hits"] = max(h.get("hits", 0), info["n_hits1"])
             h["sovf"] = max(h.get("sovf", 0), info["n_sovf"])
+            h["sovf2"] = max(h.get("sovf2", 0), info["n_sovf2"])
         if info["tax_overflow"]:
             return None, info
         results = [ReadClassification() for _ in range(n_reads)]

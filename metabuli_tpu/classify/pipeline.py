@@ -49,6 +49,21 @@ INT32_MAX = np.int32(2147483647)
 # common residues, and the SKEWED max bucket sets the binary-search depth
 # for every query).
 AA_PERM_MULT = 0x9E3779B97F4A7C15
+# Independent second permutation for the pass-2 overflow table (dmap2):
+# groups colliding under MULT1's top bits are re-scattered, so a second
+# ONE-u64-gather probe resolves nearly every direct-map overflow.
+AA_PERM_MULT2 = 0xC2B2AE3D27D4EB4F
+
+
+def _mod_inverse_pow2(mult: int, bits: int) -> int:
+    """Inverse of an odd multiplier mod 2^bits (Newton iteration)."""
+    inv = 1
+    for _ in range(6):
+        inv = (inv * (2 - mult * inv)) % (1 << bits)
+    return inv % (1 << bits)
+
+
+AA_PERM_INV = _mod_inverse_pow2(AA_PERM_MULT, 40)
 
 
 def aa_permute(aa: np.ndarray, aa_bits: int) -> np.ndarray:
@@ -162,6 +177,12 @@ class DevIndex(NamedTuple):
     # build_dev_index); queries landing in multi-group buckets fall back
     # to the bucketed binary search over a compacted overflow list.
     direct_bits: int = 0
+    # 0 = no second-hash overflow table; nonzero = dmap2 slot width. dmap2
+    # holds the NON-first groups of multi-group dmap slots re-permuted by
+    # AA_PERM_MULT2, so a `more`-flagged pass-2 query resolves with ONE
+    # u64 gather; only its own double collisions (more2) fall back to the
+    # bucketed binary search over a small compacted residual list.
+    direct2_bits: int = 0
 
 
 def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
@@ -282,6 +303,8 @@ def build_dev_index(
     # floors at start_bits - 7 to keep the packing within 64 bits.
     direct_bits = 0
     dmap = None
+    direct2_bits = 0
+    dmap2 = None
     if packed and not _os.environ.get("METABULI_TPU_NO_DIRECT_SEARCH"):
         # slot count targets <= 1/8 load so almost every bucket holds one
         # group; the table is HBM-budgeted at max(256 MB, ~1.5x the row
@@ -315,6 +338,43 @@ def build_dev_index(
             multi = slots_d[1:][slots_d[1:] == slots_d[:-1]]
             dmap[multi] |= np.uint64(1) << np.uint64(63)
             direct_bits = dbits
+            # ---- dmap2: a SECOND-hash direct table over just the
+            # NON-first groups of multi-group slots. A pass-2 query
+            # (`more`-flagged, first-group tag mismatch) then resolves
+            # with ONE u64 gather instead of a ~6-fetch bucketed binary
+            # search; only double collisions (a few % of pass-2) fall
+            # back to the search. Sized for <= 1/4 load, 8 B/slot.
+            ovf = ~first
+            n_ovf = int(ovf.sum())
+            if n_ovf:
+                d2 = 14
+                while ((1 << d2) < 4 * n_ovf and d2 < 26
+                       and (8 << (d2 + 1)) <= dmap_budget):
+                    d2 += 1
+                d2 = max(d2, start_bits - 7)
+                rb2 = 40 - d2
+                if d2 <= 26 and 1 + rb2 + start_bits + 16 <= 64:
+                    aa_ovf = (pi_s[ovf] * np.uint64(AA_PERM_INV)
+                              ) & np.uint64((1 << 40) - 1)
+                    pi2 = (aa_ovf * np.uint64(AA_PERM_MULT2)
+                           ) & np.uint64((1 << 40) - 1)
+                    o2 = np.argsort(pi2, kind="stable")
+                    pi2 = pi2[o2]
+                    slots2 = (pi2 >> np.uint64(rb2)).astype(np.int64)
+                    g2s = gstart[ovf][o2]
+                    g2e = gend[ovf][o2]
+                    first2 = np.ones(n_ovf, bool)
+                    first2[1:] = slots2[1:] != slots2[:-1]
+                    dmap2 = np.zeros(1 << d2, np.uint64)
+                    dmap2[slots2[first2]] = (
+                        ((pi2[first2] & np.uint64((1 << rb2) - 1))
+                         << np.uint64(start_bits + 16))
+                        | (g2s[first2].astype(np.uint64) << np.uint64(16))
+                        | (g2e[first2] - g2s[first2]).astype(np.uint64)
+                    )
+                    multi2 = slots2[1:][slots2[1:] == slots2[:-1]]
+                    dmap2[multi2] |= np.uint64(1) << np.uint64(63)
+                    direct2_bits = d2
     if reduced:
         # reduced mode scores via the 11x11 LUT on codon-number fields,
         # not the expanded-base XOR path; lo32 is fetched in the tier.
@@ -341,6 +401,8 @@ def build_dev_index(
         db = (grest, gbounds, taxdna, d48, prefix_packed)
         if direct_bits:
             db = db + (dmap,)
+            if direct2_bits:
+                db = db + (dmap2,)
     else:
         taxdna = ((values & np.uint64(0xFFFFFFFF)) << np.uint64(32)) | taxids_u
         d48 = expand_db_dna48(values, kmer_format)
@@ -352,6 +414,7 @@ def build_dev_index(
         prefix_bits=pb,
         packed_search=start_bits if packed else 0,
         direct_bits=direct_bits,
+        direct2_bits=direct2_bits,
     )
 
 
@@ -392,6 +455,8 @@ def _classify_core(
     direct_bits: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    direct2_bits: int = 0,
+    resid_budget: int = 0,
     codes_packed: bool = False,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
@@ -416,8 +481,12 @@ def _classify_core(
     per-read sort instead (its reads are independent, so a global device
     sort is wasted work on the host path)."""
     db_dmap = None
+    db_dmap2 = None
     if reduced:
         db_grest, db_gstart, db_gend, db_lo, db_tax, db_prefix = db
+    elif packed_search and direct_bits and direct2_bits:
+        db_grest, db_gbounds, db_taxdna, db_d48, db_prefix_packed, \
+            db_dmap, db_dmap2 = db
     elif packed_search and direct_bits:
         db_grest, db_gbounds, db_taxdna, db_d48, db_prefix_packed, \
             db_dmap = db
@@ -622,19 +691,16 @@ def _classify_core(
         # the pass-2 overflow: key = slot (hit) | Q+slot (overflow) | MAX.
         # Hits land in [0, n_hits1) in slot order, overflow slots right
         # after — a dynamic slice at n_hits1 replaces the second Q-wide
-        # sort. The only payload is the packed (start, cnt) u64; the other
-        # hit fields come back through [hit_budget] gathers afterwards
-        # (4 gathered elements per HIT beat 4 extra sort operands per SLOT:
-        # hits are ~1/8 of slots).
-        spay = (
-            s1.astype(jnp.uint64) << jnp.uint64(16)
-        ) | c1.astype(jnp.uint64)
+        # sort. (start, cnt) ride as TWO i32 payloads: i32 sort operands
+        # are nearly free on TPU (measured +0.8 ms each at 4.5M rows)
+        # while a packed u64 operand costs +25 ms; the remaining hit
+        # fields come back through [hit_budget] gathers afterwards.
         key3 = jnp.where(
             hit1, slotid, jnp.where(sovf, Q + slotid, INT32_MAX)
         )
-        kS, pS = jax.lax.sort((key3, spay), num_keys=1)
+        kS, sS, cS = jax.lax.sort((key3, s1, c1), num_keys=1)
 
-        # pass-2 region: bucketed search over just the overflow slots
+        # pass-2 region: `more`-flagged overflow slots
         s2k = jax.lax.dynamic_slice_in_dim(
             pad_to(kS, max(Q, sovf_budget), INT32_MAX), n_hits1,
             sovf_budget,
@@ -643,41 +709,86 @@ def _classify_core(
         s2_slot = jnp.where(is2, s2k - Q, INT32_MAX)
         pad2 = ~is2
         safe2 = jnp.minimum(jnp.where(is2, s2k - Q, 0), Q - 1)
-        st2, en2, h2 = search_groups(q_values[safe2], ~pad2)
+        qv2 = q_values[safe2]
+        use_d2 = bool(direct2_bits and resid_budget)
+        n_resid = jnp.int32(0)
+        if use_d2:
+            # ---- pass 2a: ONE u64 probe of the second-hash table (the
+            # non-first groups of multi dmap slots under AA_PERM_MULT2)
+            # replaces the ~6-fetch bucketed binary search for nearly
+            # every overflow query; only dmap2's own double collisions
+            # (more2) go to the search, compacted to [resid_budget].
+            rb2 = 40 - direct2_bits
+            pi2q = (
+                (qv2 >> jnp.uint64(24)) * jnp.uint64(AA_PERM_MULT2)
+            ) & jnp.uint64((1 << 40) - 1)
+            e2 = db_dmap2[(pi2q >> jnp.uint64(rb2)).astype(jnp.int32)]
+            rest2 = bc32(pi2q & jnp.uint64((1 << rb2) - 1))
+            tag2 = bc32(
+                (e2 >> jnp.uint64(sbw + 16)) & jnp.uint64((1 << rb2) - 1))
+            s2v = bc32((e2 >> jnp.uint64(16)) & jnp.uint64((1 << sbw) - 1))
+            c2v = bc32(e2 & jnp.uint64(0xFFFF))
+            h2 = ~pad2 & (tag2 == rest2) & (c2v > 0)
+            more2 = ~pad2 & ((e2 >> jnp.uint64(63)) != 0) & ~h2
+            st2 = jnp.where(h2, s2v, 0)
+            en2 = jnp.where(h2, s2v + c2v, 0)
+            n_resid = jnp.sum(more2.astype(jnp.int32))
+            rp = jnp.cumsum(more2.astype(jnp.int32)) - 1
+            SB = sovf_budget
+            scv = jnp.where(more2 & (rp < resid_budget), rp,
+                            jnp.int32(resid_budget))
+            r_idx = (
+                jnp.full(resid_budget, SB, jnp.int32)
+                .at[scv].set(jnp.arange(SB, dtype=jnp.int32), mode="drop")
+            )
+            r_pad = r_idx >= SB
+            r_safe = jnp.minimum(r_idx, SB - 1)
+            st3, en3, h3 = search_groups(qv2[r_safe], ~r_pad)
+            slot3 = jnp.where(h3 & ~r_pad, s2_slot[r_safe], INT32_MAX)
+            safe3 = safe2[r_safe]
+        else:
+            st2, en2, h2 = search_groups(qv2, ~pad2)
 
         kH_raw = pad_to(kS, hit_budget, INT32_MAX)
-        pH_raw = pad_to(pS, hit_budget, 0)
         hpad = kH_raw >= Q          # overflow rows or MAX padding
         kH = jnp.where(hpad, INT32_MAX, kH_raw)
-        sH_s = jnp.where(
-            hpad, 0,
-            bc32((pH_raw >> jnp.uint64(16)) & jnp.uint64(0xFFFFFFFF)),
-        )
-        sH_c = jnp.where(hpad, 0, bc32(pH_raw & jnp.uint64(0xFFFF)))
+        sH_s = jnp.where(hpad, 0, pad_to(sS, hit_budget, 0))
+        sH_c = jnp.where(hpad, 0, pad_to(cS, hit_budget, 0))
         safeH = jnp.minimum(kH, Q - 1)
         d48H = q_d48[safeH]
 
         # pass-2 stream fields come from small [F] gathers instead
         d48r2 = q_d48[safe2]
-        slots_r = jnp.concatenate([kH, jnp.where(h2, s2_slot, INT32_MAX)])
-        starts_r = jnp.concatenate([sH_s, st2])
-        ends_r = jnp.concatenate([sH_s + sH_c, en2])
-        activer = slots_r != INT32_MAX
-        saf = jnp.minimum(slots_r, Q - 1)
-        d48lo_r = jnp.concatenate(
-            [jnp.where(hpad, 0, bc32(d48H & jnp.uint64(0xFFFFFFFF))),
-             bc32(d48r2 & jnp.uint64(0xFFFFFFFF))])
-        d48hi_r = jnp.concatenate(
-            [jnp.where(hpad, 0, bc32(d48H >> jnp.uint64(32))),
-             bc32(d48r2 >> jnp.uint64(32))])
-        frame_r = (saf // W) % 6
-        fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
+        parts_slot = [kH, jnp.where(h2, s2_slot, INT32_MAX)]
+        parts_st = [sH_s, st2]
+        parts_en = [sH_s + sH_c, en2]
+        parts_d48 = [jnp.where(hpad, jnp.uint64(0), d48H), d48r2]
         # ALU + one small-table fetch instead of two [Q]-array gathers
         posH, qidH = derive_pos_qid(safeH)
         pos2, qid2 = derive_pos_qid(safe2)
-        pos_r = jnp.concatenate([jnp.where(hpad, 0, posH), pos2])
-        qid_r = jnp.concatenate([jnp.where(hpad, 0, qidH), qid2])
-        NC = hit_budget + sovf_budget
+        parts_pos = [jnp.where(hpad, 0, posH), pos2]
+        parts_qid = [jnp.where(hpad, 0, qidH), qid2]
+        if use_d2:
+            pos3, qid3 = derive_pos_qid(safe3)
+            parts_slot.append(slot3)
+            parts_st.append(st3)
+            parts_en.append(en3)
+            parts_d48.append(d48r2[r_safe])
+            parts_pos.append(pos3)
+            parts_qid.append(qid3)
+        slots_r = jnp.concatenate(parts_slot)
+        starts_r = jnp.concatenate(parts_st)
+        ends_r = jnp.concatenate(parts_en)
+        activer = slots_r != INT32_MAX
+        saf = jnp.minimum(slots_r, Q - 1)
+        d48_r = jnp.concatenate(parts_d48)
+        d48lo_r = bc32(d48_r & jnp.uint64(0xFFFFFFFF))
+        d48hi_r = bc32(d48_r >> jnp.uint64(32))
+        frame_r = (saf // W) % 6
+        fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
+        pos_r = jnp.concatenate(parts_pos)
+        qid_r = jnp.concatenate(parts_qid)
+        NC = hit_budget + sovf_budget + (resid_budget if use_d2 else 0)
 
         idx_c, keep, hsum, h16, _ = tier(
             starts_r, ends_r, activer, cap, d48lo_r, d48hi_r, None, fwd_r
@@ -742,6 +853,7 @@ def _classify_core(
       # ---- classic flow: bucketed search + capped gathers on EVERY slot
       n_hits1 = jnp.int32(0)
       n_sovf = jnp.int32(0)
+      n_resid = jnp.int32(0)
       start, gend, hit = search_groups(q_values, q_valid)
 
       # ---- tier 1: small cap for every query
@@ -880,7 +992,7 @@ def _classify_core(
     )
     counts = jnp.stack(
         (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)), n_ov,
-         n_hits1, n_sovf)
+         n_hits1, n_sovf, n_resid)
     ).astype(jnp.int32)
     if not sort_device:
         # compaction order is already read-grouped with padding at the
@@ -921,7 +1033,7 @@ def _classify_core(
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
         "cap2", "ov_budget", "packed_search", "direct_bits", "hit_budget",
-        "sovf_budget", "codes_packed",
+        "sovf_budget", "direct2_bits", "resid_budget", "codes_packed",
     ),
 )
 def _classify_batch_impl(
@@ -946,6 +1058,8 @@ def _classify_batch_impl(
     direct_bits: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    direct2_bits: int = 0,
+    resid_budget: int = 0,
     codes_packed: bool = False,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
@@ -957,6 +1071,7 @@ def _classify_batch_impl(
         prefix_bits=prefix_bits, cap2=cap2, ov_budget=ov_budget,
         packed_search=packed_search, direct_bits=direct_bits,
         hit_budget=hit_budget, sovf_budget=sovf_budget,
+        direct2_bits=direct2_bits, resid_budget=resid_budget,
         codes_packed=codes_packed,
     )
     if pack4:
@@ -992,6 +1107,7 @@ def classify_batch_indexed(
     ov_budget: int = 0,
     hit_budget: int = 0,
     sovf_budget: int = 0,
+    resid_budget: int = 0,
     codes_packed: bool = False,
 ) -> BatchMatches:
     return _classify_batch_impl(
@@ -1003,7 +1119,8 @@ def classify_batch_indexed(
         pack4=pack4, prefix_bits=index.prefix_bits, cap2=cap2,
         ov_budget=ov_budget, packed_search=index.packed_search,
         direct_bits=index.direct_bits, hit_budget=hit_budget,
-        sovf_budget=sovf_budget, codes_packed=codes_packed,
+        sovf_budget=sovf_budget, direct2_bits=index.direct2_bits,
+        resid_budget=resid_budget, codes_packed=codes_packed,
     )
 
 
@@ -1196,5 +1313,6 @@ def _unpack_match_data(
     out["n_ov"] = int(counts[3]) if counts.shape[0] > 3 else 0
     out["n_hits"] = int(counts[4]) if counts.shape[0] > 4 else 0
     out["n_sovf"] = int(counts[5]) if counts.shape[0] > 5 else 0
+    out["n_sovf2"] = int(counts[6]) if counts.shape[0] > 6 else 0
     out["sorted"] = sorted_rows
     return out

@@ -299,11 +299,11 @@ def build_sharded_fused(
         m_qid, m_species = merged[0], merged[1]
         off = len(keys)
         m_pos, m_dna, m_taxid, m_packed = merged[off:off + 4]
-        gc = jax.lax.all_gather(cls_counts, "db")  # [n_db, 6]
+        gc = jax.lax.all_gather(cls_counts, "db")  # [n_db, 7]
         # total_kmers is per data ROW (every db shard saw the same reads)
         tot_counts = jnp.stack([
             gc[:, 0].sum(), gc[:, 1].sum(), gc[0, 2], gc[:, 3].sum(),
-            gc[:, 4].sum(), gc[:, 5].sum(),
+            gc[:, 4].sum(), gc[:, 5].sum(), gc[:, 6].sum(),
         ]).astype(jnp.int32)
         packed, ov_packed, counts = taxonomer_tail(
             m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, tot_counts,

@@ -79,11 +79,13 @@ def run_oracle(binary, q, db, out, job, threads):
     t0 = time.time()
     res = subprocess.run(
         [binary, q, db, out, job, "seq-mode=1", f"threads={threads}",
-         "kmer-format=2", "ram-usage=100"],
+         "kmer-format=2", "ram-usage=32"],
         capture_output=True, text=True, timeout=7200, env=env)
     dt = time.time() - t0
     if res.returncode != 0:
-        raise RuntimeError(res.stderr[-3000:])
+        raise RuntimeError(
+            f"rc={res.returncode}\nSTDERR: {res.stderr[-2000:]}\n"
+            f"STDOUT: {res.stdout[-2000:]}")
     cls_file = pathlib.Path(out) / f"{job}_classifications.tsv"
     n_classified = 0
     with open(cls_file) as fh:
@@ -94,7 +96,11 @@ def run_oracle(binary, q, db, out, job, threads):
 
 def main():
     binary = ref_oracle.build("classify_oracle")
-    with tempfile.TemporaryDirectory() as tmp:
+    # persistent workdir: the 60M-row reference DB write costs ~1 min and
+    # is bit-deterministic; reruns skip it
+    tmp = "/tmp/metabuli_baseline_world"
+    os.makedirs(tmp, exist_ok=True)
+    if True:
         tax, genomes, rng = bench.build_world(tmp)
         cache = (f"/tmp/metabuli_bench_db_v{bench.BENCH_DB_VERSION}_"
                  f"{bench.N_GENOMES}_{bench.N_DECOYS}.npz")
@@ -115,7 +121,10 @@ def main():
             except OSError:
                 pass
         reads = bench.sample_reads(genomes, rng)
-        db = write_reference_db(tmp, tax, values, taxids)
+        if os.path.exists(os.path.join(tmp, "refdb", "diffIdx")):
+            db = os.path.join(tmp, "refdb")
+        else:
+            db = write_reference_db(tmp, tax, values, taxids)
         qdir = pathlib.Path(tmp)
         q_full = qdir / "reads_full.fna"
         q_small = qdir / "reads_small.fna"
