@@ -664,9 +664,14 @@ def _grouping(argv):
     ap.add_argument("--score-col", type=int, default=5)
     ap.add_argument("--majority-thr", type=float, default=0.5)
     ap.add_argument("--neighbor-kmers", type=int, default=0,
-                    help="position-suppression window: shared k-mers within "
-                         "this many bases of an already-counted one add no "
-                         "edge weight (GroupGenerator.cpp:317-329)")
+                    help="common-k-mer suppression window: query k-mers "
+                         "within this many bases of a --common-kmer-db "
+                         "match are dropped before pair counting "
+                         "(GroupGenerator.cpp:349-534)")
+    ap.add_argument("--common-kmer-db", default="",
+                    help="common-k-mer DB dir (diffIdx/info, e.g. from "
+                         "create-common-kmer-list); enables the reference's "
+                         "pre-grouping k-mer suppression")
     ap.add_argument("--dbdir", default="",
                     help="database dir (for taxonomy-aware majority LCA)")
     args = ap.parse_args(argv)
@@ -685,7 +690,8 @@ def _grouping(argv):
         weight_mode=args.weight_mode, min_vote_score=args.min_vote_score,
         score_col=args.score_col, taxonomy=taxonomy,
         majority_thr=args.majority_thr,
-        neighbor_kmers=args.neighbor_kmers)))
+        neighbor_kmers=args.neighbor_kmers,
+        common_kmer_db=args.common_kmer_db)))
     return 0
 
 

@@ -44,22 +44,59 @@ class DisjointSet:
         return np.array([self.find(i) for i in range(len(self.parent))])
 
 
+def suppress_common_kmers(
+    kmers: np.ndarray,
+    rids: np.ndarray,
+    poss: np.ndarray,
+    common_values: np.ndarray,
+    neighbor_kmers: int,
+) -> np.ndarray:
+    """Keep-mask replicating ``GroupGenerator::filterCommonKmers2``
+    (`/root/reference/src/read-group/GroupGenerator.cpp:349-534`,
+    oracle-gated by tests/test_readgroup.py): query k-mers whose VALUE
+    occurs in the common-k-mer DB become matches at their (read, pos),
+    and every query k-mer of the same read within ``neighbor_kmers``
+    bases of a match position is dropped (including the match itself).
+    The reference's merge walk over (id, pos)-sorted streams is exactly
+    an interval union, so the vectorized form checks each k-mer's nearest
+    match position."""
+    if len(common_values) == 0 or len(kmers) == 0:
+        return np.ones(len(kmers), bool)
+    cv = np.asarray(common_values, np.uint64)
+    idx = np.searchsorted(cv, kmers)
+    matched = (idx < len(cv)) & (cv[np.minimum(idx, len(cv) - 1)] == kmers)
+    if not matched.any():
+        return np.ones(len(kmers), bool)
+    BIG = np.int64(1) << 32
+    mkey = np.sort(rids[matched] * BIG + poss[matched])
+    lo = rids * BIG + (poss - neighbor_kmers)
+    hi = rids * BIG + (poss + neighbor_kmers)
+    # any match key in [lo, hi] (same read by construction: the window is
+    # far smaller than the read-id stride)
+    has = np.searchsorted(mkey, hi, "right") > np.searchsorted(mkey, lo,
+                                                               "left")
+    return ~has
+
+
 def build_read_groups(
     reads: list[bytes],
     min_shared_kmers: int = 2,
     max_kmer_degree: int = 64,
     batch: int = 2048,
     neighbor_kmers: int = 0,
+    common_values: np.ndarray | None = None,
 ) -> np.ndarray:
     """Group labels per read: reads sharing >= min_shared_kmers metamers
-    join one group. K-mers hitting more than ``max_kmer_degree`` reads are
-    treated as repeats and skipped (hub suppression).
+    join one group (edge weights count distinct shared k-mer values per
+    read PAIR, all pairs per k-mer, `GroupGenerator.cpp:585-594`).
 
-    ``neighbor_kmers`` replicates the reference's position-suppression
-    window (`GroupGenerator.cpp:317-329`): a query k-mer within that many
-    bases of an already-counted shared k-mer is dropped, so a run of
-    adjacent shared k-mers contributes ONE unit of edge weight instead of
-    its length. 0 = no window (every shared k-mer counts)."""
+    ``common_values``/``neighbor_kmers`` run the reference's common-k-mer
+    suppression (`GroupGenerator.cpp:349-534`) before pair counting: query
+    k-mers within the window of a common-DB match are dropped. K-mers
+    hitting more than ``max_kmer_degree`` reads are treated as repeats and
+    skipped — a repo extension guarding the pair blow-up when no common-DB
+    prefilter is supplied (the reference bounds it only by its relation
+    buffer flushes)."""
     pairs_k: list[np.ndarray] = []
     pairs_r: list[np.ndarray] = []
     pairs_p: list[np.ndarray] = []
@@ -83,43 +120,36 @@ def build_read_groups(
     kmers = np.concatenate(pairs_k)
     rids = np.concatenate(pairs_r)
     poss = np.concatenate(pairs_p)
-    # dedup (kmer, read) then sort by kmer
+    if common_values is not None:
+        keep = suppress_common_kmers(kmers, rids, poss, common_values,
+                                   neighbor_kmers)
+        kmers, rids, poss = kmers[keep], rids[keep], poss[keep]
+    # dedup (kmer, read) then sort by kmer — matches the reference's
+    # per-value sort+unique of query ids (`GroupGenerator.cpp:585-587`)
     order = np.lexsort((rids, kmers))
-    kmers, rids, poss = kmers[order], rids[order], poss[order]
+    kmers, rids = kmers[order], rids[order]
     uniq = np.ones(len(kmers), bool)
     uniq[1:] = (kmers[1:] != kmers[:-1]) | (rids[1:] != rids[:-1])
-    kmers, rids, poss = kmers[uniq], rids[uniq], poss[uniq]
+    kmers, rids = kmers[uniq], rids[uniq]
 
-    # count shared kmers per read pair within each kmer group
+    # edge weight per read pair = number of distinct shared k-mer values,
+    # ALL pairs (i < j in read-id order) per k-mer group
+    # (`GroupGenerator.cpp:588-594`)
     new_group = np.ones(len(kmers), bool)
     new_group[1:] = kmers[1:] != kmers[:-1]
     starts = np.nonzero(new_group)[0]
     ends = np.append(starts[1:], len(kmers))
     pair_counts: dict[tuple[int, int], int] = {}
-    pair_pos: dict[tuple[int, int], list] = {}
     for a, b in zip(starts, ends):
         size = b - a
         if size < 2 or size > max_kmer_degree:
             continue
         members = rids[a:b]
-        first = int(members[0])
-        fpos = int(poss[a])
-        for m in members[1:]:
-            key = (first, int(m))
-            if neighbor_kmers > 0:
-                pair_pos.setdefault(key, []).append(fpos)
-            else:
+        for i in range(size - 1):
+            x = int(members[i])
+            for j in range(i + 1, size):
+                key = (x, int(members[j]))
                 pair_counts[key] = pair_counts.get(key, 0) + 1
-    if neighbor_kmers > 0:
-        for key, plist in pair_pos.items():
-            plist.sort()
-            cnt = 0
-            last = None
-            for p in plist:
-                if last is None or p > last + neighbor_kmers:
-                    cnt += 1
-                    last = p
-            pair_counts[key] = cnt
 
     ds = DisjointSet(len(reads))
     for (x, y), cnt in pair_counts.items():
@@ -220,18 +250,27 @@ def group_reads_file(
     taxonomy=None,
     majority_thr: float = 0.5,
     neighbor_kmers: int = 0,
+    common_kmer_db: str = "",
 ) -> dict:
     """`grouping` workflow: read groups + propagated classifications.
     ``min_shared_kmers`` is the reference's --min-edge (edge weight =
-    shared-k-mer count); ``score_col`` is 1-based like --score-col."""
+    shared-k-mer count); ``score_col`` is 1-based like --score-col;
+    ``common_kmer_db`` is the reference's common-k-mer DB positional
+    (diffIdx/info dir) enabling the pre-grouping suppression filter."""
     os.makedirs(out_dir, exist_ok=True)
     reads = []
     names = []
     for rec in fasta.read_records(query_path):
         reads.append(rec.seq)
         names.append(rec.name)
+    common_values = None
+    if common_kmer_db:
+        from ..db.formats import read_db_values
+
+        common_values, _ = read_db_values(common_kmer_db)
     labels = build_read_groups(reads, min_shared_kmers,
-                               neighbor_kmers=neighbor_kmers)
+                               neighbor_kmers=neighbor_kmers,
+                               common_values=common_values)
 
     cls = [0] * len(reads)
     scores = [0.0] * len(reads)

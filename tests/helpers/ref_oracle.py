@@ -91,6 +91,12 @@ _HARNESSES.update({
         _FULL_STACK_REF + ["QueryFilter.cpp"],
         _FULL_STACK_EXTRA,
     ),
+    "group_oracle": (
+        ["group_oracle.cpp", "support.cpp",
+         "stubs/prodigal_training_stub.cpp"],
+        _FULL_STACK_REF + ["../read-group/GroupGenerator.cpp"],
+        _FULL_STACK_EXTRA + ["-I", "/root/reference/src/read-group"],
+    ),
     "newtaxa_oracle": (
         ["newtaxa_oracle.cpp", "support.cpp",
          "stubs/prodigal_training_stub.cpp"],

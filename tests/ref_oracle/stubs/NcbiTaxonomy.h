@@ -151,6 +151,28 @@ public:
     bool externalData;
 };
 
+// Weighted-vote LCA types (MMseqs2 API surface consumed by
+// GroupGenerator::getRepLabel). LINK-ONLY STUB for the group_oracle: the
+// oracle harness exercises filterCommonKmers2, never getRepLabel, so this
+// implements the documented weighted-majority semantics without claiming
+// bit parity with the absent MMseqs2 submodule.
+struct WeightedTaxHit {
+    TaxID taxon;
+    float weight;
+    WeightedTaxHit(TaxID taxon, float evalue, int weightVoteMode)
+        : taxon(taxon), weight(evalue) {
+        if (weightVoteMode == 0) weight = 1.0f;
+    }
+};
+
+struct WeightedTaxResult {
+    TaxID taxon = 0;
+    size_t assignedSeqs = 0;
+    size_t unassignedSeqs = 0;
+    size_t seqsAgreeWith = 0;
+    float percentageOfWeight = 0.0f;
+};
+
 class NcbiTaxonomy {
 public:
     static const int SERIALIZATION_VERSION = 2;
@@ -229,6 +251,54 @@ public:
             node = lcaHelper(node, nodeId(taxa[i]));
         }
         return &taxonNodes[node];
+    }
+
+    // LINK-ONLY STUB (see WeightedTaxHit above): accumulate each vote's
+    // weight along its ancestor chain; deepest node clearing the majority
+    // cutoff wins. Not exercised by the group_oracle harness.
+    WeightedTaxResult weightedMajorityLCA(
+        const std::vector<WeightedTaxHit> &setTaxa,
+        float majorityCutoff) const {
+        std::map<TaxID, float> acc;
+        std::map<TaxID, int> depth;
+        float total = 0.0f;
+        for (const auto &h : setTaxa) {
+            if (h.taxon == 0 || !nodeExists(h.taxon)) continue;
+            total += h.weight;
+            TaxID cur = h.taxon;
+            int d = 0;
+            std::vector<TaxID> chain;
+            while (true) {
+                chain.push_back(cur);
+                TaxonNode const *n = taxonNode(cur, false);
+                if (n == nullptr || n->parentTaxId == cur) break;
+                cur = n->parentTaxId;
+            }
+            for (size_t i = 0; i < chain.size(); ++i) {
+                acc[chain[i]] += h.weight;
+                int cd = (int)(chain.size() - i);
+                auto it = depth.find(chain[i]);
+                if (it == depth.end() || it->second < cd) depth[chain[i]] = cd;
+                (void)d;
+            }
+        }
+        WeightedTaxResult res;
+        float best = -1.0f;
+        int bestDepth = -1;
+        for (const auto &kv : acc) {
+            if (kv.second > majorityCutoff * total) {
+                int dd = depth[kv.first];
+                if (dd > bestDepth ||
+                    (dd == bestDepth && kv.second > best)) {
+                    bestDepth = dd;
+                    best = kv.second;
+                    res.taxon = kv.first;
+                    res.percentageOfWeight =
+                        total > 0 ? kv.second / total : 0.0f;
+                }
+            }
+        }
+        return res;
     }
 
     // --- rank utilities -----------------------------------------------------

@@ -45,6 +45,9 @@ public:
     int verbosity = 3;
     int maskMode = 0;
     float maskProb = 0.9f;
+    // MMseqs2 base-Parameters field consumed by GroupGenerator::getRepLabel
+    // (set by workflow/groupGeneration.cpp:19; default mirrors it)
+    float majorityThr = 0.5f;
     StubMultiParamString scoringMatrixFile;
 
     static Parameters &getInstance() { return *instance; }
