@@ -133,5 +133,9 @@ class BuildParams:
                           "port for >=100kb non-euk training sequences, "
                           "self-training meta stand-in otherwise — the "
                           "reference's unconditional Prodigal stage, "
-                          "IndexCreator.cpp:1128-1218). 0 = all 6 frames"},
+                          "IndexCreator.cpp:1128-1218). 0 = all 6 frames. "
+                          "Set METABULI_META_BINS to a Prodigal training-"
+                          "bin file for bit-exact meta mode (record format "
+                          "+ generation recipe: README.md 'Prodigal "
+                          "metagenomic training bins')"},
     )
