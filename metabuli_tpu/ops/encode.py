@@ -116,8 +116,8 @@ def extract_metamers(
     #   combo[t]    = c6 | aa<<6 | num<<11 for the forward codon (bits
     #                 14..0) and for its reverse complement (bits 29..15),
     #                 aa=31 sentinel at t=64 marks invalid triples.
-    # Forward frames are then static stride-3 slices of combo[trip];
-    # each reverse frame is ONE take_along_axis into it.
+    # Every frame is then a static stride-3 slice of combo[trip]
+    # (reverse frames select among the three slice classes by begin).
     _r = np.arange(64)
     # rc base = code ^ 2 (see _RC8); reverse codon reads the triple backwards
     _rc3 = ((((_r & 3) ^ 2) << 4) | ((((_r >> 2) & 3) ^ 2) << 2)
@@ -203,30 +203,36 @@ def extract_metamers(
     bits_aa = 4 if reduced else 5
     aa_shift = 32 if reduced else 24
     aa_mask_bits = 32 if reduced else 40
-    aa_u = aa.astype(jnp.uint64)
-    num_u = num.astype(jnp.uint64)
-    c6_u = c6.astype(jnp.uint64)
+    # Reverse-frame windows pack their codons in DESCENDING genome order
+    # while the frame arrays above are ascending. Expressing that as
+    # per-step mirrored slices (concat of arr[:3, j:j+W] with
+    # arr[3:, K-1-j:...]) MISCOMPILES on this XLA build (jit output
+    # differs from op-by-op eager; see tests/test_encode.py's
+    # jit-vs-eager gate), so the packing runs in FLIPPED coordinates
+    # instead: flip the reverse frames' codon axis once, pack every frame
+    # with the same uniform j-slices, and flip the reverse frames' window
+    # axis back at the end — algebraically identical (window w' of the
+    # ascending enumeration lands at flipped index W-1-w').
+    def flip_rev(arr):
+        return jnp.concatenate(
+            [arr[:, :3], jnp.flip(arr[:, 3:], axis=-1)], axis=1)
+
+    aa_flip = flip_rev(aa)
+    aa_u = aa_flip.astype(jnp.uint64)
+    num_u = flip_rev(num).astype(jnp.uint64)
+    c6_u = flip_rev(c6).astype(jnp.uint64)
+    ok_f = flip_rev(ok)
     aa_part = jnp.zeros(aa_u[..., :W].shape, jnp.uint64)
     dna_part = jnp.zeros_like(aa_part)
     dna48 = jnp.zeros_like(aa_part)
     valid = jnp.ones(aa_part.shape, bool)
-
-    def sl(arr, j):
-        """Window slice of codon j: reverse frames (ascending enumeration)
-        pack their codons in reversed slice order so window w' holds the
-        reference window's exact value (codon k = w'+7 first)."""
-        r = K - 1 - j
-        return jnp.concatenate(
-            [arr[:, :3, j : j + W], arr[:, 3:, r : r + W]], axis=1
-        )
-
     for j in range(K):
-        aa_part = (aa_part << bits_aa) | sl(aa_u, j)
-        dna_part = (dna_part << bits_codon) | sl(num_u, j)
-        valid = valid & sl(ok, j)
+        aa_part = (aa_part << bits_aa) | aa_u[..., j : j + W]
+        dna_part = (dna_part << bits_codon) | num_u[..., j : j + W]
+        valid = valid & ok_f[..., j : j + W]
     if kmer_format == 2:
         for j in range(K):
-            dna48 = (dna48 << 6) | sl(c6_u, j)
+            dna48 = (dna48 << 6) | c6_u[..., j : j + W]
         value = ((aa_part & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_part & ((jnp.uint64(1) << aa_shift) - 1)
         )
@@ -240,19 +246,26 @@ def extract_metamers(
         aa_old = jnp.zeros(aa_part.shape, jnp.uint64)
         dna_old = jnp.zeros(aa_part.shape, jnp.uint64)
         for j in range(K):
-            aa_old = aa_old + sl(aa_u, j) * np.uint64(aa_base**j)
-            dna_old = dna_old | (sl(num_u, j) << (bits_codon * j))
-            dna48 = dna48 | (sl(c6_u, j) << (6 * j))
+            aa_old = aa_old + aa_u[..., j : j + W] * np.uint64(aa_base**j)
+            dna_old = dna_old | (num_u[..., j : j + W] << (bits_codon * j))
+            dna48 = dna48 | (c6_u[..., j : j + W] << (6 * j))
         value = ((aa_old & ((jnp.uint64(1) << aa_mask_bits) - 1)) << aa_shift) | (
             dna_old & ((jnp.uint64(1) << aa_shift) - 1)
         )
 
+    if syncmer:
+        # still in flipped window coordinates: the uniform-slice syncmer
+        # scan is exact there (canonical s-mer order falls out of the flip)
+        valid = valid & _syncmer_keep(aa_flip, smer_len, W)
+
+    # back to ascending window order for the reverse frames
+    value = flip_rev(value)
+    dna48 = flip_rev(dna48)
+    valid = flip_rev(valid)
+
     # Positions: pos0 + 3p for every frame (ascending reverse enumeration).
     p = jnp.arange(W, dtype=jnp.int32)
     pos = pos0[:, :, None] + 3 * p[None, None, :]
-
-    if syncmer:
-        valid = valid & _syncmer_keep(aa, smer_len, W)
 
     return Metamers(
         value=value, pos=pos.astype(jnp.int32), valid=valid, dna48=dna48
@@ -267,11 +280,10 @@ def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
     (`SyncmerScanner.h:56-73`: strictly-greater pops keep the earliest
     occurrence of the minimum at the deque front).
 
-    Reverse frames (aa[:, 3:]) arrive in ASCENDING genome order while the
-    reference scans them descending, so their s-mers pack in reversed slice
-    order (codon k = u+s-1 highest) and the per-window stack enumerates
-    canonical offsets t through ascending starts u = w' + (K-s) - t; the
-    argmin tie rule (first canonical occurrence) is then identical.
+    ``aa`` must be in FLIPPED window coordinates for reverse frames (see
+    extract_metamers): there the uniform slices below enumerate each
+    window's s-mers in exactly the canonical (descending-genome) order the
+    reference scans, so the argmin tie rule carries over unchanged.
     """
     s = smer_len
     n_smer = K - s + 1
@@ -280,19 +292,9 @@ def _syncmer_keep(aa: jax.Array, smer_len: int, W: int) -> jax.Array:
     aa_u = jnp.where(aa >= 0, aa, 0).astype(jnp.uint64)
     smer = jnp.zeros(aa_u[..., :n_smer_pos].shape, jnp.uint64)
     for j in range(s):
-        fwd = aa_u[:, :3, j : j + n_smer_pos]
-        rev = aa_u[:, 3:, (s - 1 - j) : (s - 1 - j) + n_smer_pos]
-        smer = (smer << 5) | jnp.concatenate([fwd, rev], axis=1)
-    # For each window, s-mers at canonical offsets t = 0..K-s (ascending
-    # starts for forward frames, descending for reverse). argmin gives the
-    # first canonical occurrence.
-    stack = jnp.stack(
-        [jnp.concatenate(
-            [smer[:, :3, t : t + W],
-             smer[:, 3:, (n_smer - 1 - t) : (n_smer - 1 - t) + W]],
-            axis=1)
-         for t in range(n_smer)],
-        axis=-1)
+        smer = (smer << 5) | aa_u[..., j : j + n_smer_pos]
+    # For each window p, s-mers at p..p+K-s. argmin gives first occurrence.
+    stack = jnp.stack([smer[..., t : t + W] for t in range(n_smer)], axis=-1)
     first_min = jnp.argmin(stack, axis=-1)
     return (first_min == 0) | (first_min == n_smer - 1)
 

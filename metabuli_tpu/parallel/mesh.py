@@ -227,22 +227,36 @@ def build_sharded_fused(
     syncmer: bool = False,
     smer_len: int = 5,
     kmer_format: int = 2,
+    route: str = "alltoall",
+    a2a_budget: int = 0,
 ):
     """shard_map'd FUSED classify+taxonomer over a (data, db) mesh.
 
     Each (data, db) device matches its read slice against its index shard
-    (`pipeline._classify_core`), the db axis all_gathers the per-shard
-    sorted match columns over ICI, one merge sort restores the reference
-    match order, and the device-taxonomer tail
-    (`device_taxonomer.taxonomer_tail`) runs on the merged rows — so, as
-    on a single chip, only the small packed group/taxcount tensors ever
-    leave the devices. The tail runs redundantly on each db-axis device
-    of a data row (its inputs are all_gathered); outputs are identical
-    across that axis.
+    (`pipeline._classify_core`); the db axis then merges matches and runs
+    the device-taxonomer tail (`device_taxonomer.taxonomer_tail`) — as on
+    a single chip, only the small packed group/taxcount tensors ever
+    leave the devices. Two routing modes:
+
+    route="alltoall" (default): READS are range-partitioned across the db
+    axis for the tail. Each shard's matches are already qid-sorted, so
+    the per-destination segments are contiguous — n_db static dynamic
+    slices of ``a2a_budget`` rows each feed ONE all_to_all over ICI, each
+    rank merge-sorts only its subset's n_db * a2a_budget rows and runs
+    the tail on |reads|/n_db reads. vs all_gather this moves each match
+    byte once instead of n_db times and cuts the merge sort + tail work
+    per rank by ~n_db. Outputs vary along db (out spec ("data", "db"));
+    a segment overflowing ``a2a_budget`` sets counts bit 8 of
+    tax_overflow for the caller's retry ladder.
+
+    route="gather": the db axis all_gathers the per-shard sorted columns,
+    every rank merge-sorts the full n_db * max_matches rows and runs an
+    identical (replicated) tail — outputs are db-invariant, shaped
+    [n_data, ...].
 
     Call as fn(db, t2s, dt, min_depth, rl, codes, lens, pos_off, qid_off)
     with reads partitioned contiguously across the data axis (local qids
-    per row); returns (packed [n_data, P], counts [n_data, 11]).
+    per row).
     """
     import jax.numpy as jnp
 
@@ -257,6 +271,35 @@ def build_sharded_fused(
         max_shift=sizes["max_shift"], ov_budget=sizes["ov_budget"],
         kmer_format=kmer_format, tie_budget=sizes.get("tie_budget", 0),
     )
+    n_db = mesh.shape["db"]
+    if route == "alltoall" and not a2a_budget:
+        # default: even split + 2x skew headroom, 1024-row floor
+        a2a_budget = max(1024, 2 * max_matches // max(n_db, 1))
+
+    def merge_and_tail(g, tot_counts, dt_l, min_depth_l, rl, extra_ov):
+        INT32_MAX = jnp.int32(2**31 - 1)
+        is_pad = g[0] == INT32_MAX
+        ham = (g[5] >> 3) & 0xFF
+        frame = jnp.where(is_pad, INT32_MAX, g[5] & 7)
+        if reduced:
+            k_dna = jnp.where(is_pad, INT32_MAX, g[3] ^ jnp.int32(-(2**31)))
+            keys = (g[0], g[1], frame, g[2],
+                    jnp.where(is_pad, INT32_MAX, ham), k_dna)
+        else:
+            keys = (g[0], g[1], frame, g[2],
+                    jnp.where(is_pad, INT32_MAX, (ham << 24) | g[3]))
+        merged = jax.lax.sort(
+            keys + (g[2], g[3], g[4], g[5]), num_keys=len(keys)
+        )
+        m_qid, m_species = merged[0], merged[1]
+        off = len(keys)
+        m_pos, m_dna, m_taxid, m_packed = merged[off:off + 4]
+        packed, ov_packed, counts = taxonomer_tail(
+            m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, tot_counts,
+            dt_l, min_depth_l, rl, **tail_kw,
+        )
+        counts = counts.at[2].set(counts[2] | (extra_ov << 8))
+        return packed, ov_packed, counts
 
     def local_step(db, t2s, dt_l, min_depth_l, rl, codes, lens, pos_off,
                    qid_off):
@@ -278,39 +321,57 @@ def build_sharded_fused(
             smer_len=smer_len, kmer_format=kmer_format, prefix_bits=pb,
         )
         s_qid, s_species, s_pos, s_dna, s_taxid, s_packed, cls_counts = s_cols
-        # merge the db axis: all_gather the sorted per-shard columns (ICI),
-        # then one sort restores the reference match order across shards
-        g = [jax.lax.all_gather(c, "db").reshape(-1)
-             for c in (s_qid, s_species, s_pos, s_dna, s_taxid, s_packed)]
         INT32_MAX = jnp.int32(2**31 - 1)
-        is_pad = g[0] == INT32_MAX
-        ham = (g[5] >> 3) & 0xFF
-        frame = jnp.where(is_pad, INT32_MAX, g[5] & 7)
-        if reduced:
-            k_dna = jnp.where(is_pad, INT32_MAX, g[3] ^ jnp.int32(-(2**31)))
-            keys = (g[0], g[1], frame, g[2],
-                    jnp.where(is_pad, INT32_MAX, ham), k_dna)
-        else:
-            keys = (g[0], g[1], frame, g[2],
-                    jnp.where(is_pad, INT32_MAX, (ham << 24) | g[3]))
-        merged = jax.lax.sort(
-            keys + (g[2], g[3], g[4], g[5]), num_keys=len(keys)
-        )
-        m_qid, m_species = merged[0], merged[1]
-        off = len(keys)
-        m_pos, m_dna, m_taxid, m_packed = merged[off:off + 4]
         gc = jax.lax.all_gather(cls_counts, "db")  # [n_db, 7]
         # total_kmers is per data ROW (every db shard saw the same reads)
         tot_counts = jnp.stack([
             gc[:, 0].sum(), gc[:, 1].sum(), gc[0, 2], gc[:, 3].sum(),
             gc[:, 4].sum(), gc[:, 5].sum(), gc[:, 6].sum(),
         ]).astype(jnp.int32)
-        packed, ov_packed, counts = taxonomer_tail(
-            m_qid, m_species, m_pos, m_dna, m_taxid, m_packed, tot_counts,
-            dt_l, min_depth_l, rl, **tail_kw,
-        )
-        return packed[None], ov_packed[None], counts[None]
+        cols = (s_qid, s_species, s_pos, s_dna, s_taxid, s_packed)
+        if route == "gather":
+            g = [jax.lax.all_gather(c, "db").reshape(-1) for c in cols]
+            packed, ov_packed, counts = merge_and_tail(
+                g, tot_counts, dt_l, min_depth_l, rl, jnp.int32(0))
+            return packed[None], ov_packed[None], counts[None]
 
+        # ---- all_to_all routing: reads are range-partitioned across the
+        # db axis; each shard's qid-sorted match columns are cut at the
+        # subset boundaries (contiguous segments -> n_db static dynamic
+        # slices), one all_to_all delivers every shard's segment for THIS
+        # rank's read subset.
+        R = codes.shape[0]
+        stride = -(-R // n_db)
+        cut = jnp.searchsorted(
+            s_qid, stride * jnp.arange(n_db + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        seg_len = cut[1:] - cut[:-1]
+        b2_ov = jnp.any(seg_len > a2a_budget).astype(jnp.int32)
+        stacked = jnp.stack(cols, axis=-1)                 # [M, 6]
+        pad_row = jnp.full((a2a_budget, 6), INT32_MAX, jnp.int32)
+        padded = jnp.concatenate(
+            [stacked, jnp.full((a2a_budget, 6), INT32_MAX, jnp.int32)])
+        del pad_row
+        blocks = []
+        idx = jnp.arange(a2a_budget, dtype=jnp.int32)
+        for j in range(n_db):
+            blk = jax.lax.dynamic_slice_in_dim(padded, cut[j], a2a_budget)
+            blk = jnp.where((idx < seg_len[j])[:, None], blk, INT32_MAX)
+            blocks.append(blk)
+        outbound = jnp.stack(blocks)                       # [n_db, B2, 6]
+        inbound = jax.lax.all_to_all(
+            outbound, "db", split_axis=0, concat_axis=0, tiled=False)
+        rows = inbound.reshape(n_db * a2a_budget, 6)
+        g = [rows[:, i] for i in range(6)]
+        # this rank's n_matches = its received subset rows (the summed
+        # per-shard counter covers the whole data row)
+        tot_counts = tot_counts.at[0].set(
+            jnp.sum((g[0] != INT32_MAX).astype(jnp.int32)))
+        packed, ov_packed, counts = merge_and_tail(
+            g, tot_counts, dt_l, min_depth_l, rl, b2_ov)
+        return packed[None, None], ov_packed[None, None], counts[None, None]
+
+    out_spec = P("data") if route == "gather" else P("data", "db")
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -320,7 +381,7 @@ def build_sharded_fused(
             P("data"),       # read lens (contiguous rows per data slice)
             P("data", None), P("data"), P("data"), P("data"),
         ),
-        out_specs=(P("data"), P("data"), P("data")),
+        out_specs=(out_spec, out_spec, out_spec),
         check_vma=False,
     )
     return jax.jit(fn)

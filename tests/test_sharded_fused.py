@@ -47,7 +47,8 @@ def _taxonomy(tmp_path):
         str(tmp_path / "merged.dmp"))
 
 
-def test_sharded_fused_equals_single_fused(tmp_path):
+@pytest.mark.parametrize("route", ["gather", "alltoall"])
+def test_sharded_fused_equals_single_fused(tmp_path, route):
     tax = _taxonomy(tmp_path)
     rng = np.random.default_rng(3)
     sp_nodes = [i for i in range(1, tax.n_nodes() + 1)
@@ -109,7 +110,7 @@ def test_sharded_fused_equals_single_fused(tmp_path):
     db, n_pad, iters = shard_index_aa_aligned(values, taxids, 2)
     step = build_sharded_fused(
         mesh, n_pad=n_pad, search_iters=iters, cap=16,
-        max_matches=max_matches, sizes=sizes,
+        max_matches=max_matches, sizes=sizes, route=route,
     )
     d_t2s = np.asarray(t2s, np.int32)
     packed, ovp, counts = step(
@@ -118,6 +119,29 @@ def test_sharded_fused_equals_single_fused(tmp_path):
     packed, ovp, counts = (np.asarray(packed), np.asarray(ovp),
                            np.asarray(counts))
     assert packed.shape[0] == n_data
+    n_db = mesh.shape["db"]
+
+    def drain_row(row):
+        """Row results; alltoall partitions reads across db ranks."""
+        if route == "gather":
+            got, ginfo = dtx.drain_fused(
+                (packed[row], ovp[row], counts[row], sizes), rl[:per_row],
+                per_row)
+            assert ginfo["tax_overflow"] == 0
+            return got, ginfo["n_matches"]
+        merged = [None] * per_row
+        n_matches = 0
+        stride = -(-per_row // n_db)
+        for rank in range(n_db):
+            got, ginfo = dtx.drain_fused(
+                (packed[row, rank], ovp[row, rank], counts[row, rank],
+                 sizes), rl[:per_row], per_row)
+            assert ginfo["tax_overflow"] == 0, f"rank {rank}"
+            n_matches += ginfo["n_matches"]
+            for q in range(rank * stride, min((rank + 1) * stride,
+                                              per_row)):
+                merged[q] = got[q]
+        return merged, n_matches
 
     # reference: single-device fused per data row
     index = build_dev_index(values, taxids)
@@ -134,11 +158,9 @@ def test_sharded_fused_equals_single_fused(tmp_path):
         )
         want, winfo = dtx.drain_fused(h, rl[sl], per_row)
         assert winfo["tax_overflow"] == 0
-        got, ginfo = dtx.drain_fused(
-            (packed[row], ovp[row], counts[row], sizes), rl[sl], per_row
-        )
-        assert ginfo["tax_overflow"] == 0
-        assert ginfo["n_matches"] == winfo["n_matches"], f"row {row}"
+        got, n_matches = drain_row(row)
+        if route == "gather":
+            assert n_matches == winfo["n_matches"], f"row {row}"
         for i, (a, b) in enumerate(zip(got, want)):
             assert a.is_classified == b.is_classified, f"row {row} read {i}"
             assert a.taxid == b.taxid, f"row {row} read {i}"
