@@ -222,11 +222,18 @@ def classify_distributed(
                 fused_budget = budget
                 mrl = (2 * _used_len(L) + 3) if q2 else _used_len(L)
                 fused_sizes = dtx.fused_sizes(per_row, fused_budget, mrl)
+                # route="gather": the drain below picks ONE addressable
+                # shard per data row, which requires db-invariant outputs;
+                # under route="alltoall" each db rank holds only its read
+                # subset's results and a multi-host process cannot address
+                # the other ranks' blocks. The alltoall route is for
+                # single-process meshes (bench / dryrun_multichip).
                 fused_step = build_sharded_fused(
                     mesh, n_pad=n_pad, search_iters=iters, cap=cap,
                     max_matches=fused_budget, sizes=fused_sizes,
                     reduced=bool(par.reduced_aa), syncmer=bool(par.syncmer),
                     smer_len=par.smer_len, kmer_format=par.kmer_format,
+                    route="gather",
                 )
 
             out_rows = []

@@ -1,18 +1,24 @@
 """Measure the COMPILED REFERENCE classifier's throughput on the bench world.
 
 VERDICT r4 asked for a *measured* `vs_baseline` divisor instead of the
-assumed 20k reads/s: this script writes the exact bench DB
-(bench.build_world + build_db + pad_with_decoys, 60.5M rows) in reference
-on-disk format (diffIdx/info/split via the byte-parity-tested writers in
-db/formats.py), samples the exact bench reads, and times
-tests/ref_oracle/classify_oracle (the reference's own Classifier stack,
-OpenMP) on them.
+assumed 20k reads/s: this script writes the exact bench DB of a bench.py
+configuration (default: the PRIMARY adversarial "skew" world, 60M rows)
+in reference on-disk format (diffIdx/info/split via the
+byte-parity-tested writers in db/formats.py), samples the exact bench
+reads, and times tests/ref_oracle/classify_oracle (the reference's own
+Classifier stack, OpenMP) on them.
 
 DB load time is excluded the same way bench.py excludes device staging:
 each thread count runs the oracle twice — once on the full read set, once
 on a small prefix — and reports the marginal rate
 (T_full - T_small) / (N_full - N_small), which cancels the constant
 DB-load + startup cost.
+
+BASELINE.json's target unit is one CPU *socket*; this host has 2 vCPUs,
+so the best per-core rate is scaled to a nominal 32-core socket assuming
+PERFECT linear scaling — optimistic for the reference (its merge join is
+memory-bound and sublinear in practice), i.e. conservative for
+vs_baseline.
 
 Writes BASELINE_MEASURED.json at the repo root; bench.py picks it up for
 `vs_baseline` when present.
@@ -23,7 +29,6 @@ import os
 import pathlib
 import subprocess
 import sys
-import tempfile
 import time
 
 import numpy as np
@@ -36,6 +41,8 @@ import bench  # noqa: E402
 from helpers import ref_oracle  # noqa: E402
 
 N_SMALL = 4096
+NOMINAL_SOCKET_CORES = 32
+CONFIG = os.environ.get("METABULI_BASELINE_CONFIG", "primary")
 
 
 def log(msg):
@@ -75,6 +82,9 @@ def write_reference_db(tmp, tax, values, taxids_internal):
 
 
 def run_oracle(binary, q, db, out, job, threads):
+    # the reference Reporter fopen()s into `out` unchecked and segfaults
+    # if the directory is absent (the CLI's FileUtil wrapper creates it)
+    os.makedirs(out, exist_ok=True)
     env = dict(os.environ, OMP_NUM_THREADS=str(threads))
     t0 = time.time()
     res = subprocess.run(
@@ -98,79 +108,71 @@ def main():
     binary = ref_oracle.build("classify_oracle")
     # persistent workdir: the 60M-row reference DB write costs ~1 min and
     # is bit-deterministic; reruns skip it
-    tmp = "/tmp/metabuli_baseline_world"
+    tmp = f"/tmp/metabuli_baseline_{CONFIG}_v{bench.BENCH_DB_VERSION}"
     os.makedirs(tmp, exist_ok=True)
-    if True:
-        tax, genomes, rng = bench.build_world(tmp)
-        cache = (f"/tmp/metabuli_bench_db_v{bench.BENCH_DB_VERSION}_"
-                 f"{bench.N_GENOMES}_{bench.N_DECOYS}.npz")
-        if os.path.exists(cache):
-            z = np.load(cache)
-            values, taxids = z["values"], z["taxids"]
-        else:
-            values, taxids, cap = bench.build_db(tax, genomes)
-            n_real = len(values)
-            species_internal = np.unique(
-                tax.species_of[np.asarray(taxids, np.int64)]).astype(np.int32)
-            values, taxids = bench.pad_with_decoys(
-                values, taxids, species_internal,
-                np.random.default_rng(12345), bench.N_DECOYS)
-            try:
-                np.savez(cache, values=values, taxids=taxids, cap=cap,
-                         n_real=n_real)
-            except OSError:
-                pass
-        reads = bench.sample_reads(genomes, rng)
-        if os.path.exists(os.path.join(tmp, "refdb", "diffIdx")):
-            db = os.path.join(tmp, "refdb")
-        else:
-            db = write_reference_db(tmp, tax, values, taxids)
-        qdir = pathlib.Path(tmp)
-        q_full = qdir / "reads_full.fna"
-        q_small = qdir / "reads_small.fna"
-        q_full.write_text("".join(
-            f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
-        q_small.write_text("".join(
-            f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads[:N_SMALL])))
+    tax, genomes, values, taxids, cap, n_real, reads = bench.prepare_world(
+        CONFIG)
+    if os.path.exists(os.path.join(tmp, "refdb", "diffIdx")):
+        db = os.path.join(tmp, "refdb")
+    else:
+        db = write_reference_db(tmp, tax, values, taxids)
+    qdir = pathlib.Path(tmp)
+    q_full = qdir / "reads_full.fna"
+    q_small = qdir / "reads_small.fna"
+    q_full.write_text("".join(
+        f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+    q_small.write_text("".join(
+        f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads[:N_SMALL])))
 
-        results = {}
-        ncpu = os.cpu_count()
-        for threads in sorted({1, ncpu}):
-            out = str(qdir / f"out{threads}")
-            t_small, _ = run_oracle(binary, str(q_small), db, out,
-                                    f"small{threads}", threads)
-            log(f"threads={threads}: {N_SMALL} reads in {t_small:.1f}s "
-                f"(incl. DB load)")
-            t_full, n_cls = run_oracle(binary, str(q_full), db, out,
-                                       f"full{threads}", threads)
-            n = len(reads)
-            rate = (n - N_SMALL) / max(t_full - t_small, 1e-9)
-            log(f"threads={threads}: {n} reads in {t_full:.1f}s; marginal "
-                f"{rate:.0f} reads/s; classified {n_cls} "
-                f"({100*n_cls/n:.1f}%)")
-            results[threads] = {
-                "t_small_s": round(t_small, 2),
-                "t_full_s": round(t_full, 2),
-                "marginal_reads_per_s": round(rate, 1),
-                "classified": n_cls,
-            }
-
-        out = {
-            "world": {"db_rows": int(len(values)), "n_reads": len(reads),
-                      "read_len": bench.READ_LEN},
-            "host": {"cpus": ncpu,
-                     "model": _cpu_model()},
-            "method": "marginal rate (T_full - T_small)/(N_full - N_small);"
-                      " cancels DB load + startup, matching bench.py's"
-                      " exclusion of device staging",
-            "oracle": "tests/ref_oracle/classify_oracle (reference"
-                      " Classifier stack, OpenMP)",
-            "threads": results,
-            "all_cores_reads_per_s": results[ncpu]["marginal_reads_per_s"],
+    results = {}
+    ncpu = os.cpu_count()
+    for threads in sorted({1, ncpu}):
+        out = str(qdir / f"out{threads}")
+        t_small, _ = run_oracle(binary, str(q_small), db, out,
+                                f"small{threads}", threads)
+        log(f"threads={threads}: {N_SMALL} reads in {t_small:.1f}s "
+            f"(incl. DB load)")
+        t_full, n_cls = run_oracle(binary, str(q_full), db, out,
+                                   f"full{threads}", threads)
+        n = len(reads)
+        rate = (n - N_SMALL) / max(t_full - t_small, 1e-9)
+        log(f"threads={threads}: {n} reads in {t_full:.1f}s; marginal "
+            f"{rate:.0f} reads/s; classified {n_cls} "
+            f"({100*n_cls/n:.1f}%)")
+        results[threads] = {
+            "t_small_s": round(t_small, 2),
+            "t_full_s": round(t_full, 2),
+            "marginal_reads_per_s": round(rate, 1),
+            "classified": n_cls,
         }
-        (ROOT / "BASELINE_MEASURED.json").write_text(
-            json.dumps(out, indent=1) + "\n")
-        print(json.dumps(out))
+
+    per_core = max(r["marginal_reads_per_s"] / t
+                   for t, r in results.items())
+    socket = per_core * NOMINAL_SOCKET_CORES
+    out = {
+        "config": CONFIG,
+        "world": {"db_rows": int(len(values)),
+                  "genome_rows": int(n_real),
+                  "cap": int(cap),
+                  "n_reads": len(reads),
+                  "read_len": bench.CONFIGS[CONFIG]["read_len"]},
+        "host": {"cpus": ncpu,
+                 "model": _cpu_model()},
+        "method": "marginal rate (T_full - T_small)/(N_full - N_small);"
+                  " cancels DB load + startup, matching bench.py's"
+                  " exclusion of device staging",
+        "oracle": "tests/ref_oracle/classify_oracle (reference"
+                  " Classifier stack, OpenMP)",
+        "threads": results,
+        "all_cores_reads_per_s": results[ncpu]["marginal_reads_per_s"],
+        "per_core_reads_per_s": round(per_core, 1),
+        "nominal_socket_cores": NOMINAL_SOCKET_CORES,
+        "socket_scaling": "perfect linear (reference-favoring)",
+        "socket_reads_per_s": round(socket, 1),
+    }
+    (ROOT / "BASELINE_MEASURED.json").write_text(
+        json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
 
 
 def _cpu_model():
