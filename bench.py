@@ -93,23 +93,30 @@ CONFIGS = {
 
 
 def measured_baseline():
-    """(divisor, provenance dict) for vs_baseline."""
+    """(divisor, provenance dict) for vs_baseline.
+
+    The divisor is the reference binary's MEASURED all-cores rate on this
+    host and this exact world/read set (VERDICT r4 ask #3). The per-core
+    rate and a perfect-linear extrapolation to a nominal 32-core socket
+    (the BASELINE.json unit; optimistic for the reference, whose join is
+    memory-bound) ride along as context fields."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     try:
         with open(path) as fh:
             m = json.load(fh)
-        return float(m["socket_reads_per_s"]), {
+        return float(m["all_cores_reads_per_s"]), {
             "source": "measured",
-            "socket_reads_per_s": m["socket_reads_per_s"],
+            "all_cores_reads_per_s": m["all_cores_reads_per_s"],
+            "host_cores": m.get("host", {}).get("cpus"),
             "per_core_reads_per_s": m.get("per_core_reads_per_s"),
-            "nominal_socket_cores": m.get("nominal_socket_cores"),
+            "socket_extrapolated_reads_per_s": m.get("socket_reads_per_s"),
             "world": m.get("config", "primary"),
         }
     except (OSError, KeyError, ValueError):
         return ASSUMED_BASELINE_READS_PER_S, {
             "source": "assumed",
-            "socket_reads_per_s": ASSUMED_BASELINE_READS_PER_S,
+            "all_cores_reads_per_s": ASSUMED_BASELINE_READS_PER_S,
         }
 
 
@@ -462,7 +469,7 @@ def run_config(config: str) -> dict:
     t0 = time.time()
     bm = classify_batch_indexed(
         index, d_t2s, *batches[0][:4],
-        cap=cap1, cap2=cap2, ov_budget=ovb_warm,
+        cap=cap1, cap2=cap2, ov_budget=ovb_warm, ovd_budget=ovb_warm,
         max_matches=max_matches, codes_packed=True,
         syncmer=c["syncmer"],
     )
@@ -471,8 +478,11 @@ def run_config(config: str) -> dict:
     seed_search_hints(dtx, index, values, n_queries)
     max_matches = adaptive_budget(m["n_matches"])
     ovb = quarter_pow2(int(m["n_ov"] * 1.3) + 8192) if cap2 else 0
+    ovdb = (quarter_pow2(int(m["n_ovd"] * 1.3) + 4096)
+            if cap2 and index.deep_w else 0)
     log(f"[{config}] warmup: n_matches {m['n_matches']}, n_ov {m['n_ov']},"
-        f" budgets: matches {max_matches}, ov {ovb}")
+        f" n_ovd {m['n_ovd']}, budgets: matches {max_matches}, ov {ovb},"
+        f" ovd {ovdb} (deep_w {index.deep_w})")
 
     def dispatch(b):
         codes, lens, offs, qids, n_chunk = b
@@ -482,24 +492,28 @@ def run_config(config: str) -> dict:
             cap=cap1, max_matches=max_matches,
             reduced=False, syncmer=c["syncmer"], smer_len=5, kmer_format=2,
             read_lens_by_qid=rl[:n_chunk],
-            cap2=cap2, cap_ov_budget=ovb, codes_packed=True,
+            cap2=cap2, cap_ov_budget=ovb, cap_ovd_budget=ovdb,
+            codes_packed=True,
         )
         return h, b
 
     def drain(h, b):
-        nonlocal max_matches, ovb
+        nonlocal max_matches, ovb, ovdb
         n_chunk = b[4]
         results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
         # relaunch on grid overflow (hints already folded in the
         # observed sizes) or match-budget overflow (budget regrows
         # from the true count)
         while results is None or info["n_matches"] > max_matches or (
-                ovb and info["n_ov_cap"] > ovb):
+                ovb and info["n_ov_cap"] > ovb) or (
+                ovdb and info["n_ovd"] > ovdb):
             log(f"overflow retry: {info}")
             if info["n_matches"] > max_matches:
                 max_matches = adaptive_budget(info["n_matches"])
             if ovb and info["n_ov_cap"] > ovb:
                 ovb = quarter_pow2(int(info["n_ov_cap"] * 1.3) + 8192)
+            if ovdb and info["n_ovd"] > ovdb:
+                ovdb = quarter_pow2(int(info["n_ovd"] * 1.3) + 4096)
             h, _ = dispatch(b)
             results, info = dtx.drain_fused(h, rl[:n_chunk], n_chunk)
         assert info["n_over_cap"] == 0, "cap retry needed"

@@ -171,6 +171,10 @@ class Classifier:
         self.cap1 = int(min(self.cap, max(1, params.small_cap)))
         self._ov_rows: int | None = None
         self._ov_budget_used = 0
+        # deep-tier (aligned-group) routing list, active when the device
+        # index aligned deep groups (DevIndex.deep_w)
+        self._ovd_rows: int | None = None
+        self._ovd_budget_used = 0
         self.stats = {"matches": 0, "kmers": 0, "reads": 0, "device_s": 0.0, "tax_s": 0.0}
         # sticky fused-taxonomer grid escalation (applies to later batches)
         self._fused_pmax = 16
@@ -317,7 +321,14 @@ class Classifier:
                 self._ov_rows if self._ov_rows is not None
                 else max(1024, n_windows // 32)
             )
+        ovd_budget = 0
+        if cap2 and getattr(self.dev_index, "deep_w", 0):
+            ovd_budget = _pow2_round(
+                self._ovd_rows if self._ovd_rows is not None
+                else max(1024, n_windows // 32)
+            )
         self._ov_budget_used = ov_budget
+        self._ovd_budget_used = ovd_budget
         return classify_batch_indexed(
             self.dev_index, self.d_species, *args,
             cap=cap, max_matches=budget,
@@ -327,7 +338,7 @@ class Classifier:
             kmer_format=par.kmer_format,
             sort_device=self._sort_device,
             pack4=self._pack4,
-            cap2=cap2, ov_budget=ov_budget,
+            cap2=cap2, ov_budget=ov_budget, ovd_budget=ovd_budget,
         )
 
     def _launch_fused(self, args, cap, budget, n_reads, max_read_len,
@@ -344,7 +355,14 @@ class Classifier:
                 self._ov_rows if self._ov_rows is not None
                 else max(1024, n_windows // 32)
             )
+        ovd_budget = 0
+        if cap2 and getattr(self.dev_index, "deep_w", 0):
+            ovd_budget = _pow2_round(
+                self._ovd_rows if self._ovd_rows is not None
+                else max(1024, n_windows // 32)
+            )
         self._ov_budget_used = ov_budget
+        self._ovd_budget_used = ovd_budget
         return self.device_taxonomer.dispatch_fused(
             self.dev_index, self.d_species, *args,
             n_reads=n_reads, max_read_len=max_read_len,
@@ -353,6 +371,7 @@ class Classifier:
             smer_len=par.smer_len, kmer_format=par.kmer_format,
             read_lens_by_qid=read_lens, p_max=p_max, scale=scale,
             cap2=cap2, cap_ov_budget=ov_budget,
+            cap_ovd_budget=ovd_budget,
         )
 
     def _drain_fused(self, ctx):
@@ -371,6 +390,8 @@ class Classifier:
             if info.get("n_ov_cap", 0) > self._ov_budget_used > 0:
                 # tier-2 routing list overflowed: retry with a bigger one
                 self._ov_rows = int(info["n_ov_cap"] * 1.3) + 1024
+            elif info.get("n_ovd", 0) > self._ovd_budget_used > 0:
+                self._ovd_rows = int(info["n_ovd"] * 1.3) + 1024
             elif info["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif info["n_matches"] > budget:
@@ -417,9 +438,12 @@ class Classifier:
             counts = np.asarray(bm.counts)
             n_matches, n_over_cap = int(counts[0]), int(counts[1])
             n_ov = int(counts[3]) if counts.shape[0] > 3 else 0
+            n_ovd = int(counts[7]) if counts.shape[0] > 7 else 0
             if n_ov > self._ov_budget_used > 0:
                 # tier-2 routing list overflowed: retry with a bigger one
                 self._ov_rows = int(n_ov * 1.3) + 1024
+            elif n_ovd > self._ovd_budget_used > 0:
+                self._ovd_rows = int(n_ovd * 1.3) + 1024
             elif n_over_cap > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif n_matches > budget:
@@ -436,6 +460,8 @@ class Classifier:
         self._obs_ratio = max(self._obs_ratio or 0.0, ratio)
         if self._ov_budget_used:
             self._ov_rows = max(self._ov_rows or 0, n_ov)
+        if self._ovd_budget_used:
+            self._ovd_rows = max(self._ovd_rows or 0, n_ovd)
         return fetch
 
     def _finish_fetch(self, fetch):
@@ -471,6 +497,8 @@ class Classifier:
             if m.get("n_ov", 0) > self._ov_budget_used > 0:
                 # tier-2 routing list overflowed: retry with a bigger one
                 self._ov_rows = int(m["n_ov"] * 1.3) + 1024
+            elif m.get("n_ovd", 0) > self._ovd_budget_used > 0:
+                self._ovd_rows = int(m["n_ovd"] * 1.3) + 1024
             elif m["n_over_cap"] > 0 and self.cap < self.index.max_group:
                 self.cap = min(self.index.max_group, self.cap * 4)
             elif m["n_matches"] > budget:
@@ -499,6 +527,9 @@ class Classifier:
         self._obs_ratio = max(self._obs_ratio or 0.0, ratio)
         if self._ov_budget_used:
             self._ov_rows = max(self._ov_rows or 0, int(m.get("n_ov", 0)))
+        if self._ovd_budget_used:
+            self._ovd_rows = max(self._ovd_rows or 0,
+                                 int(m.get("n_ovd", 0)))
         return m
 
     # --------------------------------------------------------------- taxonomy

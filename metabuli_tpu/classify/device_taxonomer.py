@@ -88,7 +88,8 @@ INT32_MAX = np.int32(2**31 - 1)  # np literal: a module-level jax scalar takes t
         "n_db", "search_iters", "cap", "max_matches", "reduced", "syncmer",
         "smer_len", "kmer_format", "prefix_bits", "cap2", "cap_ov_budget",
         "packed_search", "direct_bits", "hit_budget", "sovf_budget",
-        "direct2_bits", "resid_budget", "codes_packed",
+        "direct2_bits", "resid_budget", "codes_packed", "deep_w",
+        "cap_ovd_budget",
         # taxonomer statics
         "path_budget", "g_budget", "max_rows", "taxcnt_budget", "dna_shift",
         "p_max", "n_blocks", "w", "k", "max_shift", "ov_budget",
@@ -106,7 +107,7 @@ def _fused_classify_tax(
     max_rows, taxcnt_budget, dna_shift, p_max, n_blocks, w, k, max_shift,
     ov_budget, packed_search=False, direct_bits=0, hit_budget=0,
     sovf_budget=0, direct2_bits=0, resid_budget=0, codes_packed=False,
-    tie_budget=0,
+    tie_budget=0, deep_w=0, cap_ovd_budget=0,
 ):
     """One device program: encoded reads -> per-(read, species) combined
     scores + per-(read, species, taxid) quotient-count rows.
@@ -129,7 +130,8 @@ def _fused_classify_tax(
             packed_search=packed_search, direct_bits=direct_bits,
             hit_budget=hit_budget, sovf_budget=sovf_budget,
             direct2_bits=direct2_bits, resid_budget=resid_budget,
-            codes_packed=codes_packed,
+            codes_packed=codes_packed, deep_w=deep_w,
+            ovd_budget=cap_ovd_budget,
         )
     )
     packed, ov_packed, counts = taxonomer_tail(
@@ -148,6 +150,7 @@ def _fused_classify_tax(
         s_ov = (
             (cls_counts[4] > hit_budget) | (cls_counts[5] > sovf_budget)
             | (cls_counts[6] > (resid_budget or (1 << 30)))
+            | (cls_counts[7] > (cap_ovd_budget or (1 << 30)))
         ).astype(jnp.int32)
         counts = counts.at[2].set(counts[2] | (s_ov << 6))
     return packed, ov_packed, counts
@@ -247,6 +250,7 @@ def taxonomer_tail(
         cls_counts[4], cls_counts[5],   # direct-search hit / overflow
         qres.n_ties,
         cls_counts[6],                  # dmap2 double-collision residuals
+        cls_counts[7],                  # deep-tier (aligned) overflow rows
     ])
     # ONE packed int32 output: every routinely-fetched tensor concatenated
     # at static offsets (the tunnel pays a ~25ms round trip PER fetched
@@ -473,7 +477,8 @@ class DeviceTaxonomer:
                        syncmer: bool, smer_len: int, kmer_format: int,
                        read_lens_by_qid: np.ndarray, p_max: int = 16,
                        scale: int = 1, cap2: int = 0,
-                       cap_ov_budget: int = 0, codes_packed=None):
+                       cap_ov_budget: int = 0, codes_packed=None,
+                       cap_ovd_budget: int = 0):
         """Launch the fused classify+taxonomer program (async).
 
         ``codes_packed=True`` marks ``codes`` as already nibble-packed
@@ -489,7 +494,8 @@ class DeviceTaxonomer:
             cap_ov_budget=cap_ov_budget,
             packed_search=index.packed_search,
             direct_bits=index.direct_bits,
-            direct2_bits=index.direct2_bits, **sizes,
+            direct2_bits=index.direct2_bits, deep_w=index.deep_w,
+            cap_ovd_budget=cap_ovd_budget, **sizes,
         )
         rl = np.zeros(max(n_reads, 1), np.int32)
         rl[: len(read_lens_by_qid)] = read_lens_by_qid
@@ -552,6 +558,7 @@ class DeviceTaxonomer:
             "n_sovf": int(counts[12]) if counts.shape[0] > 12 else 0,
             "n_ties": int(counts[13]) if counts.shape[0] > 13 else 0,
             "n_sovf2": int(counts[14]) if counts.shape[0] > 14 else 0,
+            "n_ovd": int(counts[15]) if counts.shape[0] > 15 else 0,
         }
         # observed stats feed the sticky hints so overflow retries (and
         # later batches) compile right-sized programs

@@ -54,6 +54,15 @@ AA_PERM_MULT = 0x9E3779B97F4A7C15
 # ONE-u64-gather probe resolves nearly every direct-map overflow.
 AA_PERM_MULT2 = 0xC2B2AE3D27D4EB4F
 
+# Groups deeper than DEEP_T rows are aligned to DevIndex.deep_w-row
+# boundaries at index build so the deep candidate tier fetches each
+# query's whole group with ONE row descriptor (see DevIndex.deep_w).
+DEEP_T = 16
+# Alignment is skipped above this depth: a deeper-than-512 group would
+# need multi-row fetches and a 512-wide flat emission per query; such
+# tables fall back to the scattered cap2 gather.
+DEEP_W_MAX = 512
+
 
 def _mod_inverse_pow2(mult: int, bits: int) -> int:
     """Inverse of an odd multiplier mod 2^bits (Newton iteration)."""
@@ -183,6 +192,16 @@ class DevIndex(NamedTuple):
     # u64 gather; only its own double collisions (more2) fall back to the
     # bucketed binary search over a small compacted residual list.
     direct2_bits: int = 0
+    # 0 = no aligned deep groups; nonzero = the deep-group row width W
+    # (pow2). Groups deeper than DEEP_T rows are PADDED so their start is
+    # W-aligned and the whole group fits one W-row: the deep tier then
+    # fetches all candidates of a query with ONE row descriptor from the
+    # d48 table viewed as [n/W, W] — HBM gathers are descriptor-bound
+    # (~14 ns/descriptor nearly independent of row width, PERF.md), so
+    # this replaces `depth` scattered fetches per deep-group query with
+    # one. Padding rows are invisible: group (start, cnt) windows never
+    # include them.
+    deep_w: int = 0
 
 
 def rest_bits(reduced: bool, prefix_bits: int = PREFIX_BITS) -> int:
@@ -239,6 +258,8 @@ def build_dev_index(
     reduced: bool = False,
 ) -> DevIndex:
     """Split + bucket the sorted u64 table for the 32-bit search path."""
+    import os as _os
+
     n = len(values)
     aa_shift = 32 if reduced else 24
     aa_bits = 32 if reduced else 40
@@ -248,17 +269,54 @@ def build_dev_index(
         new_g[1:] = aa[1:] != aa[:-1]
     starts = np.nonzero(new_g)[0]
     n_groups = len(starts)
+    group_aa = aa[starts]
+    depth = np.append(starts[1:], n) - starts
+
+    # ---- deep-group alignment (see DevIndex.deep_w): pad the row arrays
+    # so every group deeper than DEEP_T starts on a deep_w boundary and
+    # fits one deep_w-row. Group structures below are derived from the
+    # UNPADDED group list plus a per-group shift, so padding rows are
+    # structurally invisible (no phantom groups; (start, cnt) windows
+    # exclude them).
+    deep_w = 0
+    max_group_raw = int(depth.max()) if n_groups else 1
+    if (not reduced and n_groups and DEEP_T < max_group_raw <= DEEP_W_MAX
+            and not _os.environ.get("METABULI_TPU_NO_DEEP_ALIGN")):
+        deep_w = 1 << int(np.ceil(np.log2(max_group_raw)))
+        deep_idx = np.nonzero(depth > DEEP_T)[0]
+        pts, cur = [], 0
+        for gi in deep_idx:  # a few thousand deep groups: host loop is fine
+            pad = -(int(starts[gi]) + cur) % deep_w
+            cur += pad
+            if pad:
+                pts.append((int(gi), cur))
+        shift = np.zeros(n_groups, np.int64)
+        if pts:
+            idxs = np.array([p[0] for p in pts], np.int64)
+            vals = np.array([p[1] for p in pts], np.int64)
+            pos = np.searchsorted(idxs, np.arange(n_groups), side="right") - 1
+            shift = np.where(pos >= 0, vals[np.maximum(pos, 0)], 0)
+        n_new = -(-(n + cur) // deep_w) * deep_w  # whole rows for the 2D view
+        new_pos = np.arange(n, dtype=np.int64) + np.repeat(shift, depth)
+        values_p = np.zeros(n_new, np.uint64)
+        values_p[new_pos] = values
+        taxids_p = np.zeros(n_new, np.int32)
+        taxids_p[new_pos] = np.ascontiguousarray(taxids, np.int32)
+        values, taxids = values_p, taxids_p
+        starts = starts + shift
+        n = n_new
+
     pb = pick_prefix_bits(max(n_groups, 1))
     rb = rest_bits(reduced, pb)
     if n_groups:
         from ..native.sort import argsort_pair
 
-        pi = aa_permute(aa[starts], aa_bits)
+        pi = aa_permute(group_aa, aa_bits)
         order = argsort_pair(pi)
         pi_s = pi[order]
         grest = (pi_s & np.uint64((1 << rb) - 1)).astype(np.int32)
         gstart = starts[order].astype(np.int32)
-        gend = np.append(starts[1:], n)[order].astype(np.int32)
+        gend = (starts + depth)[order].astype(np.int32)
         gbuckets = (pi_s >> np.uint64(rb)).astype(np.int64)
     else:  # degenerate empty table: one unreachable group
         grest = np.full(1, -1, np.int32)
@@ -282,8 +340,6 @@ def build_dev_index(
     #     wider rest tags their smaller prefix_bits imply.
     start_bits = max(1, int(np.ceil(np.log2(n + 1)))) if n else 1
     rb_fits = rest_bits(reduced, pb) + start_bits + 16 <= 64
-    import os as _os
-
     packed = (
         not reduced
         and not _os.environ.get("METABULI_TPU_NO_PACKED_SEARCH")
@@ -415,6 +471,7 @@ def build_dev_index(
         packed_search=start_bits if packed else 0,
         direct_bits=direct_bits,
         direct2_bits=direct2_bits,
+        deep_w=deep_w if packed else 0,
     )
 
 
@@ -458,6 +515,8 @@ def _classify_core(
     direct2_bits: int = 0,
     resid_budget: int = 0,
     codes_packed: bool = False,
+    deep_w: int = 0,
+    ovd_budget: int = 0,
 ):
     """Traceable core: encoded reads -> sorted match columns (on device).
 
@@ -793,7 +852,21 @@ def _classify_core(
         idx_c, keep, hsum, h16, _ = tier(
             starts_r, ends_r, activer, cap, d48lo_r, d48hi_r, None, fwd_r
         )
-        over = activer & (starts_r + cap < ends_r)
+        over_all = activer & (starts_r + cap < ends_r)
+        # deep tier: groups deeper than DEEP_T were aligned at index build
+        # (DevIndex.deep_w) — ONE row descriptor fetches a query's whole
+        # candidate window; the scattered cap2 gather handles only the
+        # medium (cap, DEEP_T] groups
+        deep_mode = bool(deep_w) and two_tier and ovd_budget > 0
+        n_ovd = jnp.int32(0)
+        if deep_mode:
+            cnt_r = ends_r - starts_r
+            over = over_all & (cnt_r <= DEEP_T)
+            overd = over_all & (cnt_r > DEEP_T)
+            cap2_eff = min(cap2, DEEP_T)
+        else:
+            over = over_all
+            cap2_eff = cap2
         if two_tier:
             ovp = jnp.cumsum(over.astype(jnp.int32)) - 1
             n_ov = ovp[-1] + 1
@@ -808,34 +881,80 @@ def _classify_core(
             start2 = jnp.where(ov_pad, 0, starts_r[ov_safe])
             gend2 = jnp.where(ov_pad, 0, ends_r[ov_safe])
             idx2_c, keep2, hsum2, h16_2, _ = tier(
-                start2, gend2, ~ov_pad, cap2,
+                start2, gend2, ~ov_pad, cap2_eff,
                 d48lo_r[ov_safe], d48hi_r[ov_safe], None, fwd_r[ov_safe]
             )
-            keep = keep & ~over[:, None]
-            over2 = ~ov_pad & (start2 + cap2 < gend2)
+            keep = keep & ~over_all[:, None]
+            over2 = ~ov_pad & (start2 + cap2_eff < gend2)
             n_over_cap = jnp.sum(over2.astype(jnp.int32))
-            flat_keep = jnp.concatenate(
-                [keep.reshape(-1), keep2.reshape(-1)]
-            )
-            flat_pay = jnp.concatenate([
+            flat_keeps = [keep.reshape(-1), keep2.reshape(-1)]
+            flat_pays = [
                 payw(h16, hsum, frame_r).reshape(-1),
                 payw(h16_2, hsum2, frame_r[ov_safe]).reshape(-1),
-            ])
-            flat_midx = jnp.concatenate(
-                [idx_c.reshape(-1), idx2_c.reshape(-1)]
-            )
+            ]
+            flat_midxs = [idx_c.reshape(-1), idx2_c.reshape(-1)]
 
             def b1(x):
                 return jnp.broadcast_to(x[:, None], (NC, cap)).reshape(-1)
 
             def b2(x):
                 return jnp.broadcast_to(
-                    x[ov_safe][:, None], (ov_budget, cap2)
+                    x[ov_safe][:, None], (ov_budget, cap2_eff)
                 ).reshape(-1)
 
-            flat_qid = jnp.concatenate([b1(qid_r), b2(qid_r)])
-            flat_pos = jnp.concatenate([b1(pos_r), b2(pos_r)])
-            total_slots = NC * cap + ov_budget * cap2
+            flat_qids = [b1(qid_r), b2(qid_r)]
+            flat_poss = [b1(pos_r), b2(pos_r)]
+            total_slots = NC * cap + ov_budget * cap2_eff
+            if deep_mode:
+                ovdp = jnp.cumsum(overd.astype(jnp.int32)) - 1
+                n_ovd = ovdp[-1] + 1
+                scd = jnp.where(overd & (ovdp < ovd_budget), ovdp,
+                                jnp.int32(ovd_budget))
+                ovd_idx = (
+                    jnp.full(ovd_budget, NC, jnp.int32)
+                    .at[scd].set(jnp.arange(NC, dtype=jnp.int32),
+                                 mode="drop")
+                )
+                ovd_pad = ovd_idx >= NC
+                ovd_safe = jnp.minimum(ovd_idx, NC - 1)
+                startd = jnp.where(ovd_pad, 0, starts_r[ovd_safe])
+                gendd = jnp.where(ovd_pad, 0, ends_r[ovd_safe])
+                lw = deep_w.bit_length() - 1
+                dd = db_d48.reshape(-1, deep_w)[startd >> lw]
+                cols = jnp.arange(deep_w, dtype=jnp.int32)
+                same_aad = (cols[None, :] < (gendd - startd)[:, None]) \
+                    & ~ovd_pad[:, None]
+                hsumd, h_fwdd, h_revd = hamming_dna48_split(
+                    d48lo_r[ovd_safe][:, None], d48hi_r[ovd_safe][:, None],
+                    bc32(dd & jnp.uint64(0xFFFFFFFF)),
+                    bc32(dd >> jnp.uint64(32)),
+                )
+                hsumd_m = jnp.where(same_aad, hsumd, jnp.int32(255))
+                cutd = jnp.minimum(jnp.min(hsumd_m, axis=1) * 2, 7)
+                keepd = same_aad & (hsumd_m <= cutd[:, None])
+                h16d = jnp.where(fwd_r[ovd_safe][:, None], h_fwdd, h_revd)
+                idxd_c = jnp.minimum(startd[:, None] + cols[None, :],
+                                     n_safe)
+                n_over_cap = n_over_cap + jnp.sum(
+                    (~ovd_pad & (gendd - startd > deep_w)).astype(jnp.int32))
+                flat_keeps.append(keepd.reshape(-1))
+                flat_pays.append(
+                    payw(h16d, hsumd, frame_r[ovd_safe]).reshape(-1))
+                flat_midxs.append(idxd_c.reshape(-1))
+
+                def b3(x):
+                    return jnp.broadcast_to(
+                        x[ovd_safe][:, None], (ovd_budget, deep_w)
+                    ).reshape(-1)
+
+                flat_qids.append(b3(qid_r))
+                flat_poss.append(b3(pos_r))
+                total_slots += ovd_budget * deep_w
+            flat_keep = jnp.concatenate(flat_keeps)
+            flat_pay = jnp.concatenate(flat_pays)
+            flat_midx = jnp.concatenate(flat_midxs)
+            flat_qid = jnp.concatenate(flat_qids)
+            flat_pos = jnp.concatenate(flat_poss)
         else:
             n_ov = jnp.int32(0)
             n_over_cap = jnp.sum(over.astype(jnp.int32))
@@ -854,6 +973,7 @@ def _classify_core(
       n_hits1 = jnp.int32(0)
       n_sovf = jnp.int32(0)
       n_resid = jnp.int32(0)
+      n_ovd = jnp.int32(0)
       start, gend, hit = search_groups(q_values, q_valid)
 
       # ---- tier 1: small cap for every query
@@ -863,7 +983,17 @@ def _classify_core(
           q_lo if reduced else None, fwd_q,
       )
       # overflow: the equal-AA group extends past the cap window
-      over = start + cap < gend
+      over_all = start + cap < gend
+      deep_mode = (bool(deep_w) and two_tier and ovd_budget > 0
+                   and not reduced)
+      if deep_mode:
+          cnt_q = gend - start
+          over = over_all & (cnt_q <= DEEP_T)
+          overd = over_all & (cnt_q > DEEP_T)
+          cap2_eff = min(cap2, DEEP_T)
+      else:
+          over = over_all
+          cap2_eff = cap2
 
       if two_tier:
         # compact the overflowed queries and re-gather them at cap2; their
@@ -880,7 +1010,7 @@ def _classify_core(
         start2 = jnp.where(ov_pad, 0, start[ov_safe])
         gend2 = jnp.where(ov_pad, 0, gend[ov_safe])
         idx2_c, keep2, hsum2, h16_2, t_dna2 = tier(
-            start2, gend2, ~ov_pad, cap2,
+            start2, gend2, ~ov_pad, cap2_eff,
             None if reduced else q_d48lo[ov_safe],
             None if reduced else q_d48hi[ov_safe],
             q_lo[ov_safe] if reduced else None,
@@ -892,31 +1022,79 @@ def _classify_core(
 
       pay1 = payw(h16, hsum, q_frame)
       if two_tier:
-        keep = keep & ~over[:, None]
+        keep = keep & ~over_all[:, None]
         # true overflow at cap2 (drives the cap retry ladder)
-        over2 = ~ov_pad & (start2 + cap2 < gend2)
+        over2 = ~ov_pad & (start2 + cap2_eff < gend2)
         n_over_cap = jnp.sum(over2.astype(jnp.int32))
-        flat_keep = jnp.concatenate([keep.reshape(-1), keep2.reshape(-1)])
-        flat_pay = jnp.concatenate([
+        flat_keeps = [keep.reshape(-1), keep2.reshape(-1)]
+        flat_pays = [
             pay1.reshape(-1),
             payw(h16_2, hsum2, q_frame[ov_safe]).reshape(-1),
-        ])
-        flat_midx = jnp.concatenate(
-            [idx_c.reshape(-1), idx2_c.reshape(-1)]
-        )
+        ]
+        flat_midxs = [idx_c.reshape(-1), idx2_c.reshape(-1)]
 
         def slots2(x):
             return jnp.broadcast_to(
-                x[ov_safe][:, None], (ov_budget, cap2)
+                x[ov_safe][:, None], (ov_budget, cap2_eff)
             ).reshape(-1)
 
-        flat_qid = jnp.concatenate([slots1(q_qid), slots2(q_qid)])
-        flat_pos = jnp.concatenate([slots1(q_pos), slots2(q_pos)])
+        flat_qids = [slots1(q_qid), slots2(q_qid)]
+        flat_poss = [slots1(q_pos), slots2(q_pos)]
+        total_slots = Q * cap + ov_budget * cap2_eff
+        if deep_mode:
+            # deep tier: aligned groups, ONE row descriptor per query
+            # (see the direct-mode branch / DevIndex.deep_w)
+            ovdp = jnp.cumsum(overd.astype(jnp.int32)) - 1
+            n_ovd = ovdp[-1] + 1
+            scd = jnp.where(overd & (ovdp < ovd_budget), ovdp,
+                            jnp.int32(ovd_budget))
+            ovd_idx = (
+                jnp.full(ovd_budget, Q, jnp.int32)
+                .at[scd].set(jnp.arange(Q, dtype=jnp.int32), mode="drop")
+            )
+            ovd_pad = ovd_idx >= Q
+            ovd_safe = jnp.minimum(ovd_idx, Q - 1)
+            startd = jnp.where(ovd_pad, 0, start[ovd_safe])
+            gendd = jnp.where(ovd_pad, 0, gend[ovd_safe])
+            lw = deep_w.bit_length() - 1
+            dd = db_d48.reshape(-1, deep_w)[startd >> lw]
+            cols = jnp.arange(deep_w, dtype=jnp.int32)
+            same_aad = (cols[None, :] < (gendd - startd)[:, None]) \
+                & ~ovd_pad[:, None]
+            hsumd, h_fwdd, h_revd = hamming_dna48_split(
+                q_d48lo[ovd_safe][:, None], q_d48hi[ovd_safe][:, None],
+                bc32(dd & jnp.uint64(0xFFFFFFFF)),
+                bc32(dd >> jnp.uint64(32)),
+            )
+            hsumd_m = jnp.where(same_aad, hsumd, jnp.int32(255))
+            cutd = jnp.minimum(jnp.min(hsumd_m, axis=1) * 2, 7)
+            keepd = same_aad & (hsumd_m <= cutd[:, None])
+            h16d = jnp.where(fwd_q[ovd_safe][:, None], h_fwdd, h_revd)
+            idxd_c = jnp.minimum(startd[:, None] + cols[None, :], n_safe)
+            n_over_cap = n_over_cap + jnp.sum(
+                (~ovd_pad & (gendd - startd > deep_w)).astype(jnp.int32))
+            flat_keeps.append(keepd.reshape(-1))
+            flat_pays.append(
+                payw(h16d, hsumd, q_frame[ovd_safe]).reshape(-1))
+            flat_midxs.append(idxd_c.reshape(-1))
+
+            def slots3(x):
+                return jnp.broadcast_to(
+                    x[ovd_safe][:, None], (ovd_budget, deep_w)
+                ).reshape(-1)
+
+            flat_qids.append(slots3(q_qid))
+            flat_poss.append(slots3(q_pos))
+            total_slots += ovd_budget * deep_w
+        flat_keep = jnp.concatenate(flat_keeps)
+        flat_pay = jnp.concatenate(flat_pays)
+        flat_midx = jnp.concatenate(flat_midxs)
+        flat_qid = jnp.concatenate(flat_qids)
+        flat_pos = jnp.concatenate(flat_poss)
         if reduced:
             flat_dna = jnp.concatenate(
                 [t_dna.reshape(-1), t_dna2.reshape(-1)]
             )
-        total_slots = Q * cap + ov_budget * cap2
       else:
         n_ov = jnp.int32(0)
         n_over_cap = jnp.sum(over.astype(jnp.int32))
@@ -992,7 +1170,7 @@ def _classify_core(
     )
     counts = jnp.stack(
         (n_matches, n_over_cap, jnp.sum(q_valid.astype(jnp.int32)), n_ov,
-         n_hits1, n_sovf, n_resid)
+         n_hits1, n_sovf, n_resid, n_ovd)
     ).astype(jnp.int32)
     if not sort_device:
         # compaction order is already read-grouped with padding at the
@@ -1034,6 +1212,7 @@ def _classify_core(
         "smer_len", "kmer_format", "sort_device", "pack4", "prefix_bits",
         "cap2", "ov_budget", "packed_search", "direct_bits", "hit_budget",
         "sovf_budget", "direct2_bits", "resid_budget", "codes_packed",
+        "deep_w", "ovd_budget",
     ),
 )
 def _classify_batch_impl(
@@ -1061,6 +1240,8 @@ def _classify_batch_impl(
     direct2_bits: int = 0,
     resid_budget: int = 0,
     codes_packed: bool = False,
+    deep_w: int = 0,
+    ovd_budget: int = 0,
 ) -> BatchMatches:
     s_qid, _, s_pos, s_dna, s_taxid, s_packed, counts = _classify_core(
         db, tax2species,
@@ -1072,7 +1253,7 @@ def _classify_batch_impl(
         packed_search=packed_search, direct_bits=direct_bits,
         hit_budget=hit_budget, sovf_budget=sovf_budget,
         direct2_bits=direct2_bits, resid_budget=resid_budget,
-        codes_packed=codes_packed,
+        codes_packed=codes_packed, deep_w=deep_w, ovd_budget=ovd_budget,
     )
     if pack4:
         # 4-word transfer layout (standard alphabet, qid < 2^14):
@@ -1109,6 +1290,7 @@ def classify_batch_indexed(
     sovf_budget: int = 0,
     resid_budget: int = 0,
     codes_packed: bool = False,
+    ovd_budget: int = 0,
 ) -> BatchMatches:
     return _classify_batch_impl(
         index.db, tax2species,
@@ -1121,6 +1303,7 @@ def classify_batch_indexed(
         direct_bits=index.direct_bits, hit_budget=hit_budget,
         sovf_budget=sovf_budget, direct2_bits=index.direct2_bits,
         resid_budget=resid_budget, codes_packed=codes_packed,
+        deep_w=index.deep_w, ovd_budget=ovd_budget,
     )
 
 
@@ -1314,5 +1497,6 @@ def _unpack_match_data(
     out["n_hits"] = int(counts[4]) if counts.shape[0] > 4 else 0
     out["n_sovf"] = int(counts[5]) if counts.shape[0] > 5 else 0
     out["n_sovf2"] = int(counts[6]) if counts.shape[0] > 6 else 0
+    out["n_ovd"] = int(counts[7]) if counts.shape[0] > 7 else 0
     out["sorted"] = sorted_rows
     return out
