@@ -121,17 +121,33 @@ def combine_paths(
     occ = win < gend[None, :]                           # [P, G]
     win_c = jnp.minimum(win, M - 1)
 
-    def grid(x, fill, dtype):
-        v = x[win_c].astype(dtype)
+    # ONE row gather instead of six scalar gathers: TPU HBM gathers are
+    # descriptor-bound, and a [M, 8]-table row fetch brings all six path
+    # fields per descriptor at near-bandwidth (same effect as the
+    # deep-group aligned tier, pipeline.py) — the scalar formulation paid
+    # ~6x the descriptors for the same [P, G] grids.
+    tab = jnp.stack(
+        (s_start, s_end,
+         jax.lax.bitcast_convert_type(s_score, jnp.int32),
+         s_ham, s_sh16, s_eh16,
+         jnp.zeros_like(s_start), jnp.zeros_like(s_start)),
+        axis=1,
+    )                                                   # [M, 8]
+    rows = tab[win_c]                                   # [P, G, 8]
+
+    def grid(col, fill, dtype):
+        v = rows[..., col]
+        if dtype == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
         return jnp.where(occ, v, fill)
 
     G_occ = occ
-    G_start = grid(s_start, 0, jnp.int32)
-    G_end = grid(s_end, -1, jnp.int32)
-    G_score = grid(s_score, 0, jnp.float32)
-    G_ham = grid(s_ham, 0, jnp.int32)
-    G_sh16 = grid(s_sh16, 0, jnp.int32)
-    G_eh16 = grid(s_eh16, 0, jnp.int32)
+    G_start = grid(0, 0, jnp.int32)
+    G_end = grid(1, -1, jnp.int32)
+    G_score = grid(2, 0, jnp.float32)
+    G_ham = grid(3, 0, jnp.int32)
+    G_sh16 = grid(4, 0, jnp.int32)
+    G_eh16 = grid(5, 0, jnp.int32)
     gs_c = jnp.minimum(gstart, M - 1)
     group_valid = run_len > 0
     group_read = jnp.where(group_valid, s_read[gs_c], big)

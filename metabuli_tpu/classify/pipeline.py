@@ -690,30 +690,6 @@ def _classify_core(
         qid_offsets[:, None, None], (B, 6, W)
     ).reshape(-1)                                               # [Q]
 
-    # (qid, pos) of any slot are ALU-derivable from the slot id plus three
-    # per-READ scalars (a [B] table, not [Q]): slot -> (b, f, w) by
-    # div/mod, pos = frame_begin(lens[b]%3, f) + 3w + pos_offsets[b]
-    # (matching encode.extract_metamers' ascending enumeration), qid =
-    # qid_offsets[b]. The packed u64 meta table turns the direct-mode
-    # hit-field gathers from two [Q]-table fetches per slot into one
-    # small-table fetch — and lets q_pos/q_qid dematerialize entirely.
-    q_meta = (
-        (qid_offsets.astype(jnp.uint64) << jnp.uint64(32))
-        | (pos_offsets.astype(jnp.uint64) << jnp.uint64(2))
-        | (lens.astype(jnp.uint64) % jnp.uint64(3))
-    )
-
-    def derive_pos_qid(safe_slots):
-        """(pos, qid) for already-clamped slot ids (safe_slots < Q)."""
-        mb = q_meta[safe_slots // (6 * W)]
-        qid = bc32(mb >> jnp.uint64(32))
-        po = bc32((mb >> jnp.uint64(2)) & jnp.uint64(0x3FFFFFFF))
-        lm3 = bc32(mb & jnp.uint64(3))
-        f = (safe_slots // W) % 6
-        w = safe_slots % W
-        begin = jnp.where(f < 3, f, jnp.mod(lm3 - (f - 3), 3))
-        return begin + 3 * w + po, qid
-
     def payw(h16v, hsumv, framev):
         return (h16v << 6) | ((hsumv & 7) << 3) | framev[:, None]
 
@@ -750,25 +726,38 @@ def _classify_core(
         # the pass-2 overflow: key = slot (hit) | Q+slot (overflow) | MAX.
         # Hits land in [0, n_hits1) in slot order, overflow slots right
         # after — a dynamic slice at n_hits1 replaces the second Q-wide
-        # sort. (start, cnt) ride as TWO i32 payloads: i32 sort operands
-        # are nearly free on TPU (measured +0.8 ms each at 4.5M rows)
-        # while a packed u64 operand costs +25 ms; the remaining hit
-        # fields come back through [hit_budget] gathers afterwards.
+        # sort. EVERY per-slot field the downstream streams need rides as
+        # an i32 payload: i32 sort operands are nearly free on TPU
+        # (measured +0.8-2.5 ms each at 4.5M rows) while the post-sort
+        # [hit_budget]/[sovf_budget] scalar gathers they replace cost
+        # ~28 ns per u64 row (the q_d48/q_values/meta fetches were ~60 ms
+        # of the traced skew batch). A packed u64 operand would cost
+        # +25 ms — keep every payload a 32-bit half.
         key3 = jnp.where(
             hit1, slotid, jnp.where(sovf, Q + slotid, INT32_MAX)
         )
-        kS, sS, cS = jax.lax.sort((key3, s1, c1), num_keys=1)
+        vlo = bc32(q_values & jnp.uint64(0xFFFFFFFF))
+        vhi = bc32(q_values >> jnp.uint64(32))
+        kS, sS, cS, dloS, dhiS, vloS, vhiS, posS, qidS = jax.lax.sort(
+            (key3, s1, c1, q_d48lo, q_d48hi, vlo, vhi, q_pos, q_qid),
+            num_keys=1,
+        )
 
         # pass-2 region: `more`-flagged overflow slots
-        s2k = jax.lax.dynamic_slice_in_dim(
-            pad_to(kS, max(Q, sovf_budget), INT32_MAX), n_hits1,
-            sovf_budget,
-        )
+        def slice2(x, fill):
+            return jax.lax.dynamic_slice_in_dim(
+                pad_to(x, max(Q, sovf_budget), fill), n_hits1, sovf_budget)
+
+        bcu = lambda x: jax.lax.bitcast_convert_type(
+            x, jnp.uint32).astype(jnp.uint64)
+        s2k = slice2(kS, INT32_MAX)
         is2 = (s2k >= Q) & (s2k != INT32_MAX)
         s2_slot = jnp.where(is2, s2k - Q, INT32_MAX)
         pad2 = ~is2
-        safe2 = jnp.minimum(jnp.where(is2, s2k - Q, 0), Q - 1)
-        qv2 = q_values[safe2]
+        d2lo, d2hi = slice2(dloS, 0), slice2(dhiS, 0)
+        pos2, qid2 = slice2(posS, 0), slice2(qidS, 0)
+        qv2 = (bcu(slice2(vhiS, 0)) << jnp.uint64(32)) | bcu(
+            slice2(vloS, 0))
         use_d2 = bool(direct2_bits and resid_budget)
         n_resid = jnp.int32(0)
         if use_d2:
@@ -804,7 +793,6 @@ def _classify_core(
             r_safe = jnp.minimum(r_idx, SB - 1)
             st3, en3, h3 = search_groups(qv2[r_safe], ~r_pad)
             slot3 = jnp.where(h3 & ~r_pad, s2_slot[r_safe], INT32_MAX)
-            safe3 = safe2[r_safe]
         else:
             st2, en2, h2 = search_groups(qv2, ~pad2)
 
@@ -813,36 +801,32 @@ def _classify_core(
         kH = jnp.where(hpad, INT32_MAX, kH_raw)
         sH_s = jnp.where(hpad, 0, pad_to(sS, hit_budget, 0))
         sH_c = jnp.where(hpad, 0, pad_to(cS, hit_budget, 0))
-        safeH = jnp.minimum(kH, Q - 1)
-        d48H = q_d48[safeH]
 
-        # pass-2 stream fields come from small [F] gathers instead
-        d48r2 = q_d48[safe2]
+        # hit/pass-2 stream fields all arrive as sort payloads — no
+        # post-sort [Q]-array gathers remain on this path
         parts_slot = [kH, jnp.where(h2, s2_slot, INT32_MAX)]
         parts_st = [sH_s, st2]
         parts_en = [sH_s + sH_c, en2]
-        parts_d48 = [jnp.where(hpad, jnp.uint64(0), d48H), d48r2]
-        # ALU + one small-table fetch instead of two [Q]-array gathers
-        posH, qidH = derive_pos_qid(safeH)
-        pos2, qid2 = derive_pos_qid(safe2)
-        parts_pos = [jnp.where(hpad, 0, posH), pos2]
-        parts_qid = [jnp.where(hpad, 0, qidH), qid2]
+        z = jnp.int32(0)
+        parts_dlo = [jnp.where(hpad, z, pad_to(dloS, hit_budget, 0)), d2lo]
+        parts_dhi = [jnp.where(hpad, z, pad_to(dhiS, hit_budget, 0)), d2hi]
+        parts_pos = [jnp.where(hpad, z, pad_to(posS, hit_budget, 0)), pos2]
+        parts_qid = [jnp.where(hpad, z, pad_to(qidS, hit_budget, 0)), qid2]
         if use_d2:
-            pos3, qid3 = derive_pos_qid(safe3)
             parts_slot.append(slot3)
             parts_st.append(st3)
             parts_en.append(en3)
-            parts_d48.append(d48r2[r_safe])
-            parts_pos.append(pos3)
-            parts_qid.append(qid3)
+            parts_dlo.append(d2lo[r_safe])
+            parts_dhi.append(d2hi[r_safe])
+            parts_pos.append(pos2[r_safe])
+            parts_qid.append(qid2[r_safe])
         slots_r = jnp.concatenate(parts_slot)
         starts_r = jnp.concatenate(parts_st)
         ends_r = jnp.concatenate(parts_en)
         activer = slots_r != INT32_MAX
         saf = jnp.minimum(slots_r, Q - 1)
-        d48_r = jnp.concatenate(parts_d48)
-        d48lo_r = bc32(d48_r & jnp.uint64(0xFFFFFFFF))
-        d48hi_r = bc32(d48_r >> jnp.uint64(32))
+        d48lo_r = jnp.concatenate(parts_dlo)
+        d48hi_r = jnp.concatenate(parts_dhi)
         frame_r = (saf // W) % 6
         fwd_r = frame_r < 3 if kmer_format == 2 else frame_r >= 3
         pos_r = jnp.concatenate(parts_pos)

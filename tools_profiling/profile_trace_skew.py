@@ -54,14 +54,17 @@ def main():
 
     bm = classify_batch_indexed(
         index, d_t2s, pc, lens_d, offs, qids,
-        cap=cap1, cap2=cap2, ov_budget=ovb_warm,
+        cap=cap1, cap2=cap2, ov_budget=ovb_warm, ovd_budget=ovb_warm,
         max_matches=max_matches, codes_packed=True)
     m = matches_to_host(bm, tax.species_of.astype(np.int32))
     dtx.set_hints(m, tp.dna_shift)
     B.seed_search_hints(dtx, index, values, n_queries)
     max_matches = B.adaptive_budget(m["n_matches"])
     ovb = B.quarter_pow2(int(m["n_ov"] * 1.3) + 8192)
-    print(f"budgets: matches {max_matches}, ov {ovb}", flush=True)
+    ovdb = (B.quarter_pow2(int(m["n_ovd"] * 1.3) + 4096)
+            if index.deep_w else 0)
+    print(f"budgets: matches {max_matches}, ov {ovb}, ovd {ovdb}",
+          flush=True)
 
     def run():
         h = dtx.dispatch_fused(
@@ -70,7 +73,7 @@ def main():
             cap=cap1, max_matches=max_matches,
             reduced=False, syncmer=False, smer_len=5, kmer_format=2,
             read_lens_by_qid=rl, cap2=cap2, cap_ov_budget=ovb,
-            codes_packed=True)
+            cap_ovd_budget=ovdb, codes_packed=True)
         np.asarray(h[1])
 
     run()
