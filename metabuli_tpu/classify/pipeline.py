@@ -485,6 +485,22 @@ class BatchMatches(NamedTuple):
 FIELDS = ("qid", "species", "frame", "pos", "hamming", "dna", "taxid", "h16")
 
 
+def _g64(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """u64 table gather via a [N, 2]-i32 ROW fetch.
+
+    A native 1D u64 gather is charged as two 32-bit elements (~43 ns per
+    lookup at 2^27-table scale); fetching the bitcast [N, 2] row costs
+    one 8-byte descriptor (~27 ns) — measured in
+    tools_profiling/profile_rowgather.py. The reconstruction shifts are
+    VPU-free by comparison."""
+    r = jax.lax.bitcast_convert_type(tab, jnp.int32)[idx]   # [..., 2]
+    lo = jax.lax.bitcast_convert_type(r[..., 0], jnp.uint32).astype(
+        jnp.uint64)
+    hi = jax.lax.bitcast_convert_type(r[..., 1], jnp.uint32).astype(
+        jnp.uint64)
+    return (hi << jnp.uint64(32)) | lo
+
+
 def _unsigned_less(a: jax.Array, b: jax.Array) -> jax.Array:
     """Unsigned < on bit-cast int32 (flip the sign bit)."""
     flip = jnp.int32(-2147483648)
@@ -625,7 +641,7 @@ def _classify_core(
         g_c = jnp.minimum(lo, jnp.int32(max(n_g - 1, 0)))
         if packed_search:
             sb = int(packed_search)  # start-field width (adaptive)
-            gb = db_gbounds[g_c]
+            gb = _g64(db_gbounds, g_c)
             g_tag = bc32(gb >> jnp.uint64(sb + 16))
             s = bc32((gb >> jnp.uint64(16)) & jnp.uint64((1 << sb) - 1))
             cnt = bc32(gb & jnp.uint64(0xFFFF))
@@ -667,7 +683,7 @@ def _classify_core(
             hsum, h_fwd, h_rev = hamming_all_reduced(lo_q[:, None], t_dna)
         else:
             t_dna = None
-            dd = db_d48[idx_c]  # ONE u64 gather for both 32-bit halves
+            dd = _g64(db_d48, idx_c)  # one 8-byte row descriptor per candidate
             hsum, h_fwd, h_rev = hamming_dna48_split(
                 d48lo_q[:, None], d48hi_q[:, None],
                 bc32(dd & jnp.uint64(0xFFFFFFFF)),
@@ -705,7 +721,7 @@ def _classify_core(
         q_pi = (
             (q_values >> jnp.uint64(24)) * jnp.uint64(AA_PERM_MULT)
         ) & jnp.uint64((1 << 40) - 1)
-        e = db_dmap[(q_pi >> jnp.uint64(rb_d)).astype(jnp.int32)]
+        e = _g64(db_dmap, (q_pi >> jnp.uint64(rb_d)).astype(jnp.int32))
         rest_d = bc32(q_pi & jnp.uint64((1 << rb_d) - 1))
         tag = bc32((e >> jnp.uint64(sbw + 16)) & jnp.uint64((1 << rb_d) - 1))
         s1 = bc32((e >> jnp.uint64(16)) & jnp.uint64((1 << sbw) - 1))
@@ -770,7 +786,7 @@ def _classify_core(
             pi2q = (
                 (qv2 >> jnp.uint64(24)) * jnp.uint64(AA_PERM_MULT2)
             ) & jnp.uint64((1 << 40) - 1)
-            e2 = db_dmap2[(pi2q >> jnp.uint64(rb2)).astype(jnp.int32)]
+            e2 = _g64(db_dmap2, (pi2q >> jnp.uint64(rb2)).astype(jnp.int32))
             rest2 = bc32(pi2q & jnp.uint64((1 << rb2) - 1))
             tag2 = bc32(
                 (e2 >> jnp.uint64(sbw + 16)) & jnp.uint64((1 << rb2) - 1))
@@ -1138,7 +1154,7 @@ def _classify_core(
         m_taxid = db_tax[midx]
         m_dna = jnp.where(is_pad, INT32_MAX, row_tdna)
     else:
-        tw = db_taxdna[midx]
+        tw = _g64(db_taxdna, midx)
         m_taxid = bc32(tw & jnp.uint64(0xFFFFFFFF))
         m_dna = jnp.where(
             is_pad, INT32_MAX,
