@@ -113,3 +113,77 @@ def test_padded_index_transparent_to_unpadded(deep_world):
     assert a["n_matches"] == c["n_matches"]
     for k in ("qid", "pos", "dna", "taxid", "hamming", "h16", "frame"):
         assert np.array_equal(a[k], c[k]), k
+
+
+def test_cli_classifier_on_deep_world(tmp_path):
+    """Full Classifier path (fused device taxonomer, ovd retry wiring) on
+    a DB with deep groups: device-tax and host-tax outputs must match."""
+    import os
+
+    from metabuli_tpu.classify.classifier import Classifier
+    from metabuli_tpu.db.build import build_database
+    from metabuli_tpu.params import BuildParams, ClassifyParams
+
+    rng = np.random.default_rng(5)
+    acgt = np.array(list(b"ACGT"), np.uint8)
+    core = rng.choice(acgt, 3000)
+    n_sp = 24
+    nodes = [(1, 1, "no rank"), (2, 1, "genus")]
+    names = {1: "root", 2: "G"}
+    taxdir = tmp_path / "taxonomy"
+    taxdir.mkdir()
+    fasta_dir = tmp_path / "fasta"
+    fasta_dir.mkdir()
+    paths, acc_rows = [], []
+    for s in range(n_sp):
+        t = 3 + s
+        nodes.append((t, 2, "species")); names[t] = f"S{s}"
+        c = core.copy()
+        w = np.arange(2, 3000, 3)
+        m = w[rng.random(len(w)) < 0.15]
+        c[m] = acgt[(np.searchsorted(acgt, c[m])
+                     + rng.integers(1, 4, len(m))) % 4]
+        uniq = rng.choice(acgt, 2000)
+        seq = np.concatenate([c, uniq])
+        acc = f"DP_{s}.1"
+        p = fasta_dir / f"{acc}.fna"
+        p.write_text(f">{acc}\n{bytes(seq).decode()}\n")
+        paths.append(str(p))
+        acc_rows.append(f"{acc.split('.')[0]}\t{acc}\t{t}\t0\n")
+    (taxdir / "nodes.dmp").write_text(
+        "".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in nodes))
+    (taxdir / "names.dmp").write_text(
+        "".join(f"{t}\t|\t{n}\t|\t\t|\tscientific name\t|\n"
+                for t, n in names.items()))
+    (taxdir / "merged.dmp").write_text("")
+    (tmp_path / "library.txt").write_text("\n".join(paths) + "\n")
+    (tmp_path / "acc2taxid.map").write_text(
+        "accession\taccession.version\ttaxid\tgi\n" + "".join(acc_rows))
+    db = str(tmp_path / "db")
+    build_database(db, str(tmp_path / "library.txt"),
+                   str(tmp_path / "acc2taxid.map"), str(taxdir),
+                   BuildParams(gene_prediction=0, batch_bases=200_000))
+
+    # reads: half from cores (deep groups), half from unique tails
+    reads = []
+    for i in range(48):
+        s = i % n_sp
+        g = open(paths[s]).read().splitlines()[1].encode()
+        st = int(rng.integers(0, 2800)) if i % 2 else int(
+            rng.integers(3100, 4800))
+        reads.append(g[st:st + 150])
+    q = tmp_path / "reads.fna"
+    q.write_text("".join(
+        f">r{i}\n{r.decode()}\n" for i, r in enumerate(reads)))
+
+    outs = {}
+    for devtax in (1, 0):
+        par = ClassifyParams(seq_mode=1, batch_reads=64, device_tax=devtax)
+        clf = Classifier(db, par)
+        assert clf.dev_index.deep_w > 0  # the deep tier is actually active
+        out = str(tmp_path / f"out{devtax}")
+        summary = clf.classify_file(str(q), None, out, "dp")
+        assert summary["classified"] >= 0.9 * len(reads)
+        outs[devtax] = open(
+            os.path.join(out, "dp_classifications.tsv")).read()
+    assert outs[0] == outs[1]
