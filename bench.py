@@ -81,7 +81,7 @@ CONFIGS = {
                     n_reads=65_536, read_len=150, batch=8_192, passes=3,
                     warm_mpr=1024, rows=TARGET_ROWS),
     "uniform": dict(world="uniform", syncmer=False, seq_mode=2,
-                    n_reads=32_768, read_len=150, batch=16_384, passes=2,
+                    n_reads=32_768, read_len=150, batch=16_384, passes=3,
                     warm_mpr=230, rows=TARGET_ROWS),
     "syncmer": dict(world="skew", syncmer=True, seq_mode=2,
                     n_reads=32_768, read_len=150, batch=8_192, passes=2,
@@ -519,6 +519,10 @@ def run_config(config: str) -> dict:
         assert info["n_over_cap"] == 0, "cap retry needed"
         return sum(r.is_classified for r in results)
 
+    drain(*dispatch(batches[0]))
+    # the fused drain may fold larger observed counters into the hints;
+    # dispatch once more so a resized program compiles HERE, not inside
+    # pass 0 (longread's first pass once paid a 400 s mid-loop compile)
     drain(*dispatch(batches[0]))
     log(f"[{config}] warmup (compile): {time.time()-t0:.1f}s")
 
