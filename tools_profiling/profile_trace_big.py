@@ -1,10 +1,9 @@
-"""Per-line device trace of the fused program on the decoy-padded bench
-world (the BENCH_r04 configuration: 60M rows, 16k-read batches)."""
+"""Per-line device trace of the fused program on the UNIFORM bench world
+(round-5 secondary configuration: 60M rows, cap 2, 16k-read batches)."""
 
 import glob
 import gzip
 import json
-import os
 import shutil
 import sys
 
@@ -16,8 +15,6 @@ import bench as B
 
 
 def main():
-    import tempfile
-
     import jax
 
     from metabuli_tpu.classify.device_taxonomer import DeviceTaxonomer
@@ -27,64 +24,62 @@ def main():
     from metabuli_tpu.ops import encode
     from metabuli_tpu.ops.genetic_code import encode_seqs_padded
 
-    with tempfile.TemporaryDirectory() as tmp:
-        tax, genomes, rng = B.build_world(tmp)
-        cache = "/tmp/prof_db_big.npz"
-        if os.path.exists(cache):
-            z = np.load(cache)
-            values, taxids, cap = z["values"], z["taxids"], int(z["cap"])
-        else:
-            values, taxids, cap = B.build_db(tax, genomes)
-            sp = np.unique(
-                tax.species_of[np.asarray(taxids, np.int64)]).astype(np.int32)
-            values, taxids = B.pad_with_decoys(values, taxids, sp, rng,
-                                               B.N_DECOYS)
-            np.savez(cache, values=values, taxids=taxids, cap=cap)
-        print(f"db {len(values)} rows", flush=True)
-        reads = B.sample_reads(genomes, rng)
-        index = build_dev_index(values, taxids)
-        d_t2s = jax.device_put(tax.species_of.astype(np.int32))
-        print(f"staged, direct_bits {index.direct_bits}", flush=True)
-        tp = TaxonomerParams()
-        dtx = DeviceTaxonomer(tp, tax)
-        read_len = 3 * ((B.READ_LEN - 2) // 3)
-        chunk = reads[: B.BATCH]
-        codes, lens = encode_seqs_padded(chunk, 160)
-        pc = jax.device_put(pack_codes(codes))
-        lens_d = jax.device_put(lens)
-        offs = jax.device_put(np.zeros(len(chunk), np.int32))
-        qids = jax.device_put(np.arange(len(chunk), dtype=np.int32))
-        rl = np.full(B.BATCH, read_len, np.int32)
-        max_matches = B.BATCH * 230
+    c = B.CONFIGS["uniform"]
+    tax, genomes, values, taxids, cap, n_real, reads = B.prepare_world(
+        "uniform")
+    print(f"db {len(values)} rows, cap {cap}", flush=True)
+    batch = c["batch"]
+    index = build_dev_index(values, taxids)
+    d_t2s = jax.device_put(tax.species_of.astype(np.int32))
+    print(f"staged, direct_bits {index.direct_bits}", flush=True)
+    tp = TaxonomerParams()
+    dtx = DeviceTaxonomer(tp, tax)
+    pad_len = 152
+    read_len = 3 * ((c["read_len"] - 2) // 3)
+    chunk = reads[:batch]
+    codes, lens = encode_seqs_padded(chunk, pad_len)
+    pc = jax.device_put(pack_codes(codes))
+    lens_d = jax.device_put(lens)
+    offs = jax.device_put(np.zeros(len(chunk), np.int32))
+    qids = jax.device_put(np.arange(len(chunk), dtype=np.int32))
+    rl = np.full(batch, read_len, np.int32)
+    n_win = encode.max_codons(pad_len) - 7
+    n_queries = batch * 6 * n_win
 
-        bm = classify_batch_indexed(
+    cap1 = 1 if cap > 1 else max(1, cap)
+    cap2 = max(1, cap) if cap > 1 else 0
+    ovb_warm = B.quarter_pow2(int(n_queries * 0.15) + 32768) if cap2 else 0
+    max_matches = batch * c["warm_mpr"]
+
+    bm = classify_batch_indexed(
+        index, d_t2s, pc, lens_d, offs, qids,
+        cap=cap1, cap2=cap2, ov_budget=ovb_warm, ovd_budget=ovb_warm,
+        max_matches=max_matches, codes_packed=True)
+    m = matches_to_host(bm, tax.species_of.astype(np.int32))
+    dtx.set_hints(m, tp.dna_shift)
+    B.seed_search_hints(dtx, index, values, n_queries)
+    max_matches = B.adaptive_budget(m["n_matches"])
+    ovb = B.quarter_pow2(int(m["n_ov"] * 1.3) + 8192) if cap2 else 0
+    ovdb = (B.quarter_pow2(int(m["n_ovd"] * 1.3) + 4096)
+            if cap2 and index.deep_w else 0)
+    print(f"budgets: matches {max_matches}, ov {ovb}, ovd {ovdb}",
+          flush=True)
+
+    def run():
+        h = dtx.dispatch_fused(
             index, d_t2s, pc, lens_d, offs, qids,
-            cap=max(1, cap), max_matches=max_matches, codes_packed=True)
-        m = matches_to_host(bm, tax.species_of.astype(np.int32))
-        dtx.set_hints(m, tp.dna_shift)
-        n_win = encode.max_codons(160) - 7
-        B.seed_search_hints(dtx, index, values, B.BATCH * 6 * n_win)
-        max_matches = B.adaptive_budget(m["n_matches"])
+            n_reads=batch, max_read_len=read_len,
+            cap=cap1, max_matches=max_matches,
+            reduced=False, syncmer=False, smer_len=5, kmer_format=2,
+            read_lens_by_qid=rl, cap2=cap2, cap_ov_budget=ovb,
+            cap_ovd_budget=ovdb, codes_packed=True)
+        np.asarray(h[1])
 
-        cap1 = 1 if cap > 1 else max(1, cap)
-        cap2 = max(1, cap) if cap > 1 else 0
-        ovb = 131072 if cap > 1 else 0
-
-        def run():
-            h = dtx.dispatch_fused(
-                index, d_t2s, pc, lens_d, offs, qids,
-                n_reads=B.BATCH, max_read_len=read_len,
-                cap=cap1, max_matches=max_matches,
-                reduced=False, syncmer=False, smer_len=5, kmer_format=2,
-                read_lens_by_qid=rl, cap2=cap2, cap_ov_budget=ovb,
-                codes_packed=True)
-            np.asarray(h[1])
-
+    run()
+    print("warm", flush=True)
+    shutil.rmtree("/tmp/jaxtrace_b", ignore_errors=True)
+    with jax.profiler.trace("/tmp/jaxtrace_b"):
         run()
-        print("warm", flush=True)
-        shutil.rmtree("/tmp/jaxtrace_b", ignore_errors=True)
-        with jax.profiler.trace("/tmp/jaxtrace_b"):
-            run()
 
     tr = sorted(glob.glob("/tmp/jaxtrace_b/**/*.trace.json.gz",
                           recursive=True))[-1]
